@@ -1,0 +1,83 @@
+"""[EXT] Text-analysis column expressions over the ``documents`` table —
+the LLM-data-pipeline surface (BASELINE.json north star): tokenization,
+language ID, quality scoring, token counting, fingerprinting. All built-in
+`F.*` composition (codegen-friendly, oracle-checkable); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny English stopword list used by the n-gram/stopword heuristics.
+# Deliberately small & frozen: it is part of the operator contract so the
+# DuckDB oracle can embed the same list.
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+
+def tokens(col: Column | str = "text") -> Column:
+    """Whitespace tokenization of lowercased text → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str = "text") -> Column:
+    """BPE-ish subword proxy: count of matches of `[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]`
+    — splits words into ≤4-char chunks the way a byte-pair vocab roughly
+    would. `regexp_count` exists in Spark 3.5+ and DuckDB ≥0.10 wants
+    `len(regexp_extract_all(...))`; both are exposed in the oracle SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_ratio(col: Column | str = "text") -> Column:
+    """Fraction of tokens that are in the frozen English stopword list."""
+    t = tokens(col)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    return F.when(F.size(t) > 0, n_stop / F.size(t)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str = "text") -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str = "text") -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length documents
+    and healthy stopword presence, penalizes punctuation soup. The exact
+    formula is the contract (oracle replicates it verbatim):
+    0.4·min(len/500,1) + 0.4·min(stopword_ratio·5,1) + 0.2·(1−min(punct_ratio·10,1))
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    len_part = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    stop_part = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_part = 1.0 - F.least(punct_ratio(col) * 10.0, F.lit(1.0))
+    return F.round(0.4 * len_part + 0.4 * stop_part + 0.2 * punct_part, 6)
+
+
+def lang_id(col: Column | str = "text") -> Column:
+    """N-gram-heuristic language ID: 'en' when the stopword ratio clears
+    2% and ASCII-letter ratio clears 60%, else 'unknown'. (The test corpus
+    is synthetic English; the operator shape — ratio features → threshold —
+    is what matters and scales.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    ascii_ratio = F.length(F.regexp_replace(F.lower(c), r"[^a-z ]", "")) / F.length(c)
+    return F.when(
+        (stopword_ratio(col) > 0.02) & (ascii_ratio > 0.6), F.lit("en")
+    ).otherwise(F.lit("unknown"))
+
+
+def doc_fingerprint(col: Column | str = "text", k: int = 8) -> Column:
+    """Order-insensitive document fingerprint: md5 over the k smallest md5s
+    of distinct tokens (a bottom-k sketch — winnowing-style, portable to
+    SQL). Equal fingerprints ⇒ near-identical token sets."""
+    t = F.array_distinct(tokens(col))
+    hashed = F.array_sort(F.transform(t, F.md5))
+    return F.md5(F.concat_ws("|", F.slice(hashed, 1, k)))

@@ -1,0 +1,209 @@
+"""Keyed dedup operators.
+
+The reference has two distinct dedup semantics (SURVEY.md R21/R25):
+
+- *last-write-wins* within a batch: `ids.set(id, feat)` overwrites, so the
+  last row per key in ingestion order survives (task.ts:136, 187);
+- *first-wins* at output: a `Set` guard keeps the first occurrence
+  (task.ts:215, 235-238, 244-247).
+
+Spark has no row order, so both take an explicit ``order_col`` (ingestion
+index, timestamp, …). Implementation is a single hash aggregation with
+``max_by``/``min_by`` — one shuffle on the key, map-side partial aggregation,
+no window sort. That is the scalable form: at 100 TB a window +
+``row_number`` would sort every partition; ``max_by`` keeps one struct per
+key per partition before the shuffle.
+
+Text-corpus dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard) lives
+here too — the LLM-pipeline [EXT] operators over ``documents``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _keyed_pick(df: DataFrame, keys: list[str], order_col: str | Column, agg_fn) -> DataFrame:
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    others = [c for c in df.columns if c not in keys]
+    picked = df.groupBy(*keys).agg(agg_fn(F.struct(*others), order).alias("_row"))
+    return picked.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def last_wins(df: DataFrame, keys: list[str] | str, order_col: str | Column) -> DataFrame:
+    """Keep the row with the greatest ``order_col`` per key — Map-upsert
+    semantics (task.ts:136). Ties: max_by picks an arbitrary winner, so use
+    a total order (e.g. unique ingestion index)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return _keyed_pick(df, keys, order_col, F.max_by)
+
+
+def first_wins(df: DataFrame, keys: list[str] | str, order_col: str | Column) -> DataFrame:
+    """Keep the row with the least ``order_col`` per key — output Set-guard
+    semantics (task.ts:235-238)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return _keyed_pick(df, keys, order_col, F.min_by)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Text-corpus dedup (documents table; BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+def normalized_text(col: Column | str = "text") -> Column:
+    """Canonical text for exact dedup: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: sha256 over normalized text, keep the lowest id per
+    hash. Single hash-agg shuffle on a 64-char key — at 100 TB this is the
+    cheapest possible dedup (no sort, partial agg map-side)."""
+    hashed = df.withColumn("text_sha", F.sha2(normalized_text(text_col), 256))
+    return last_wins(hashed, ["text_sha"], F.col(id_col) * -1)
+
+
+def word_shingles(col: Column | str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> of space-joined n-grams.
+
+    Built-in only: split → transform over index range → slice+concat. No
+    Python UDF, so shingling runs inside codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Portable MinHash signature: for seed s, min over shingles of
+    md5(s || shingle) — lexicographic min of hex digests is a valid
+    min-wise hash, and md5 is identical in Spark and DuckDB, which makes
+    the signature oracle-checkable (SURVEY.md §7 hard-point 6).
+    Returns array<string> of length ``num_hashes``."""
+    sigs = [
+        F.array_min(F.transform(shingles, lambda t, s=s: F.md5(F.concat(F.lit(f"{s}:"), t))))
+        for s in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs.
+
+    Pipeline: shingle → minhash signature → split into ``bands`` bands →
+    band-hash equi-join → distinct (a_id < b_id) pairs. The only shuffle is
+    the band equi-join on a short hash key; at scale each band bucket is
+    small, and AQE splits skewed buckets. Returns (a_id, b_id).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: explode distinct shingles,
+    self-join on shingle, |∩| via group count, |∪| = |A|+|B|−|∩|.
+
+    This is the *oracle-checkable exact* path; MinHash-LSH is the scaled
+    approximation of it. Shuffles: one explode+distinct agg, one shingle
+    equi-join, one pair agg. Returns (a_id, b_id, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    joined = (
+        inter.join(sizes.withColumnRenamed("_id", "a_id").withColumnRenamed("n_shingles", "a_n"), "a_id")
+        .join(sizes.withColumnRenamed("_id", "b_id").withColumnRenamed("n_shingles", "b_n"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return joined
+
+
+def token_hash32(tok: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 → bigint.
+    Spark `conv(hex,16,10)`; DuckDB `('0x'||hex)::BIGINT` — identical."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def simhash32(col: Column | str = "text") -> Column:
+    """32-bit SimHash over distinct whitespace tokens using md5-derived bit
+    vectors: signature bit i is 1 iff sum over tokens of (bit_i ? +1 : -1)
+    is > 0. Deterministic and portable (md5 + `>>`/`&` exist in both Spark
+    and DuckDB, so this is oracle-checkable). Returns bigint in [0, 2^32).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+"))
+    hashes = F.transform(toks, token_hash32)
+    sig = F.lit(0).cast("bigint")
+    for i in range(32):
+        weight = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        sig = sig + F.when(weight > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
+    return sig

@@ -1,0 +1,174 @@
+"""Join operators.
+
+The reference's includes join (task.ts:217-240, R22-R24) is a broadcast
+hash lookup with enrichment overrides; generalized here plus the [EXT]
+join shapes the driver tables exercise (as-of, bucketed range). Design
+rule: small side → ``F.broadcast``; large-large equi → let AQE pick
+sort-merge; inequality-only joins get bucketized into equi-joins so they
+scale (a raw theta join is a nested-loop cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import normalize_key
+
+
+def includes_join(
+    aircraft: DataFrame,
+    includes: DataFrame,
+    filtering: bool = True,
+) -> DataFrame:
+    """The reference includes join + enrichment (task.ts:217-249).
+
+    - include rows without a registration are ignored (task.ts:219, quirk #6)
+    - probe key is lower(trim(registration)) vs the aircraft id (task.ts:223)
+    - on match: callsign override when set (?? semantics), and
+      metadata.group ← include.group (task.ts:227-233, quirk #7)
+    - ``filtering=True`` (default): inner join — non-matching aircraft drop
+      (semi-join filter); ``False``: left join — everyone survives, matches
+      still enriched (task.ts:241-249).
+
+    The includes list is O(10²) rows → explicit broadcast: zero shuffle.
+    `_inc_idx` is carried so first-wins output dedup can follow probe order
+    (quirk #5).
+    """
+    inc = (
+        includes.filter(F.col("registration").isNotNull())
+        .select(
+            F.col("_idx").alias("_inc_idx"),
+            normalize_key("registration").alias("_inc_key"),
+            F.col("callsign").alias("_inc_callsign"),
+            F.col("group").alias("_inc_group"),
+        )
+    )
+    how = "inner" if filtering else "left"
+    joined = aircraft.join(F.broadcast(inc), aircraft["id"] == inc["_inc_key"], how)
+    return (
+        joined.withColumn(
+            "callsign",
+            # include.callsign overrides only when set (?? null-check, task.ts:227-229)
+            F.coalesce(F.col("_inc_callsign"), F.col("callsign")),
+        )
+        .withColumn(
+            "metadata",
+            F.col("metadata").withField(
+                "group", F.coalesce(F.col("_inc_group"), F.col("metadata.group"))
+            ),
+        )
+        .drop("_inc_key", "_inc_callsign", "_inc_group")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with the same
+    key and right_ts <= left_ts (generalizes R21 recency, SURVEY.md §2B).
+
+    Implementation: equi-join on key (sort-merge at scale, AQE-managed),
+    filter the time predicate, then one ``max_by`` aggregation per left row
+    keyed by a unique left id — no window sort over the whole joined set.
+    Left rows with no match are kept with NULL right values.
+    """
+    lid = "_asof_lid"
+    lw = left.withColumn(lid, F.monotonically_increasing_id())
+    r = right.select(
+        F.col(right_key).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        F.col(tiebreak).alias("_rtb"),
+        *[F.col(c) for c in right_vals],
+    )
+    matched = (
+        lw.join(r, (F.col(left_key) == F.col("_rk")) & (F.col("_rts") <= F.col(left_ts)), "inner")
+        .groupBy(lid)
+        .agg(
+            F.max_by(
+                F.struct("_rts", *right_vals), F.struct("_rts", "_rtb")
+            ).alias("_best")
+        )
+        .select(
+            F.col(lid),
+            *[F.col(f"_best.{c}").alias(c) for c in ["_rts", *right_vals]],
+        )
+    )
+    out = lw.join(matched, lid, "left").drop(lid)
+    return out.withColumnRenamed("_rts", f"asof_{right_ts}")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_interval: str,
+    upper_interval: str,
+    bucket_unit: str = "hour",
+) -> DataFrame:
+    """Range/interval join: pairs where right_ts ∈ [left_ts - lower,
+    left_ts + upper], scalable form.
+
+    A naive theta join is a broadcast-nested-loop (O(n·m) — dead at scale).
+    Instead each left row explodes into the covering time buckets
+    (``bucket_unit`` granularity: 'hour'/'day'/...) and joins the
+    bucketized right side on bucket equality, then the exact predicate
+    refines. Shuffle is an equi-join on the bucket key; pick a bucket unit
+    ≥ the window span so each left row lands in ≤ 2-3 buckets.
+    """
+    lo = F.expr(f"INTERVAL {lower_interval}")
+    hi = F.expr(f"INTERVAL {upper_interval}")
+    lbuck = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket_unit, F.col(left_ts) - lo),
+                F.date_trunc(bucket_unit, F.col(left_ts) + hi),
+                F.expr(f"INTERVAL 1 {bucket_unit}"),
+            )
+        ),
+    )
+    rbuck = right.withColumn("_bucket", F.date_trunc(bucket_unit, F.col(right_ts)))
+    joined = lbuck.join(rbuck, "_bucket").filter(
+        (F.col(right_ts) >= F.col(left_ts) - lo) & (F.col(right_ts) <= F.col(left_ts) + hi)
+    )
+    return joined.drop("_bucket")
+
+
+def bucketed_range_join_ns(
+    left: DataFrame,
+    right: DataFrame,
+    left_ns: str,
+    right_ns: str,
+    lower_ns: int,
+    upper_ns: int,
+    bucket_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Integer-domain variant of ``bucketed_range_join`` for exact
+    nanosecond timestamps (events.ts is TIMESTAMP(NANOS) — see tables.py):
+    right_ns ∈ [left_ns - lower_ns, left_ns + upper_ns]. Same plan shape:
+    explode left into covering buckets, equi-join, refine."""
+    # integer DIV, not `/`: epoch-nanos (~1.8e18) exceed double's 2^53 exact range
+    lbuck = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.expr(
+                f"sequence(({left_ns} - {lower_ns}L) DIV {bucket_ns}L,"
+                f" ({left_ns} + {upper_ns}L) DIV {bucket_ns}L)"
+            )
+        ),
+    )
+    rbuck = right.withColumn("_bucket", F.expr(f"{right_ns} DIV {bucket_ns}"))
+    joined = lbuck.join(rbuck, "_bucket").filter(
+        (F.col(right_ns) >= F.col(left_ns) - F.lit(lower_ns))
+        & (F.col(right_ns) <= F.col(left_ns) + F.lit(upper_ns))
+    )
+    return joined.drop("_bucket")

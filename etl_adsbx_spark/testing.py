@@ -1,0 +1,70 @@
+"""Local mirror of the driver's correctness gate: run a registry query on
+Spark AND its oracle SQL on DuckDB over the same parquet tables, compare
+row-count + schema-shape + values (order-insensitive). Used by
+tests/test_queries_oracle.py so every oracle mismatch is caught locally
+before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from .schemas import DRIVER_TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+    if len(pdf):
+        pdf = pdf.sort_values(
+            by=list(pdf.columns), key=lambda col: col.astype(str), na_position="last"
+        ).reset_index(drop=True)
+    return pdf
+
+
+def compare_query(spark_df, sql: str, sf_dir: str) -> None:
+    """Raise AssertionError with a diagnostic on any mismatch."""
+    con = duckdb_conn(sf_dir)
+    oracle = _normalize(con.execute(sql).fetchdf())
+    got = _normalize(spark_df.toPandas())
+    assert len(got) == len(oracle), f"row count: spark={len(got)} oracle={len(oracle)}"
+    assert list(got.columns) == list(oracle.columns), (
+        f"columns: spark={list(got.columns)} oracle={list(oracle.columns)}"
+    )
+    for c in got.columns:
+        g, o = got[c], oracle[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(o):
+            ga, oa = g.astype(float).to_numpy(), o.astype(float).to_numpy()
+            both_nan = np.isnan(ga) & np.isnan(oa)
+            eq = (ga == oa) | both_nan
+            if not eq.all():
+                idx = int(np.argmax(~eq))
+                raise AssertionError(
+                    f"col {c}: {(~eq).sum()} mismatches; first at row {idx}: "
+                    f"spark={ga[idx]!r} oracle={oa[idx]!r} diff={ga[idx]-oa[idx]!r}"
+                )
+        else:
+            eq = (g == o) | (g.isna() & o.isna())
+            if not eq.all():
+                idx = int(np.argmax(~eq.to_numpy()))
+                raise AssertionError(
+                    f"col {c}: {(~eq).sum()} mismatches; first at row {idx}: "
+                    f"spark={g.iloc[idx]!r} oracle={o.iloc[idx]!r}"
+                )
