@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once for warm-up-free wall-clock honesty? No — JVM
+and code paths dominate the first run, so we do one warm-up pass of a tiny
+query (JVM/codegen spin-up), then time each headline query once. The
+flagship pipeline is included: it is the reference workload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_adsbx_spark import queries as registry  # noqa: E402
+from etl_adsbx_spark.plans.flagship import flagship  # noqa: E402
+from etl_adsbx_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "rollup_agg",
+    "window_running",
+    "last_wins_events",
+    "asof_join_events",
+    "range_join_events",
+    "topk_per_group",
+    "haversine_geo",
+]
+# [EXT] queries register later in the round; include any that exist
+OPTIONAL = [
+    "exact_dedup_docs",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "text_stats",
+    "tfidf_top_terms",
+]
+
+
+def run_df(df) -> int:
+    # count() forces full execution without driver-side materialization
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("etl-adsbx-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs] + [n for n in OPTIONAL if n in qs]
+
+    # warm-up: JVM, parquet footer reads, codegen
+    run_df(qs["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run_df(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    run_df(flagship(spark, sf_dir))
+    timings["flagship_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,10 +72,12 @@ def word_shingles(col: Column | str = "text", n: int = 3) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(F.lower(c)), r"\s+")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
+    k = F.size(toks) - F.lit(n - 1)
+    # guard k < 1: Spark sequence(1, 0) yields a DESCENDING sequence, not []
+    return F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
@@ -84,10 +86,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     min-wise hash, and md5 is identical in Spark and DuckDB, which makes
     the signature oracle-checkable (SURVEY.md §7 hard-point 6).
     Returns array<string> of length ``num_hashes``."""
-    sigs = [
-        F.array_min(F.transform(shingles, lambda t, s=s: F.md5(F.concat(F.lit(f"{s}:"), t))))
-        for s in range(num_hashes)
-    ]
+    # NB: capture the seed via a closure factory — a default-arg lambda
+    # (lambda t, s=s: ...) is seen by PySpark as a 2-arg (elem, index) HOF
+    # lambda and silently receives the array index instead of the seed.
+    def seeded(s: int):
+        return lambda t: F.md5(F.concat(F.lit(f"{s}:"), t))
+
+    sigs = [F.array_min(F.transform(shingles, seeded(s))) for s in range(num_hashes)]
     return F.array(*sigs)
 
 
@@ -197,13 +202,15 @@ def simhash32(col: Column | str = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     toks = F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+"))
     hashes = F.transform(toks, token_hash32)
+
+    def bit_weight(i: int):
+        # closure factory, NOT a default-arg lambda (see minhash note)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     sig = F.lit(0).cast("bigint")
     for i in range(32):
-        weight = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
+        weight = F.aggregate(hashes, F.lit(0).cast("long"), bit_weight(i))
         sig = sig + F.when(weight > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
     return sig

@@ -50,17 +50,19 @@ def hyperplane_signature(vec_col, nbits: int = 8, dim: int = 64):
     signature bit p is 1 iff Σ_j w_pj·v_j > 0. Returns int in [0, 2^nbits).
     Portable to SQL (same md5 construction as dedup.token_hash32)."""
     v = as_double(vec_col)
+
+    def plane_sign(p: int):
+        # closure factory, NOT a default-arg lambda (PySpark counts default
+        # args as extra HOF lambda parameters)
+        return lambda x, j: F.when(
+            token_hash32(F.concat(F.lit(f"{p}:"), j.cast("string"))).bitwiseAND(F.lit(1)) == 1,
+            x,
+        ).otherwise(-x)
+
     sig = F.lit(0)
     for p in range(nbits):
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j, p=p: F.when(
-                    token_hash32(F.concat(F.lit(f"{p}:"), j.cast("string"))).bitwiseAND(F.lit(1)) == 1,
-                    x,
-                ).otherwise(-x),
-            ),
+            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), plane_sign(p)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -778,3 +778,550 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("building_only").alias("tag"), "c_custkey"
     )
     return both.unionByName(only)
+
+
+# =========================================================================
+# [EXT] LLM-pipeline: text-corpus dedup family (documents table)
+# =========================================================================
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_sha,
+           MIN(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: sha256 over normalized text, lowest doc id kept
+    (operators.dedup.exact_dedup — single hash-agg, the cheapest dedup at
+    100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("text_sha", "doc_id")
+
+
+@register(
+    "minhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, s, MIN(md5(s || ':' || shingle)) AS minh
+      FROM sh, range(0, 16) seeds(s)
+      GROUP BY doc_id, s
+    ),
+    sig AS (SELECT doc_id, list(minh ORDER BY s) AS sg FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), '|')) AS bucket
+      FROM sig, range(0, 4) bands(b)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM banded a JOIN banded b
+      ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (16 hashes, 4 bands). The
+    md5-based min-wise hash is portable, so the WHOLE LSH pipeline is
+    oracle-checked — not just sampled (SURVEY §7 hard-point 6)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.03
+    """,
+)
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity join — the exact counterpart
+    the MinHash pipeline approximates."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.03)
+
+
+@register(
+    "simhash_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS th FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             CASE WHEN SUM(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN (1::BIGINT << i) ELSE 0 END AS bit
+      FROM h, range(0, 32) r(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (portable md5-derived bit
+    vectors — fully oracle-checked)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash32("text").alias("simhash"))
+
+
+# =========================================================================
+# [EXT] LLM-pipeline: text analysis (documents table)
+# =========================================================================
+
+@register(
+    "text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, text, toks,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+        len(list_filter(toks, x -> list_contains(
+            ['the','a','of','to','and','in','is','it','that','for'], x)))
+          / CAST(len(toks) AS DOUBLE) AS stop_ratio_raw,
+        (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+          / CAST(length(text) AS DOUBLE) AS punct_ratio_raw,
+        length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+          / CAST(length(text) AS DOUBLE) AS ascii_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_bpe,
+      round(stop_ratio_raw, 6) AS stop_ratio,
+      round(punct_ratio_raw, 6) AS punct_ratio,
+      round(0.4 * least(length(text) / 500.0, 1.0)
+            + 0.4 * least(stop_ratio_raw * 5.0, 1.0)
+            + 0.2 * (1.0 - least(punct_ratio_raw * 10.0, 1.0)), 6) AS quality,
+      CASE WHEN stop_ratio_raw > 0.02 AND ascii_ratio > 0.6
+           THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM feat
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality feature extraction: token counts (whitespace + BPE-ish
+    regex), stopword/punctuation ratios, composite quality score, heuristic
+    language ID — all built-in expressions (functions.text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
+        F.round(T.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tokc AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokc GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokc GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: explode → tf / df aggs → joined
+    score → per-doc top-k. df join is broadcast (vocab ≪ corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokc = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = tokc.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tokc.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; tiny driver-side count, broadcast as literal
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(array_to_string(
+        list_slice(list_sort(list_transform(
+          list_distinct(string_split_regex(trim(lower(text)), '\\s+')), x -> md5(x))),
+        1, 8), '|')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (winnowing-style) document fingerprint: md5 over the 8
+    smallest token-md5s — order-insensitive near-identity signature."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.doc_fingerprint("text", 8).alias("fingerprint"))
+
+
+# =========================================================================
+# [EXT] LLM-pipeline: similarity search (embeddings table)
+# =========================================================================
+
+@register(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+         dots AS (
+           SELECT qid, nid,
+             SUM(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+             SUM(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qn,
+             SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cn
+           FROM q, c, range(1, 65) r(i)
+           WHERE qid != nid
+           GROUP BY qid, nid
+         ),
+         scored AS (
+           SELECT qid AS query_id, nid AS neighbor_id,
+                  round(dp / (sqrt(qn) * sqrt(cn)), 6) AS cosine_sim
+           FROM dots
+         )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id DESC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 neighbors for query vectors
+    (vec_id < 10) — the oracle-checkable ANN baseline. Higher-order
+    zip_with/aggregate dot products, broadcast query side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@register("lsh_ann_topk")  # approximate — no SQL oracle; rows-only check
+def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (single-probe): the 100-TB scale path
+    for cosine_topk. Approximate ⇒ no value oracle; correctness of the
+    scheme is tested by recall against cosine_topk in tests/."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# =========================================================================
+# [EXT] Multimodal binary-column plumbing
+# =========================================================================
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha,
+           round(list_sum(list_transform(string_split(text, ''), c -> unicode(c)))
+                 / CAST(length(text) AS DOUBLE), 6) AS feat_mean
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: documents → binary payloads →
+    mapInPandas (Arrow-batched) feature extraction — byte count, sha256,
+    mean byte value. The Python decode kernel runs for real; only actual
+    image/audio codecs are stubbed (operators.multimodal)."""
+    from .operators.multimodal import documents_as_media, extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(d))
+    return feats.select(
+        "media_id", "mime", "n_bytes", "payload_sha",
+        F.round("feat_mean", 6).alias("feat_mean"),
+    )
+
+
+# =========================================================================
+# Streaming-shaped aggregations (batch-mode event-time windows)
+# =========================================================================
+
+@register(
+    "tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time window aggregation (streaming.windows works
+    identically on streams — unified model)."""
+    from .streaming.windows import tumbling_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = tumbling_agg(
+        e, "ts", "6 hours", ["event_type"],
+        [F.count("*").alias("n"), dsum(dec2("value")).alias("sum_value")],
+    )
+    return out.select("window_start", "event_type", "n", "sum_value")
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — F.session_window; the oracle
+    reconstructs identical sessions via gap-island SQL."""
+    from .streaming.windows import session_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = session_agg(
+        e, "ts", "30 minutes", ["user_id"],
+        [F.min("ts").alias("session_start"), F.count("*").alias("n_events")],
+    )
+    return out.select("user_id", "session_start", "n_events")
+
+
+# =========================================================================
+# The reference pipeline itself, oracle-checked end-to-end (quirks #1-#7)
+# =========================================================================
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def _fixture_ctes() -> str:
+    """Render the reference-faithful fixtures (fixtures.py) as VALUES CTEs
+    so the DuckDB oracle replays the exact same batch."""
+    from .fixtures import AIRCRAFT_ROWS, INCLUDES_ROWS
+    from .schemas import ADSB_SCHEMA
+
+    ac_cols = ", ".join(f'"{f.name}"' for f in ADSB_SCHEMA.fields)
+    ac_rows = ",\n      ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in AIRCRAFT_ROWS
+    )
+    inc_rows = ",\n      ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in INCLUDES_ROWS
+    )
+    return f"""
+    aircraft({ac_cols}) AS (VALUES
+      {ac_rows}
+    ),
+    includes(_idx, domain, callsign, registration, grp) AS (VALUES
+      {inc_rows}
+    )"""
+
+
+def _cot_pipeline_sql(filtering: bool, hostile: bool) -> str:
+    """The whole reference dataflow (task.ts:115-258) as ANSI SQL over the
+    VALUES fixture — every quirk expressed: JS-falsy id coalesce (#2),
+    lower/trim key (R7), category CASE (R10), dbFlags parity (R11),
+    emergency gating (R12), sentinel defaults pre/post conversion (#4),
+    last-wins dedup by ingestion order (R21), includes join + enrichment
+    (R23/R24, #6/#7), first-wins output dedup in includes order (R25, #5)."""
+    emergency_sql = (
+        "CASE WHEN emergency IS NOT NULL AND emergency != 'none' THEN '-h' ELSE '-f' END"
+        if hostile
+        else "'-f'"
+    )
+    if filtering:
+        join_sql = """
+    joined AS (
+      SELECT d.*, i.inc_idx, i.inc_callsign, i.inc_group
+      FROM dedup d JOIN inc i ON i.key = d.id
+    ),
+    out AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY inc_idx) AS rn2
+        FROM joined
+      ) WHERE rn2 = 1
+    )"""
+    else:
+        join_sql = """
+    joined AS (
+      SELECT d.*, i.inc_idx, i.inc_callsign, i.inc_group
+      FROM dedup d LEFT JOIN inc i ON i.key = d.id
+    ),
+    out AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY COALESCE(inc_idx, 4611686018427387904)) AS rn2
+        FROM joined
+      ) WHERE rn2 = 1
+    )"""
+    return f"""
+    WITH {_fixture_ctes()},
+    base AS (
+      SELECT *, lower(trim(COALESCE(NULLIF(r, ''), flight))) AS id FROM aircraft
+    ),
+    filt AS (SELECT * FROM base WHERE id IS NOT NULL AND length(id) > 0),
+    feat AS (
+      SELECT _idx, id,
+        'a' || ({emergency_sql}) || '-A'
+            || (CASE WHEN "dbFlags" IS NOT NULL AND "dbFlags" % 2 != 0
+                     THEN '-M' ELSE '-C' END)
+            || (CASE WHEN category IN ('A0','A1','A2','A3','A4','A5','A6') THEN '-F'
+                     WHEN category = 'A7' THEN '-H'
+                     WHEN category = 'B2' THEN '-L'
+                     ELSE '' END) AS cot_type,
+        trim(COALESCE(flight, '')) AS callsign,
+        TIMESTAMP '2026-01-15 12:00:00' AS "time",
+        COALESCE(gs, 9999999.0) * 0.514444 AS speed,
+        CASE WHEN track IS NULL OR track = 0 THEN 9999999.0 ELSE track END AS course,
+        COALESCE("group", 'UNKNOWN') AS meta_group,
+        concat_ws(chr(10),
+          'Flight: '    || trim(COALESCE(flight, 'Unknown')),
+          'Reg: '       || trim(COALESCE(r, 'Unknown')),
+          'Type: '      || trim(COALESCE(t, 'Unknown')),
+          'Category: '  || trim(COALESCE(category, 'Unknown')),
+          'Squawk: '    || trim(COALESCE(squawk, 'Unknown')),
+          'Emergency: ' || trim(COALESCE(emergency, 'Unknown'))) AS remarks,
+        lon, lat,
+        CASE WHEN alt_geom IS NOT NULL THEN alt_geom * 0.3048 END AS alt_m
+      FROM filt
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY _idx DESC) AS rn
+        FROM feat
+      ) WHERE rn = 1
+    ),
+    inc AS (
+      SELECT _idx AS inc_idx, callsign AS inc_callsign,
+             lower(trim(registration)) AS key, grp AS inc_group
+      FROM includes WHERE registration IS NOT NULL
+    ),{join_sql}
+    SELECT id, cot_type,
+           COALESCE(inc_callsign, callsign) AS callsign, "time",
+           speed, course,
+           COALESCE(inc_group, meta_group) AS grp,
+           remarks, lon, lat, alt_m
+    FROM out
+    """
+
+
+def _cot_flat_select(flat: DataFrame) -> DataFrame:
+    return flat.select(
+        "id",
+        "cot_type",
+        "callsign",
+        "time",
+        "speed",
+        "course",
+        F.col("metadata.group").alias("grp"),
+        "remarks",
+        F.try_element_at("coordinates", F.lit(1)).alias("lon"),
+        F.try_element_at("coordinates", F.lit(2)).alias("lat"),
+        F.try_element_at("coordinates", F.lit(3)).alias("alt_m"),
+    )
+
+
+@register("cot_pipeline", oracle=_cot_pipeline_sql(filtering=True, hostile=False))
+def cot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline (filtering on, hostile off) over the faithful
+    fixture batch — end-to-end oracle check of quirks #1-#7."""
+    from .fixtures import BATCH_TIME, aircraft_df, includes_df
+    from .pipeline import control
+
+    flat = control(
+        aircraft_df(spark), includes_df(spark),
+        filtering=True, hostile_enabled=False, batch_time=BATCH_TIME,
+    )
+    return _cot_flat_select(flat)
+
+
+@register("cot_pipeline_nofilter", oracle=_cot_pipeline_sql(filtering=False, hostile=True))
+def cot_pipeline_nofilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline with ADSBX_INCLUDES_FILTERING=false and
+    ADSBX_EMERGENCY_HOSTILE=true (task.ts:241-249 pass-through branch +
+    task.ts:182-185 hostile gating)."""
+    from .fixtures import BATCH_TIME, aircraft_df, includes_df
+    from .pipeline import control
+
+    flat = control(
+        aircraft_df(spark), includes_df(spark),
+        filtering=False, hostile_enabled=True, batch_time=BATCH_TIME,
+    )
+    return _cot_flat_select(flat)

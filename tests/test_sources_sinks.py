@@ -1,0 +1,69 @@
+"""Schema-validated ingestion (R4: FAILFAST vs PERMISSIVE quarantine),
+HTTP micro-batch source with injected fetch, FeatureCollection sink."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_adsbx_spark.sinks import feature_collection_json, submit
+from etl_adsbx_spark.sources.files import parse_envelope, quarantine
+from etl_adsbx_spark.sources.http import build_url, fetch_batch
+
+GOOD = json.dumps(
+    {
+        "msg": "No error",
+        "ac": [
+            {"hex": "ae1", "type": "adsb_icao", "flight": "UAL1", "r": "N1",
+             "lat": 39.0, "lon": -104.0, "seen_pos": 1.0, "seen": 0.5},
+            {"hex": "ae2", "type": "adsb_icao", "r": "N2",
+             "lat": 40.0, "lon": -105.0, "seen_pos": 1.0, "seen": 0.5},
+        ],
+    }
+)
+BAD = '{"msg": "broken", "ac": "not-an-array"}'
+
+
+def test_parse_envelope_strict(spark):
+    raw = spark.createDataFrame([(GOOD,)], "value string")
+    rows = parse_envelope(raw, strict=True).collect()
+    assert [r["_idx"] for r in rows] == [0, 1]   # ingestion order preserved
+    assert rows[0]["r"] == "N1" and rows[1]["hex"] == "ae2"
+
+
+def test_parse_envelope_failfast_aborts(spark):
+    raw = spark.createDataFrame([(BAD,)], "value string")
+    with pytest.raises(Exception):
+        parse_envelope(raw, strict=True).collect()
+
+
+def test_permissive_quarantine(spark):
+    raw = spark.createDataFrame([(GOOD,), (BAD,)], "value string")
+    bad = quarantine(raw).collect()
+    assert len(bad) == 1 and "broken" in bad[0]["raw"]
+
+
+def test_http_fetch_batch_with_injected_fetch(spark):
+    url = build_url("https://example.invalid/v2", 39.0, -104.0, 250.0)
+    assert "/lat/39.0/lon/-104.0/dist/250.0/" in url    # geo pushdown (R2)
+    assert "cacheBuster=" in url                         # task.ts:122
+
+    df = fetch_batch(spark, url, token="t", fetch_fn=lambda u, tok: GOOD)
+    assert df.count() == 2
+
+
+def test_feature_collection_sink(spark):
+    from etl_adsbx_spark.fixtures import BATCH_TIME, aircraft_df, includes_df
+    from etl_adsbx_spark.pipeline import control, to_features
+
+    feats = to_features(
+        control(aircraft_df(spark), includes_df(spark), batch_time=BATCH_TIME)
+    )
+    doc = json.loads(feature_collection_json(feats))
+    assert doc["type"] == "FeatureCollection"
+    assert {f["id"] for f in doc["features"]} == {"n100aa", "n200hh"}
+
+    posts = []
+    n = submit(feats, posts.append)
+    assert n == 2 and len(posts) == 1

@@ -1,0 +1,134 @@
+"""Structured Streaming tests: foreachBatch pipeline, watermarked windows,
+cross-batch stateful dedup (SURVEY.md §2B streaming, §7 step 5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from etl_adsbx_spark.streaming.dedup import (
+    stateful_last_position,
+    streaming_dropdup,
+)
+from etl_adsbx_spark.streaming.windows import run_micro_batches, tumbling_agg
+
+TS = dt.datetime(2026, 1, 15, 12, 0, 0)
+
+OBS_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("lat", DoubleType(), True),
+        StructField("lon", DoubleType(), True),
+    ]
+)
+
+
+def _mem_stream(spark, rows):
+    """File-based micro-batch source: one JSON file per batch."""
+    d = tempfile.mkdtemp()
+    import json
+    import os
+
+    for i, batch in enumerate(rows):
+        with open(os.path.join(d, f"b{i}.json"), "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    return spark.readStream.schema(
+        "id string, ts timestamp, lat double, lon double"
+    ).option("maxFilesPerTrigger", 1).json(d)
+
+
+def test_foreachbatch_pipeline(spark):
+    batches = [
+        [{"id": "a", "ts": "2026-01-15 12:00:00", "lat": 1.0, "lon": 2.0}],
+        [{"id": "a", "ts": "2026-01-15 12:01:00", "lat": 3.0, "lon": 4.0},
+         {"id": "b", "ts": "2026-01-15 12:01:30", "lat": 5.0, "lon": 6.0}],
+    ]
+    seen = []
+
+    def batch_fn(df, batch_id):
+        seen.append((batch_id, df.count()))
+
+    q = run_micro_batches(
+        _mem_stream(spark, batches), batch_fn, tempfile.mkdtemp(), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert sum(n for _, n in seen) == 3
+    assert len(seen) >= 1  # availableNow may fuse files into fewer batches
+
+
+def test_streaming_dropdup_first_occurrence(spark):
+    batches = [
+        [{"id": "a", "ts": "2026-01-15 12:00:00", "lat": 1.0, "lon": 2.0},
+         {"id": "a", "ts": "2026-01-15 12:00:10", "lat": 9.0, "lon": 9.0}],
+        [{"id": "a", "ts": "2026-01-15 12:00:20", "lat": 7.0, "lon": 7.0},
+         {"id": "b", "ts": "2026-01-15 12:00:30", "lat": 5.0, "lon": 6.0}],
+    ]
+    out = []
+
+    def batch_fn(df, _):
+        out.extend(df.collect())
+
+    dedup = streaming_dropdup(_mem_stream(spark, batches), ["id"], "ts", "10 minutes")
+    q = dedup.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", tempfile.mkdtemp()
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    ids = sorted(r["id"] for r in out)
+    assert ids == ["a", "b"]  # duplicates across batches suppressed
+
+
+def test_stateful_last_position(spark):
+    batches = [
+        [{"id": "a", "ts": "2026-01-15 12:00:00", "lat": 1.0, "lon": 2.0}],
+        [{"id": "a", "ts": "2026-01-15 12:05:00", "lat": 3.0, "lon": 4.0},
+         {"id": "b", "ts": "2026-01-15 12:06:00", "lat": 5.0, "lon": 6.0}],
+    ]
+    results = {}
+
+    def batch_fn(df, _):
+        for r in df.collect():
+            results[r["id"]] = r
+
+    tracked = stateful_last_position(_mem_stream(spark, batches))
+    q = tracked.writeStream.foreachBatch(batch_fn).outputMode("update").option(
+        "checkpointLocation", tempfile.mkdtemp()
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert results["a"]["lat"] == 3.0        # latest position wins across batches
+    assert results["a"]["n_seen"] == 2       # cumulative count
+    assert results["b"]["n_seen"] == 1
+
+
+def test_streaming_tumbling_window_with_watermark(spark):
+    batches = [
+        [{"id": "a", "ts": "2026-01-15 12:01:00", "lat": 1.0, "lon": 2.0},
+         {"id": "b", "ts": "2026-01-15 12:14:00", "lat": 1.0, "lon": 2.0},
+         {"id": "c", "ts": "2026-01-15 12:21:00", "lat": 1.0, "lon": 2.0}],
+    ]
+    out = []
+
+    def batch_fn(df, _):
+        out.extend(df.collect())
+
+    win = tumbling_agg(
+        _mem_stream(spark, batches), "ts", "10 minutes", [],
+        [F.count("*").alias("n")], watermark="1 hour",
+    )
+    q = win.writeStream.foreachBatch(batch_fn).outputMode("update").option(
+        "checkpointLocation", tempfile.mkdtemp()
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {r["window_start"].strftime("%H:%M"): r["n"] for r in out}
+    assert got == {"12:00": 1, "12:10": 1, "12:20": 1}
