@@ -50,6 +50,20 @@ def first_wins(df: DataFrame, keys: list[str] | str, order_col: str | Column) ->
 # [EXT] Text-corpus dedup (documents table; BASELINE.json north star)
 # ---------------------------------------------------------------------------
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism iff the
+    input has fewer partitions. CPU-bound per-row stages (shingling,
+    hashing, signature computation) over a small file count would otherwise
+    run on as few tasks as there are input splits; the extra exchange ships
+    only the raw input rows once and is reused by Spark's ReuseExchange
+    when the subplan appears on both sides of a self-join."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def normalized_text(col: Column | str = "text") -> Column:
     """Canonical text for exact dedup: lowercase, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col
@@ -80,19 +94,45 @@ def word_shingles(col: Column | str = "text", n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """Portable MinHash signature: for seed s, min over shingles of
-    md5(s || shingle) — lexicographic min of hex digests is a valid
-    min-wise hash, and md5 is identical in Spark and DuckDB, which makes
-    the signature oracle-checkable (SURVEY.md §7 hard-point 6).
-    Returns array<string> of length ``num_hashes``."""
-    # NB: capture the seed via a closure factory — a default-arg lambda
+#: Mersenne prime 2^61-1 — modulus of the universal hash family. With
+#: base hashes < 2^32 and multipliers < 2^29, a*h + b < 2^62 stays inside
+#: a signed 64-bit integer on both Spark and DuckDB.
+MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) multiplier/offset pairs for the universal hash
+    family h_s(x) = (a_s·x + b_s) mod (2^61−1). Derived from a fixed LCG so
+    Spark and the DuckDB oracle can embed identical literals."""
+    params: list[tuple[int, int]] = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = ((x >> 33) & ((1 << 29) - 1)) | 1  # odd, < 2^29
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % MERSENNE61
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature over an array of pre-hashed shingles (bigint in
+    [0, 2^32), from ``token_hash32``): for each seed, min over the array of
+    (a·h + b) mod (2^61−1). Integer-only, so the 16 passes are cheap; the
+    single md5 pass lives in the *caller's* projection and is evaluated
+    once (passing raw shingles here would inline the md5 transform into
+    every seed's expression — 16× the hashing work, SURVEY.md §7
+    hard-point 6). Returns array<bigint> of length ``num_hashes``."""
+    # NB: capture constants via a closure factory — a default-arg lambda
     # (lambda t, s=s: ...) is seen by PySpark as a 2-arg (elem, index) HOF
     # lambda and silently receives the array index instead of the seed.
-    def seeded(s: int):
-        return lambda t: F.md5(F.concat(F.lit(f"{s}:"), t))
+    def mixed(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)
 
-    sigs = [F.array_min(F.transform(shingles, seeded(s))) for s in range(num_hashes)]
+    sigs = [
+        F.array_min(F.transform(hashes, mixed(a, b)))
+        for a, b in minhash_params(num_hashes)
+    ]
     return F.array(*sigs)
 
 
@@ -112,9 +152,20 @@ def minhash_lsh_pairs(
     small, and AQE splits skewed buckets. Returns (a_id, b_id).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Stage 1 (the only md5 pass): shingle + hash each shingle to a 32-bit
+    # int. Materialized as its own projection so stage 2's 16 seed minima
+    # reference it instead of re-evaluating it (CollapseProject keeps
+    # non-cheap multi-referenced aliases un-inlined). The input is
+    # round-robin repartitioned first: shingling+hashing is CPU-bound per
+    # row, and a small source (one parquet file) would otherwise pin the
+    # whole pass to a single task.
+    df = spread_for_cpu(df)
+    hashed = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+        F.transform(word_shingles(text_col, shingle_n), token_hash32).alias("_h"),
+    )
+    sig = hashed.select(
+        "_id", minhash_signature(F.col("_h"), num_hashes).alias("_sig")
     )
     banded = sig.select(
         "_id",
@@ -125,7 +176,11 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                "|", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                                "|",
+                                F.transform(
+                                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda v: v.cast("string"),
+                                ),
                             )
                         ).alias("bucket"),
                     )
@@ -163,7 +218,7 @@ def ngram_jaccard_pairs(
     approximation of it. Shuffles: one explode+distinct agg, one shingle
     equi-join, one pair agg. Returns (a_id, b_id, jaccard).
     """
-    sh = df.select(
+    sh = spread_for_cpu(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
     )
@@ -193,15 +248,15 @@ def token_hash32(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
 
 
-def simhash32(col: Column | str = "text") -> Column:
-    """32-bit SimHash over distinct whitespace tokens using md5-derived bit
-    vectors: signature bit i is 1 iff sum over tokens of (bit_i ? +1 : -1)
-    is > 0. Deterministic and portable (md5 + `>>`/`&` exist in both Spark
-    and DuckDB, so this is oracle-checkable). Returns bigint in [0, 2^32).
+def simhash32(hashes: Column) -> Column:
+    """32-bit SimHash over an array of pre-hashed tokens (bigint in
+    [0, 2^32), from ``token_hash32``): signature bit i is 1 iff sum over
+    tokens of (bit_i ? +1 : -1) is > 0. Deterministic and portable (md5 +
+    `>>`/`&` exist in both Spark and DuckDB, so this is oracle-checkable).
+    Takes the *hashed* array — this expression references it 32 times, so
+    the md5 pass must be materialized in the caller's projection (same
+    inlining hazard as ``minhash_signature``). Returns bigint in [0, 2^32).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+"))
-    hashes = F.transform(toks, token_hash32)
 
     def bit_weight(i: int):
         # closure factory, NOT a default-arg lambda (see minhash note)
@@ -214,3 +269,16 @@ def simhash32(col: Column | str = "text") -> Column:
         weight = F.aggregate(hashes, F.lit(0).cast("long"), bit_weight(i))
         sig = sig + F.when(weight > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
     return sig
+
+
+def simhash_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document 32-bit SimHash: one md5 pass over distinct whitespace
+    tokens (own projection), then the 32 interpreted bit-sum passes over
+    the cached hash array. Returns (id_col, simhash)."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    hashed = spread_for_cpu(df).select(
+        F.col(id_col), F.transform(toks, token_hash32).alias("_th")
+    )
+    return hashed.select(F.col(id_col), simhash32(F.col("_th")).alias("simhash"))

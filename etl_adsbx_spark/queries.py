@@ -33,16 +33,24 @@ from .functions.scalar import coalesce_falsy_str, haversine_km
 from .operators import similarity
 from .operators.agg import topk_per_group
 from .operators.dedup import (
+    MERSENNE61,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_params,
     ngram_jaccard_pairs,
-    simhash32,
+    simhash_docs as simhash_docs_op,
 )
 from .operators.joins import asof_join, bucketed_range_join
 from .tables import load_table
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLE: dict[str, str] = {}
+
+#: (s, a, b) VALUES rows for the DuckDB minhash oracle — same deterministic
+#: universal-hash constants the Spark side uses (operators.dedup).
+_MINHASH_SEED_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(minhash_params(16))
+)
 
 
 def register(name: str, oracle: str | None = None):
@@ -802,7 +810,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_pairs",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -813,15 +821,20 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       FROM toks WHERE len(t) >= 3
     ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h
+      FROM sh
+    ),
     mh AS (
-      SELECT doc_id, s, MIN(md5(s || ':' || shingle)) AS minh
-      FROM sh, range(0, 16) seeds(s)
+      SELECT doc_id, s, MIN((a * h + b) % {MERSENNE61}) AS minh
+      FROM hashed, (VALUES {_MINHASH_SEED_VALUES}) seeds(s, a, b)
       GROUP BY doc_id, s
     ),
     sig AS (SELECT doc_id, list(minh ORDER BY s) AS sg FROM mh GROUP BY doc_id),
     banded AS (
       SELECT doc_id, b,
-             md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), '|')) AS bucket
+             md5(array_to_string(list_transform(
+                 list_slice(sg, b*4 + 1, b*4 + 4), x -> x::VARCHAR), '|')) AS bucket
       FROM sig, range(0, 4) bands(b)
     )
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -897,7 +910,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document (portable md5-derived bit
     vectors — fully oracle-checked)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash32("text").alias("simhash"))
+    return simhash_docs_op(d, "text", "doc_id")
 
 
 # =========================================================================
