@@ -8,12 +8,13 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine
 from ..operators.agg import topk_per_group
-from ..operators.dedup import token_hash32
 
 
 def cosine_topk(
@@ -44,30 +45,75 @@ def cosine_topk(
     return topk_per_group(scored, ["query_id"], F.struct("cosine_sim", "neighbor_id"), k)
 
 
-def hyperplane_signature(vec_col, nbits: int = 8, dim: int = 64):
-    """Deterministic pseudo-random hyperplane signature: plane p component
-    j has weight ±1 from the portable md5-derived bit of token 'p:j'. The
-    signature bit p is 1 iff Σ_j w_pj·v_j > 0. Returns int in [0, 2^nbits).
-    Portable to SQL (same md5 construction as dedup.token_hash32)."""
+def hyperplane_weights(nbits: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1.0 weight per (plane p, component j): bit 0 of the
+    32-bit int from the first 8 hex chars of md5('p:j') — the same
+    construction as ``dedup.token_hash32``, evaluated driver-side with
+    hashlib (byte-identical to SQL md5). Precomputing makes the weights
+    plan-time literals: the previous formulation evaluated an md5 per
+    (row, plane, component) at runtime, and literal weights are what lets
+    the DuckDB oracle embed the identical arrays."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8], 16) & 1 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(nbits)
+    ]
+
+
+def hyperplane_signature(vec_col, nbits: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane signature: bit p is 1 iff round(Σ_j w_pj·v_j, 6)
+    > 0 (rounded so a 1-ulp accumulation difference between engines cannot
+    flip a bit). Returns int in [0, 2^nbits)."""
     v = as_double(vec_col)
-
-    def plane_sign(p: int):
-        # closure factory, NOT a default-arg lambda (PySpark counts default
-        # args as extra HOF lambda parameters)
-        return lambda x, j: F.when(
-            token_hash32(F.concat(F.lit(f"{p}:"), j.cast("string"))).bitwiseAND(F.lit(1)) == 1,
-            x,
-        ).otherwise(-x)
-
     sig = F.lit(0)
-    for p in range(nbits):
+    for p, w in enumerate(hyperplane_weights(nbits, dim)):
         proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), plane_sign(p)),
+            F.zip_with(v, F.array(*[F.lit(x) for x in w]), lambda x, wj: x * wj),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sig = sig + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        sig = sig + F.when(F.round(proj, 6) > 0, F.lit(2**p)).otherwise(F.lit(0))
     return sig
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    nbits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: block by a coarse
+    ``nbits``-plane hyperplane signature (equi-join on the bucket), then
+    verify candidates with exact cosine ≥ ``threshold``.
+
+    The blocking is the scale lever: the all-pairs O(n²) comparison becomes
+    an equi-join with ~n²/2^nbits candidate pairs, at the cost of recall
+    (two near-dups land in different buckets with probability
+    1−(1−θ/π)^nbits). Exact-verify keeps precision = 1. Output
+    (a_id, b_id, cosine_sim)."""
+    sig = embeddings.select(
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("_v"),
+        hyperplane_signature(F.col(vec_col), nbits, dim).alias("_sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn("cosine_sim", F.round(cosine(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            "cosine_sim",
+        )
+    )
 
 
 def lsh_ann_topk(

@@ -1338,3 +1338,253 @@ def cot_pipeline_nofilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtering=False, hostile_enabled=True, batch_time=BATCH_TIME,
     )
     return _cot_flat_select(flat)
+
+
+# =========================================================================
+# Round-1 widening: cube/grouping-sets, pivot, map fns, lag/lead,
+# collect aggs, approx-distinct, embedding near-dup, LSH-ANN oracle
+# =========================================================================
+
+def _hyperplane_sig_sql(vec_expr: str, nbits: int, dim: int) -> str:
+    """DuckDB expression for operators.similarity.hyperplane_signature:
+    the same literal ±1 weight arrays (driver-side md5) as the Spark side,
+    combined with list_inner_product. round(·, 6) on both engines keeps a
+    1-ulp accumulation difference from flipping a sign bit."""
+    from .operators.similarity import hyperplane_weights
+
+    parts = []
+    for p, w in enumerate(hyperplane_weights(nbits, dim)):
+        arr = "[" + ",".join(repr(x) for x in w) + "]"
+        parts.append(
+            f"(CASE WHEN round(list_inner_product({vec_expr}, {arr}::DOUBLE[]), 6) > 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+_ORACLE["lsh_ann_topk"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, {_hyperplane_sig_sql('v', 8, 64)} AS sig, v FROM e),
+    q AS (SELECT vec_id AS query_id, sig, v AS qv FROM s WHERE vec_id < 10),
+    cand AS (
+      SELECT query_id, c.vec_id AS neighbor_id, qv, c.v AS cv
+      FROM q JOIN s c ON q.sig = c.sig AND c.vec_id != query_id
+    ),
+    dots AS (
+      SELECT query_id, neighbor_id,
+        SUM(qv[i] * cv[i]) AS dp,
+        SUM(qv[i] * qv[i]) AS qn,
+        SUM(cv[i] * cv[i]) AS cn
+      FROM cand, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dp / (sqrt(qn) * sqrt(cn)), 6) AS cosine_sim
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id DESC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, {_hyperplane_sig_sql('v', 4, 64)} AS sig, v FROM e),
+    cand AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.v AS av, b.v AS bv
+      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT a_id, b_id,
+        SUM(av[i] * bv[i]) AS dp,
+        SUM(av[i] * av[i]) AS an,
+        SUM(bv[i] * bv[i]) AS bn
+      FROM cand, range(1, 65) r(i)
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, round(dp / (sqrt(an) * sqrt(bn)), 6) AS cosine_sim
+    FROM dots
+    WHERE round(dp / (sqrt(an) * sqrt(bn)), 6) >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Embedding-cosine near-dup pairs: 4-bit hyperplane blocking →
+    exact-cosine verify ≥ 0.3 (operators.similarity.embedding_neardup_pairs).
+    Blocking turns O(n²) into a bucket equi-join — the 100-TB shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.3, nbits=4)
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over orders: all 4 grouping-set combinations in one pass —
+    Spark expands to a union of partial aggregations behind one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.count("*").alias("n_orders"),
+            dsum(dec2("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()) via the
+    DataFrame groupingSets API (Spark 4)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "pivot_agg",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on order status with an explicit value list (no extra pass to
+    discover values — required at scale) → one hash-agg shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(dec2("o_totalprice")))
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT n_regionkey,
+             map_from_entries(list({'key': n_name, 'value': n_nationkey}
+                                   ORDER BY n_name)) AS nmap
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey,
+           list_sort(map_keys(nmap)) AS nations,
+           CAST(len(map_keys(nmap)) AS BIGINT) AS n_nations,
+           nmap[list_sort(map_keys(nmap))[1]][1] AS first_key_val
+    FROM m
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: build name→key maps per region from entry
+    structs, then map_keys / size / element_at lookups. (The map itself is
+    never emitted — engines order map entries differently; its *lookups*
+    are deterministic.)"""
+    n = load_table(spark, sf_dir, "nation")
+    m = n.groupBy("n_regionkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("n_name", "n_nationkey")))
+        ).alias("nmap")
+    )
+    keys = F.array_sort(F.map_keys(F.col("nmap")))
+    return m.select(
+        "n_regionkey",
+        keys.alias("nations"),
+        F.size(F.map_keys(F.col("nmap"))).cast("bigint").alias("n_nations"),
+        F.element_at(F.col("nmap"), F.element_at(keys, 1)).alias("first_key_val"),
+    )
+
+
+@register(
+    "lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+      lag(value)  OVER w AS prev_value,
+      lead(value) OVER w AS next_value,
+      value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event-time order (unique event_id tiebreak).
+    Double subtraction is exact-deterministic, so delta needs no rounding."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "collect_agg",
+    oracle="""
+    SELECT event_type,
+      list_sort(list(DISTINCT user_id)) AS users,
+      CAST(len(list(DISTINCT user_id)) AS BIGINT) AS n_users,
+      COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort (order-insensitive list agg — the deterministic
+    form of the reference's FeatureCollection assembly, task.ts:252-255)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.array_sort(F.collect_set("user_id")).alias("users"),
+        F.size(F.collect_set("user_id")).cast("bigint").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register("approx_distinct")  # HLL sketch ≠ DuckDB's approx sketch — rows-only check
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100-TB cardinality path —
+    constant memory vs count(DISTINCT)'s full shuffle of distinct values.
+    Sketch values are engine-specific, so no value oracle; tests/ bound its
+    relative error against the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )

@@ -23,6 +23,16 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_cell(v):
+    # array-valued cells: Spark yields numpy arrays / lists, DuckDB yields
+    # numpy arrays — canonicalize both to tuples so == is a scalar bool
+    if isinstance(v, np.ndarray):
+        return tuple(_canon_cell(x) for x in v.tolist())
+    if isinstance(v, list):
+        return tuple(_canon_cell(x) for x in v)
+    return v
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
@@ -32,6 +42,8 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = pdf[c].astype("float64")
         elif pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("int64")
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(_canon_cell)
     if len(pdf):
         pdf = pdf.sort_values(
             by=list(pdf.columns), key=lambda col: col.astype(str), na_position="last"
