@@ -40,9 +40,16 @@ OPTIONAL = [
     "exact_dedup_docs",
     "minhash_pairs",
     "ngram_jaccard_pairs",
+    "simhash_docs",
+    "embedding_neardup",
     "cosine_topk",
+    "lsh_ann_topk",
     "text_stats",
     "tfidf_top_terms",
+    "cube_agg",
+    "pivot_agg",
+    "lag_lead",
+    "media_frames",
 ]
 
 

@@ -104,3 +104,82 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_bytes_out", LongType(), False),
+        StructField("resized_sha", StringType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 1024) -> DataFrame:
+    """mapInPandas resize. The kernel is a stub — a real deployment plugs
+    Pillow's `Image.resize` here; for synthetic octet-stream payloads the
+    deterministic fake is prefix-truncation to ``target_bytes`` (a
+    'thumbnail' is a smaller deterministic function of the payload). Real
+    media mime types raise (no codec libs in this container)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                decode_media(p, m)[:target_bytes]
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes_out": [len(r) for r in resized],
+                    "resized_sha": [hashlib.sha256(r).hexdigest() for r in resized],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_frame_bytes", LongType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 2
+) -> DataFrame:
+    """mapInPandas frame sampling (1 input row → many frame rows — the
+    UDTF-shaped fan-out a video pipeline needs). Kernel stub: a 'frame' is
+    the i-th ``frame_bytes`` chunk of the decoded payload; keep every
+    ``every_n``-th. A real deployment plugs ffmpeg keyframe extraction
+    here. Output partitioning follows the input — at 100 TB size input
+    partitions by payload bytes (maxPartitionBytes), and the fan-out stays
+    within-partition (no shuffle)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "n_frame_bytes": [],
+                "frame_md5": [],
+            }
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                d = decode_media(p, m)
+                for i in range(0, (len(d) + frame_bytes - 1) // frame_bytes, every_n):
+                    chunk = d[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["n_frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -13,7 +13,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine
+from ..functions.vector import as_double, dot, norm
 from ..operators.agg import topk_per_group
 
 
@@ -32,14 +32,19 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
-        .drop("_qv", "_cv")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
     )
     # rank by cosine desc, tie-break neighbor_id desc (oracle mirrors this)
     return topk_per_group(scored, ["query_id"], F.struct("cosine_sim", "neighbor_id"), k)
@@ -95,18 +100,26 @@ def embedding_neardup_pairs(
     (two near-dups land in different buckets with probability
     1−(1−θ/π)^nbits). Exact-verify keeps precision = 1. Output
     (a_id, b_id, cosine_sim)."""
+    # norms precomputed per side: cosine = dot/(norm_a·norm_b) evaluates
+    # one O(dim) fold per candidate pair instead of three (same FP result —
+    # sqrt(Σa²)·sqrt(Σb²) is the exact expression cosine() uses per pair)
     sig = embeddings.select(
         F.col(id_col).alias("_id"),
         as_double(vec_col).alias("_v"),
         hyperplane_signature(F.col(vec_col), nbits, dim).alias("_sig"),
-    )
+    ).withColumn("_n", norm(F.col("_v")))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
             b,
             (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
         )
-        .withColumn("cosine_sim", F.round(cosine(F.col("a._v"), F.col("b._v")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")), 6
+            ),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select(
             F.col("a._id").alias("a_id"),
@@ -132,12 +145,19 @@ def lsh_ann_topk(
         F.col(id_col).alias(name),
         as_double(vec_col).alias(f"_{name}_v"),
         hyperplane_signature(F.col(vec_col), nbits, dim).alias("_sig"),
-    )
+    ).withColumn(f"_{name}_n", norm(F.col(f"_{name}_v")))
     q = sig(queries, "query_id")
     c = sig(embeddings, "neighbor_id")
     scored = (
         c.join(F.broadcast(q), (q["_sig"] == c["_sig"]) & (F.col("query_id") != F.col("neighbor_id")))
-        .withColumn("cosine_sim", F.round(cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+                / (F.col("_query_id_n") * F.col("_neighbor_id_n")),
+                6,
+            ),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return topk_per_group(scored, ["query_id"], F.struct("cosine_sim", "neighbor_id"), k)

@@ -1588,3 +1588,54 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
     )
+
+
+@register(
+    "media_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS mime,
+           CAST(least(octet_length(encode(text)), 1024) AS BIGINT) AS n_bytes_out,
+           sha256(substring(text, 1, 1024)) AS resized_sha
+    FROM documents
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Multimodal resize plumbing (operators.multimodal.resize_media):
+    mapInPandas over binary payloads, stub kernel = prefix truncation.
+    Oracle substrings VARCHAR, valid because the synthetic corpus is ASCII
+    (byte == character — the feat_mean oracle already relies on this)."""
+    from .operators.multimodal import documents_as_media, resize_media
+
+    d = load_table(spark, sf_dir, "documents")
+    return resize_media(documents_as_media(d), target_bytes=1024)
+
+
+@register(
+    "media_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents),
+    f AS (
+      SELECT media_id, text,
+             unnest(generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS frame_idx
+      FROM m
+    ),
+    c AS (
+      SELECT media_id, frame_idx,
+             substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256) AS chunk
+      FROM f WHERE frame_idx % 2 = 0
+    )
+    SELECT media_id, frame_idx,
+           CAST(octet_length(encode(chunk)) AS BIGINT) AS n_frame_bytes,
+           md5(chunk) AS frame_md5
+    FROM c
+    """,
+)
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Frame sampling (operators.multimodal.sample_frames): 1 row →
+    N frame rows via mapInPandas, every-2nd 256-byte chunk. The UDTF-shaped
+    fan-out of a video pipeline with the codec stubbed out."""
+    from .operators.multimodal import documents_as_media, sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(d), frame_bytes=256, every_n=2)

@@ -44,3 +44,33 @@ def test_decode_media_stub_raises_for_real_media():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
     assert decode_media(b"abc", "application/octet-stream") == b"abc"
+
+
+def test_resize_media_truncates_and_hashes(spark):
+    import hashlib
+
+    from etl_adsbx_spark.operators.multimodal import resize_media
+
+    d = load_table(spark, SF, "documents").limit(10)
+    src = {r["doc_id"]: r["text"] for r in d.collect()}
+    out = resize_media(documents_as_media(d), target_bytes=64).collect()
+    assert len(out) == 10
+    for r in out:
+        raw = src[r["media_id"]].encode()[:64]
+        assert r["n_bytes_out"] == len(raw)
+        assert r["resized_sha"] == hashlib.sha256(raw).hexdigest()
+
+
+def test_sample_frames_fanout(spark):
+    from etl_adsbx_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, SF, "documents").limit(10)
+    src = {r["doc_id"]: r["text"].encode() for r in d.collect()}
+    out = sample_frames(documents_as_media(d), frame_bytes=16, every_n=2).collect()
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, frames in by_media.items():
+        n_chunks = (len(src[mid]) + 15) // 16
+        assert len(frames) == (n_chunks + 1) // 2  # every 2nd chunk
+        assert all(f.frame_idx % 2 == 0 for f in frames)
