@@ -1639,3 +1639,135 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(documents_as_media(d), frame_bytes=256, every_n=2)
+
+
+@register(
+    "sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '3 hours', ts),
+                     time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours'])
+               AS window_start
+      FROM events
+    )
+    SELECT window_start, window_start + INTERVAL '6 hours' AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM starts
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (width 6h, slide 3h) — each row lands in
+    2 windows; Spark's window() generator expands them before one hash-agg
+    (streaming.windows.sliding_agg, watermark-ready on a stream)."""
+    from .streaming.windows import sliding_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return sliding_agg(
+        e, "ts", "6 hours", "3 hours", ["event_type"],
+        [F.count("*").alias("n"), dsum(dec2("value")).alias("sum_value")],
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with a join-side predicate (NOT a
+    post-filter — null-extended rows survive), two stacked aggs. The outer
+    join shuffles on custkey; the second agg reuses nothing (tiny domain)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 4) AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity),
+    decorrelated the way Catalyst would — compute the per-part aggregate
+    once and join it back, instead of re-scanning lineitem per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(part_avg, li["l_partkey"] == part_avg["_pk"])
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(dsum(dec2("l_extendedprice")) / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over an aggregate = semi-join against a
+    HAVING-filtered agg; the hot-key orderkey list is small → broadcast
+    semi-join, then the main 3-way join + agg + total-order top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(dec2("l_quantity")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
