@@ -34,6 +34,10 @@ HEADLINE = [
     "range_join_events",
     "topk_per_group",
     "haversine_geo",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "sliding_window",
 ]
 # [EXT] queries register later in the round; include any that exist
 OPTIONAL = [
