@@ -1771,3 +1771,128 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "stats_agg",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS syy,
+        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      round(sx / n, 6) AS mean_qty,
+      round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+      round((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean/stddev/corr) computed from *exact
+    decimal* power sums, finished in double — built-in stddev/corr use
+    engine-specific accumulation (Welford vs two-pass) whose results
+    differ in the last ulps; sums of decimals are exact in both engines,
+    and the identical double expressions over them are bit-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(dec2("l_quantity")).alias("sx"),
+        dsum(dec2("l_quantity") * dec2("l_quantity")).alias("sxx"),
+        dsum(dec2("l_extendedprice")).alias("sy"),
+        dsum(dec2("l_extendedprice") * dec2("l_extendedprice"), 4).alias("syy"),
+        dsum(dec2("l_quantity") * dec2("l_extendedprice"), 4).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "percentile_agg",
+    oracle="""
+    SELECT o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+      round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). The exact form needs a per-group sort — the 100-TB
+    path is approx_percentile (t-digest sketch, map-side mergeable), which
+    is engine-specific and therefore not the oracle-checked variant."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95_price"),
+    )
+
+
+@register(
+    "histogram_bins",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic binning (floor/least) — a
+    single hash-agg over a computed key; the 20-bin cap keeps the key
+    domain tiny so partial aggregation collapses almost everything
+    map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("bigint")
+    return o.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, kind, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size_val,
+             CAST(p_retailprice AS DOUBLE) AS price_val
+      FROM part
+    )
+    UNPIVOT (val FOR kind IN (size_val, price_val))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt): the inverse of pivot_agg. Spark rewrites
+    to an Expand node — each input row emits one row per value column, no
+    shuffle at all."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size_val"),
+            F.col("p_retailprice").cast("double").alias("price_val"),
+        )
+        .unpivot("p_partkey", ["size_val", "price_val"], "kind", "val")
+    )
