@@ -1896,3 +1896,59 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot("p_partkey", ["size_val", "price_val"], "kind", "val")
     )
+
+
+@register(
+    "salted_skew_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the 5 hot event types
+    (operators.skew.salted_agg): phase 1 shuffles on (key, salt) so each
+    hot key spreads over 16 reducers; phase 2 merges 5×16 partial rows.
+    Exact — the oracle is the plain unsalted GROUP BY."""
+    from .operators.skew import salted_agg as salted
+
+    e = load_table(spark, sf_dir, "events")
+    return salted(
+        e,
+        ["event_type"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "sum_value": (F.sum(dec2("value")), dsum(F.col("sum_value"))),
+            "max_value": (F.max(dec2("value")), F.max("max_value").cast("double")),
+        },
+        unique_col="event_id",
+        buckets=16,
+    )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    WITH dim(event_type, type_rank) AS (
+      VALUES ('click', 1), ('view', 2), ('purchase', 3), ('signup', 4), ('error', 5)
+    )
+    SELECT e.event_id, e.event_type, d.type_rank
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-salt join of the hot-keyed events fact against a 5-row
+    dim (operators.skew.salted_join): dim replicated 16x, join key becomes
+    (event_type, salt). Identical result to the plain join (the oracle)."""
+    from .operators.skew import salted_join as sjoin
+
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        "event_type string, type_rank int",
+    )
+    return sjoin(e, dim, "event_type", unique_col="event_id", buckets=16).select(
+        "event_id", "event_type", "type_rank"
+    )

@@ -1,0 +1,110 @@
+"""Scale techniques: bucketed co-located joins (shuffle elimination) and
+salted skew handling (exactness under different bucket counts).
+
+These are the 100-TB levers SURVEY.md §2B/§4 calls out; the tests pin the
+*mechanism* (plan shape), not just the values.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_adsbx_spark.operators.skew import salted_agg, salted_join
+from etl_adsbx_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Writing both join sides bucketed+sorted on the key lets the
+    sort-merge join read co-located buckets directly: the executed plan
+    must contain no Exchange (shuffle) at all."""
+    warehouse = str(tmp_path / "wh")  # external-table paths; static warehouse conf untouched
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    (
+        orders.write.format("parquet").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{warehouse}/orders_b").mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.write.format("parquet").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{warehouse}/lineitem_b").mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+            joined = ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"]).groupBy(
+                "o_orderstatus"
+            ).agg(F.count("*").alias("n"))
+            n_joined = {r["o_orderstatus"]: r["n"] for r in joined.collect()}
+            # correctness vs the plain (shuffled) join
+            plain = orders.join(
+                lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+            ).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+            assert n_joined == {r["o_orderstatus"]: r["n"] for r in plain.collect()}
+            # mechanism: the join itself reads co-located buckets — no
+            # shuffle below the join (the groupBy above it still shuffles)
+            join_df = ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+            join_df.collect()
+            plan = _physical_plan(join_df)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+@pytest.mark.parametrize("buckets", [1, 4, 32])
+def test_salted_agg_invariant_to_bucket_count(spark, buckets):
+    e = load_table(spark, SF, "events")
+    plain = {
+        (r["event_type"],): (r["n"], r["s"])
+        for r in e.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(12,2)")).alias("s"))
+        .collect()
+    }
+    salted = salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "s": (
+                F.sum(F.col("value").cast("decimal(12,2)")),
+                F.sum("s"),
+            ),
+        },
+        unique_col="event_id",
+        buckets=buckets,
+    )
+    got = {(r["event_type"],): (r["n"], r["s"]) for r in salted.collect()}
+    assert got == plain
+
+
+def test_salted_join_equals_plain_join(spark):
+    e = load_table(spark, SF, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        "event_type string, type_rank int",
+    )
+    plain = set(
+        (r["event_id"], r["type_rank"])
+        for r in e.join(dim, "event_type").select("event_id", "type_rank").collect()
+    )
+    got = set(
+        (r["event_id"], r["type_rank"])
+        for r in salted_join(e, dim, "event_type", unique_col="event_id", buckets=8)
+        .select("event_id", "type_rank")
+        .collect()
+    )
+    assert got == plain
