@@ -1952,3 +1952,62 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sjoin(e, dim, "event_type", unique_col="event_id", buckets=16).select(
         "event_id", "event_type", "type_rank"
     )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(rank()         OVER w AS BIGINT) AS rnk,
+      CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+      CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+      round(percent_rank() OVER w, 6) AS pct_rank,
+      round(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank family over a total order (unique orderkey tiebreak):
+    rank, dense_rank, ntile, percent_rank, cume_dist — one in-partition
+    sort serves all five."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        PARTITION BY o_orderstatus ORDER BY o_totalprice
+        RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
+      CAST(COUNT(*) OVER (
+        PARTITION BY o_orderstatus ORDER BY o_totalprice
+        RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_n
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (all orders within $10k below the current
+    price): the frame is defined by the ORDER BY value, not row offsets.
+    Decimal sum keeps the frame aggregate exact on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("near_sum"),
+        F.count("*").over(w).cast("bigint").alias("near_n"),
+    )
