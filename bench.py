@@ -48,6 +48,7 @@ OPTIONAL = [
     "embedding_neardup",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "text_stats",
     "tfidf_top_terms",
     "cube_agg",

@@ -83,6 +83,89 @@ def hyperplane_signature(vec_col, nbits: int = 8, dim: int = 64) -> Column:
     return sig
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    out_id: str,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (broadcast the
+    centroid table, argmax via max_by over the rounded similarity with a
+    centroid-id tiebreak). Output: (out_id, _v, _n, _cid)."""
+    v = vectors.select(
+        F.col(id_col).alias(out_id), F.col("_v"), F.col("_n")
+    )
+    c = centroids.select(
+        F.col("_cent_id"), F.col("_cv"), F.col("_cn")
+    )
+    sim = F.round(dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6)
+    return (
+        v.join(F.broadcast(c))
+        .groupBy(out_id)
+        .agg(
+            F.first("_v").alias("_v"),
+            F.first("_n").alias("_n"),
+            F.max_by(F.col("_cent_id"), F.struct(sim.alias("s"), F.col("_cent_id"))).alias(
+                "_cid"
+            ),
+        )
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists, search only the query's own list
+    (single-probe). The coarse quantizer is deliberately deterministic —
+    the centroids are the ``n_centroids`` lowest-id vectors — instead of
+    k-means: same operator shape and scale behavior (assignment is a
+    broadcast argmax join; search is an equi-join on the list id), but
+    reproducible and therefore fully oracle-checkable. A production build
+    swaps in sampled k-means centroids without touching the plan shape.
+    Output schema matches ``cosine_topk``; recall < 1 by construction."""
+    base = embeddings.select(
+        F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    cents = (
+        base.orderBy("_bid")
+        .limit(n_centroids)
+        .select(
+            F.col("_bid").alias("_cent_id"),
+            F.col("_v").alias("_cv"),
+            F.col("_n").alias("_cn"),
+        )
+    )
+    corpus = ivf_assign(
+        base.withColumnRenamed("_bid", id_col), cents, id_col, "neighbor_id"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("_qid"), as_double(vec_col).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    qs = ivf_assign(qv.withColumnRenamed("_qid", id_col), cents, id_col, "query_id")
+    scored = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(qs.alias("q")),
+            (F.col("q._cid") == F.col("c._cid"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("q._v"), F.col("c._v")) / (F.col("q._n") * F.col("c._n")), 6
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    return topk_per_group(scored, ["query_id"], F.struct("cosine_sim", "neighbor_id"), k)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,

@@ -2011,3 +2011,60 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("o_totalprice")).over(w).cast("double").alias("near_sum"),
         F.count("*").over(w).cast("bigint").alias("near_n"),
     )
+
+
+@register(
+    "ivf_ann_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8
+    ),
+    sims AS (
+      SELECT e.vec_id, cents.cent_id,
+        round(SUM(e.v[i] * cents.cv[i])
+              / (sqrt(SUM(e.v[i] * e.v[i])) * sqrt(SUM(cents.cv[i] * cents.cv[i]))), 6) AS s
+      FROM e, cents, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cid FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id DESC) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10),
+    cand AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id
+      FROM q JOIN assign c ON q.cid = c.cid AND c.vec_id != q.query_id
+    ),
+    dots AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        SUM(qe.v[i] * ce.v[i]) AS dp,
+        SUM(qe.v[i] * qe.v[i]) AS qn,
+        SUM(ce.v[i] * ce.v[i]) AS cn
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+      CROSS JOIN range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dp / (sqrt(qn) * sqrt(cn)), 6) AS cosine_sim
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id DESC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF-flat ANN (single-probe, deterministic first-K coarse
+    quantizer — see operators.similarity.ivf_ann_topk): the inverted-list
+    counterpart to the hyperplane-LSH scale path, fully oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8)
