@@ -2068,3 +2068,59 @@ def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart to the hyperplane-LSH scale path, fully oracle-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8)
+
+
+@register(
+    "fuzzy_levenshtein",
+    oracle="""
+    SELECT a.n_name AS a_name, b.n_name AS b_name,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 6
+    """,
+)
+def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: edit-distance self-join on nation names with
+    a distance cap. At 100 TB a raw theta-join is O(n²) — the scale path
+    prefixes it with a cheap blocker (length band / first-char / q-gram
+    bucket) exactly like the MinHash→verify pattern; the verify kernel is
+    this built-in levenshtein."""
+    n = load_table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .withColumn("edit_dist", F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).cast("bigint"))
+        .filter(F.col("edit_dist") <= 6)
+        .select(F.col("a.n_name").alias("a_name"), F.col("b.n_name").alias("b_name"), "edit_dist")
+    )
+
+
+@register(
+    "array_hof",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+      CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+      round(list_sum(list_transform(v, x -> abs(x))), 6) AS l1_norm,
+      round(list_max(v), 6) AS max_comp,
+      CASE WHEN len(list_filter(v, x -> abs(x) > 2.5)) > 0 THEN 1 ELSE 0 END AS has_outlier
+    FROM e
+    """,
+)
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions as first-class surface: filter /
+    transform+aggregate / array_max / exists over the embedding vectors —
+    all JVM-side expressions, no Python. (list_sum in DuckDB and the
+    left-fold aggregate in Spark accumulate in index order; round(6)
+    absorbs any last-ulp difference.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("l1_norm"),
+        F.round(F.array_max(v), 6).alias("max_comp"),
+        F.when(F.exists(v, lambda x: F.abs(x) > 2.5), F.lit(1)).otherwise(F.lit(0)).alias("has_outlier"),
+    )
