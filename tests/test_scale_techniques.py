@@ -108,3 +108,30 @@ def test_salted_join_equals_plain_join(spark):
         .collect()
     )
     assert got == plain
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Hive-partitioned fact + selective dim filter: Spark must inject a
+    dynamicpruning subquery into the fact scan so only matching partitions
+    are read — the partition-elimination lever for 100-TB fact tables."""
+    fact_path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    ).filter(F.col("label") == "open")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the non-broadcast path: broadcast joins get DPP trivially via
+    # reuse of the broadcast exchange; this asserts the planner still
+    # prunes partitions when the join is shuffle-based
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = fact.join(dim, "o_orderstatus")
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "dynamicpruning" in optimized, optimized
+        only_o = load_table(spark, SF, "orders").filter(F.col("o_orderstatus") == "O")
+        assert joined.count() == only_o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the text/dedup operator kernels —
+SURVEY.md §5 layer 3: invariants that hold for arbitrary inputs, checked
+through the same Spark expressions the queries use.
+
+One Spark job evaluates the whole hypothesis batch: examples are collected
+into a single DataFrame per property (per-example Spark jobs would be
+minutes-slow), keeping the property run inside the test-suite budget.
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+from pyspark.sql import functions as F
+
+from etl_adsbx_spark.functions import text as T
+from etl_adsbx_spark.operators.dedup import (
+    minhash_signature,
+    normalized_text,
+    token_hash32,
+    word_shingles,
+)
+
+words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=0, max_size=12
+)
+
+
+def _texts_df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(words, min_size=1, max_size=8))
+def test_shingle_count_and_token_count(spark, batches):
+    texts = [" ".join(ws) for ws in batches]
+    rows = (
+        _texts_df(spark, texts)
+        .select(
+            "i",
+            F.size(word_shingles("text", 3)).alias("n_sh"),
+            T.token_count("text").alias("n_tok"),
+        )
+        .collect()
+    )
+    for r in rows:
+        ws = batches[r["i"]]
+        # split('\s+') on empty/whitespace strings yields one '' token
+        n_tok_expected = max(len(ws), 1)
+        assert r["n_tok"] == n_tok_expected
+        assert r["n_sh"] == max(0, n_tok_expected - 2)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(words, min_size=1, max_size=6))
+def test_minhash_identical_texts_identical_sigs(spark, batches):
+    # each text twice, whitespace-mangled the second time: normalization +
+    # signature must agree pairwise
+    texts = [" ".join(ws) for ws in batches]
+    mangled = ["  " + t.replace(" ", "   ") + " " for t in texts]
+    df = _texts_df(spark, texts + mangled)
+    sig = df.select(
+        "i",
+        F.md5(normalized_text("text")).alias("norm_md5"),
+        minhash_signature(
+            F.transform(word_shingles(normalized_text("text"), 3), token_hash32), 8
+        ).alias("sig"),
+    ).collect()
+    by_i = {r["i"]: r for r in sig}
+    n = len(texts)
+    for i in range(n):
+        assert by_i[i]["norm_md5"] == by_i[n + i]["norm_md5"]
+        assert by_i[i]["sig"] == by_i[n + i]["sig"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="abc XYZ.,!?09", min_size=0, max_size=40), min_size=1, max_size=10))
+def test_quality_score_bounded(spark, texts):
+    rows = (
+        _texts_df(spark, texts)
+        .select(T.quality_score("text").alias("q"), T.lang_id("text").alias("lang"))
+        .collect()
+    )
+    for r in rows:
+        assert r["q"] is None or 0.0 <= r["q"] <= 1.0
+        assert r["lang"] in ("en", "unknown")
