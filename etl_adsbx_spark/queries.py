@@ -2124,3 +2124,29 @@ def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(v), 6).alias("max_comp"),
         F.when(F.exists(v, lambda x: F.abs(x) > 2.5), F.lit(1)).otherwise(F.lit(0)).alias("has_outlier"),
     )
+
+
+@register(
+    "from_json_struct",
+    oracle="""
+    SELECT event_id,
+      CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
+    FROM events
+    """,
+)
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 generalized as a registry query: schema-declared JSON parse of
+    the props column into a typed struct (`from_json` — the FAILFAST
+    variant and the PERMISSIVE `_corrupt_record` quarantine live in
+    sources/files.py; this is the well-formed path the driver can
+    value-check)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_valid"),
+    )
