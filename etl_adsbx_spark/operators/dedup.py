@@ -217,6 +217,12 @@ def ngram_jaccard_pairs(
     This is the *oracle-checkable exact* path; MinHash-LSH is the scaled
     approximation of it. Shuffles: one explode+distinct agg, one shingle
     equi-join, one pair agg. Returns (a_id, b_id, jaccard).
+
+    Structure note (measured, don't "simplify"): carrying the per-doc
+    shingle count on every exploded row to skip the two `sizes` joins is
+    3.5× SLOWER (7.0s vs 1.9s at sf0.1) — materializing the shingle array
+    column before Generate serializes the heavy stage, while the separate
+    tiny sizes aggregate reuses the shuffle and costs ~nothing.
     """
     sh = spread_for_cpu(df).select(
         F.col(id_col).alias("_id"),
