@@ -2150,3 +2150,43 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         F.when(F.col("p").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_valid"),
     )
+
+
+@register(
+    "regression_agg",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+    FROM s
+    """,
+)
+def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares regression aggregates (price ~ quantity per flag) from
+    exact decimal power sums — the regr_slope/regr_intercept surface with
+    cross-engine-deterministic arithmetic (same technique as stats_agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(dec2("l_quantity")).alias("sx"),
+        dsum(dec2("l_quantity") * dec2("l_quantity")).alias("sxx"),
+        dsum(dec2("l_extendedprice")).alias("sy"),
+        dsum(dec2("l_quantity") * dec2("l_extendedprice"), 4).alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
