@@ -2190,3 +2190,44 @@ def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@register(
+    "datetime_extras",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+      CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+      last_day(o_orderdate)::TIMESTAMP AS month_end,
+      round(12 * (year(TIMESTAMP '1998-01-01') - year(o_orderdate))
+            + (month(TIMESTAMP '1998-01-01') - month(o_orderdate))
+            + (day(TIMESTAMP '1998-01-01') - day(o_orderdate)) / 31.0, 6) AS months_to_98,
+      strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second datetime slice: quarter, ISO day-of-week/week-of-year,
+    last_day, month arithmetic, date formatting. ISO conventions chosen
+    because they are the cross-engine-stable ones (Spark weekday is
+    0=Monday → +1 = DuckDB isodow; Spark weekofyear is ISO like DuckDB
+    week). months_between is spelled out arithmetically — Spark's builtin
+    uses a 31-day divisor convention DuckDB lacks."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = F.to_timestamp(F.lit("1998-01-01"))
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).cast("bigint").alias("q"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.round(
+            12 * (F.year(ref) - F.year(d))
+            + (F.month(ref) - F.month(d))
+            + (F.dayofmonth(ref) - F.dayofmonth(d)) / 31.0,
+            6,
+        ).alias("months_to_98"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
