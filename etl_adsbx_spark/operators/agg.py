@@ -29,3 +29,16 @@ def count_per_batch(df: DataFrame) -> int:
     """Observability count per batch — reference `ids.size` log
     (task.ts:251, R27)."""
     return df.count()
+
+
+def observed_count(df: DataFrame):
+    """R27 in its zero-cost form: attach an ``observe`` metric instead of
+    running a separate count job. The count accumulates on the rows the
+    query already processes — no extra scan, and the same mechanism works
+    on streams (metrics surface in StreamingQueryProgress, where a second
+    `df.count()` job is impossible). Returns (df, observation); read
+    ``observation.get`` after an action on ``df``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs

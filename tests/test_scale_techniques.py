@@ -135,3 +135,14 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         assert joined.count() == only_o.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_observed_count_no_extra_job(spark):
+    """R27 (`ids.size` per batch) as an observe metric: the count rides the
+    action the query already runs."""
+    from etl_adsbx_spark.operators.agg import observed_count
+
+    e = load_table(spark, SF, "events").filter(F.col("event_type") == "click")
+    observed, obs = observed_count(e)
+    rows = observed.collect()
+    assert obs.get["n_rows"] == len(rows) > 0
