@@ -37,6 +37,9 @@ HEADLINE = [
     "q13_customer_distribution",
     "q17_small_qty_revenue",
     "q18_large_orders",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q22_dormant_customers",
     "sliding_window",
 ]
 # [EXT] queries register later in the round; include any that exist

@@ -2231,3 +2231,113 @@ def datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("months_to_98"),
         F.date_format(d, "yyyy-MM").alias("ym"),
     )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: selective fact filter (returnflag='R' pushed to the
+    lineitem scan) → 3-way join (nation broadcast) → agg → total-order
+    top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(dec2("l_extendedprice") * (ONE4() - dec4("l_discount")), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT
+      CAST(ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+          THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+          ELSE CAST(0 AS DECIMAL(16,6)) END), 4) AS DOUBLE)
+      / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE)
+      AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation inside the join (CASE in
+    SUM) producing a global ratio — exercises agg-side branching that
+    case_value_mapping's projection-side CASE does not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = dec2("l_extendedprice") * (ONE4() - dec4("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(16,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                (F.lit(100.0) * F.round(F.sum(promo), 4).cast("double"))
+                / F.round(F.sum(rev), 4).cast("double")
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) AS a FROM customer
+      WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+      COUNT(*) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (average balance, computed
+    once and applied as a literal-like filter via crossJoin of a 1-row
+    agg) + NOT EXISTS decorrelated to a left-anti join, then agg. The
+    decimal-avg comparison keeps the threshold bit-identical across
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(dec2("c_acctbal")).alias("a"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(dec2("c_acctbal") > F.col("a"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(dec2("c_acctbal")).alias("totacctbal"),
+        )
+    )
