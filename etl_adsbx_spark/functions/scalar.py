@@ -52,13 +52,16 @@ def point_coordinates(
 ) -> Column:
     """[lon, lat] or [lon, lat, alt_geom*0.3048] when geometric altitude is
     present (task.ts:143-146, R8/R9). Altitude is *geometric* feet → metres;
-    alt_baro is deliberately not used (SURVEY.md quirk #3)."""
+    alt_baro is deliberately not used (SURVEY.md quirk #3).
+
+    `if (ac.alt_geom)` is JS-*truthy*: alt_geom === 0 keeps 2-element
+    coordinates (same falsiness family as the R17 track quirk)."""
     lon = F.col(lon) if isinstance(lon, str) else lon
     lat = F.col(lat) if isinstance(lat, str) else lat
     alt = F.col(alt_geom) if isinstance(alt_geom, str) else alt_geom
-    return F.when(alt.isNotNull(), F.array(lon, lat, alt * F.lit(FT_TO_M))).otherwise(
-        F.array(lon, lat)
-    )
+    return F.when(
+        alt.isNotNull() & (alt != 0), F.array(lon, lat, alt * F.lit(FT_TO_M))
+    ).otherwise(F.array(lon, lat))
 
 
 def airframe_suffix(category: Column | str = "category") -> Column:
@@ -132,19 +135,25 @@ def course_deg(track: Column | str = "track") -> Column:
 
 def remarks_col() -> Column:
     """Six 'Label: value-or-Unknown' lines joined by newline
-    (task.ts:198-205, R19)."""
+    (task.ts:198-205, R19). Each line is `(x || 'Unknown').trim()`:
+    JS-falsy coalesce (empty string ⇒ 'Unknown'), trim applied AFTER.
+    Reference order: Flight, Registration, Type, Category, Emergency,
+    Squawk — and the label is 'Registration', not 'Reg'."""
 
     def line(label: str, col: str) -> Column:
-        return F.concat(F.lit(label + ": "), F.trim(F.coalesce(F.col(col), F.lit("Unknown"))))
+        return F.concat(
+            F.lit(label + ": "),
+            F.trim(F.coalesce(F.nullif(F.col(col), F.lit("")), F.lit("Unknown"))),
+        )
 
     return F.concat_ws(
         "\n",
         line("Flight", "flight"),
-        line("Reg", "r"),
+        line("Registration", "r"),
         line("Type", "t"),
         line("Category", "category"),
-        line("Squawk", "squawk"),
         line("Emergency", "emergency"),
+        line("Squawk", "squawk"),
     )
 
 

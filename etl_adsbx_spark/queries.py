@@ -426,7 +426,7 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
       COUNT(*) AS n,
-      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY event_type
@@ -1505,7 +1505,7 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation GROUP BY n_regionkey
     )
     SELECT n_regionkey,
-           list_sort(map_keys(nmap)) AS nations,
+           array_to_string(list_sort(map_keys(nmap)), '|') AS nations,
            CAST(len(map_keys(nmap)) AS BIGINT) AS n_nations,
            nmap[list_sort(map_keys(nmap))[1]][1] AS first_key_val
     FROM m
@@ -1515,7 +1515,9 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed columns: build name→key maps per region from entry
     structs, then map_keys / size / element_at lookups. (The map itself is
     never emitted — engines order map entries differently; its *lookups*
-    are deterministic.)"""
+    are deterministic. The key list is '|'-joined to a scalar string: the
+    driver's canonicalizer hashes cell values and cannot hash Python
+    lists, so array-typed OUTPUT columns are a driver-interface error.)"""
     n = load_table(spark, sf_dir, "nation")
     m = n.groupBy("n_regionkey").agg(
         F.map_from_entries(
@@ -1525,7 +1527,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = F.array_sort(F.map_keys(F.col("nmap")))
     return m.select(
         "n_regionkey",
-        keys.alias("nations"),
+        F.array_join(keys, "|").alias("nations"),
         F.size(F.map_keys(F.col("nmap"))).cast("bigint").alias("n_nations"),
         F.element_at(F.col("nmap"), F.element_at(keys, 1)).alias("first_key_val"),
     )
@@ -1561,7 +1563,7 @@ def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_agg",
     oracle="""
     SELECT event_type,
-      list_sort(list(DISTINCT user_id)) AS users,
+      array_to_string(list_sort(list(DISTINCT user_id)), '|') AS users,
       CAST(len(list(DISTINCT user_id)) AS BIGINT) AS n_users,
       COUNT(*) AS n_events
     FROM events GROUP BY event_type
@@ -1569,24 +1571,54 @@ def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort (order-insensitive list agg — the deterministic
-    form of the reference's FeatureCollection assembly, task.ts:252-255)."""
+    form of the reference's FeatureCollection assembly, task.ts:252-255).
+    The set is '|'-joined to a scalar: the driver canonicalizer cannot
+    hash list cells (same convention as map_funcs)."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.array_sort(F.collect_set("user_id")).alias("users"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("user_id")),  # numeric sort FIRST,
+                lambda x: x.cast("string"),  # then stringify (lexicographic ≠ numeric)
+            ),
+            "|",
+        ).alias("users"),
         F.size(F.collect_set("user_id")).cast("bigint").alias("n_users"),
         F.count("*").alias("n_events"),
     )
 
 
-@register("approx_distinct")  # HLL sketch ≠ DuckDB's approx sketch — rows-only check
+@register(
+    "approx_distinct",
+    oracle="""
+    SELECT event_type,
+      COUNT(DISTINCT user_id) AS exact_users,
+      CAST(1 AS BIGINT) AS approx_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100-TB cardinality path —
     constant memory vs count(DISTINCT)'s full shuffle of distinct values.
-    Sketch values are engine-specific, so no value oracle; tests/ bound its
-    relative error against the exact count."""
+    The raw sketch value is engine-specific, so the checkable CONTRACT is
+    emitted instead: exact distinct plus a boolean "approx within ±10% of
+    exact" (HLL++ rsd=0.02 makes 10% a comfortable deterministic bound).
+    The oracle asserts the boolean is 1 for every group."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            F.col("approx_users")
+            .between(F.col("exact_users") * 0.9, F.col("exact_users") * 1.1)
+            .cast("bigint")
+            .alias("approx_within_10pct"),
+        )
     )
 
 

