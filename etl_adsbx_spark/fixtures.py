@@ -48,25 +48,38 @@ AIRCRAFT_ROWS = [
         alt_baro="ground", gs=0.0, track=0.0, emergency="none", lat=39.5, lon=-104.5),
     # rotorcraft A7 → '-H'; odd dbFlags → military
     _ac(6, r="N200HH", category="A7", dbFlags=3.0, gs=120.0, track=270.0),
-    # lighter-than-air B2 → '-L'; emergency squawk
-    _ac(7, r="N300LL", category="B2", emergency="squawk7700", gs=20.0, track=10.0),
+    # lighter-than-air B2 → '-L'; emergency squawk; own callsign so the
+    # empty-string include-callsign no-override quirk is observable
+    _ac(7, r="N300LL", flight="BLIMP7", category="B2", emergency="squawk7700",
+        gs=20.0, track=10.0),
     # unknown category → no suffix; no alt_geom → 2-element coordinates
     _ac(8, r="N400XX", category="C1", gs=None, track=None),
     # no category at all
     _ac(9, r="N500YY", alt_geom=1000.0, gs=250.0, track=359.0),
+    # alt_geom = 0 → JS-falsy → 2-element coordinates / NULL alt_m
+    # (task.ts:145 `if (ac.alt_geom)`)
+    _ac(10, r="N600ZA", flight="BAL6", category="A1", alt_geom=0.0, gs=150.0,
+        track=5.0),
 ]
 
 INCLUDES_ROWS = [
     # matches N100AA via lower/trim; callsign override + group enrichment
     (0, "EMS", "LIFEFLT1", " N100AA ", "National"),
-    # duplicate registration — output first-wins keeps row 0's match (R25)
+    # duplicate registration — the reference MUTATES the shared feature per
+    # match (task.ts:227-233), so this LAST truthy callsign/group wins while
+    # the Set guard keeps row 0's output position (task.ts:235-238)
     (1, "EMS", "DUPE", "N100AA", "International"),
-    # matches rotorcraft; no callsign override (null ⇒ keep aircraft callsign)
+    # matches rotorcraft; no callsign override (falsy ⇒ keep aircraft callsign)
     (2, "FIRE", None, "n200hh", "Fire"),
     # registration matching nothing
     (3, "LAW", "GHOST", "N999ZZ", "Law"),
     # null registration with callsign set → ignored entirely (quirk #6)
     (4, "LAW", "NOREG", None, "Law"),
+    # empty-string callsign is JS-falsy → does NOT override (task.ts:227);
+    # truthy group still enriches
+    (5, "SAR", "", "N300LL", "Marine"),
+    # empty-string registration is JS-falsy → skipped (task.ts:219)
+    (6, "SAR", "EMPTYREG", "", "Marine"),
 ]
 
 

@@ -19,37 +19,49 @@ from ..functions.scalar import normalize_key
 def includes_join(
     aircraft: DataFrame,
     includes: DataFrame,
-    filtering: bool = True,
 ) -> DataFrame:
-    """The reference includes join + enrichment (task.ts:217-249).
+    """The reference includes join + enrichment (task.ts:217-240, the
+    ADSBX_INCLUDES_FILTERING branch; R22-R24).
 
-    - include rows without a registration are ignored (task.ts:219, quirk #6)
-    - probe key is lower(trim(registration)) vs the aircraft id (task.ts:223)
-    - on match: callsign override when set (?? semantics), and
-      metadata.group ← include.group (task.ts:227-233, quirk #7)
-    - ``filtering=True`` (default): inner join — non-matching aircraft drop
-      (semi-join filter); ``False``: left join — everyone survives, matches
-      still enriched (task.ts:241-249).
+    Reference semantics, traced from task.ts:
 
-    The includes list is O(10²) rows → explicit broadcast: zero shuffle.
-    `_inc_idx` is carried so first-wins output dedup can follow probe order
-    (quirk #5).
+    - include rows with a JS-*falsy* registration (null OR '') are skipped
+      (task.ts:219 `if (!include.registration) continue`, quirk #6)
+    - probe key is lower(trim(registration)) vs the aircraft id (task.ts:221)
+    - each matching include MUTATES the shared Feature object
+      (task.ts:227-233): a *truthy* callsign/group overwrites, so when
+      several includes share a registration the LAST truthy value per field
+      wins — while the Set guard (task.ts:235-238) pins the feature's output
+      position to the FIRST matching include.
+    - non-matching aircraft drop (inner join ≡ the `ids.has(id)` gate).
+
+    Spark form: pre-aggregate the includes to one row per key —
+    ``min(_idx)`` for the first-match position, ``max_by(field, idx-if-
+    truthy)`` for the last truthy override (max_by ignores NULL ordering
+    keys, so rows with falsy fields never win) — then one broadcast inner
+    join. The dimension side is O(10²) rows: zero shuffle, and because it
+    is unique per key the join cannot fan out.
     """
+    truthy_idx = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull() & (F.col(c) != ""), F.col("_idx")
+    )
     inc = (
-        includes.filter(F.col("registration").isNotNull())
-        .select(
-            F.col("_idx").alias("_inc_idx"),
-            normalize_key("registration").alias("_inc_key"),
-            F.col("callsign").alias("_inc_callsign"),
-            F.col("group").alias("_inc_group"),
+        includes.filter(
+            F.col("registration").isNotNull() & (F.col("registration") != "")
+        )
+        .groupBy(normalize_key("registration").alias("_inc_key"))
+        .agg(
+            F.min("_idx").alias("_inc_idx"),
+            F.max_by(F.col("callsign"), truthy_idx("callsign")).alias("_inc_callsign"),
+            F.max_by(F.col("group"), truthy_idx("group")).alias("_inc_group"),
         )
     )
-    how = "inner" if filtering else "left"
-    joined = aircraft.join(F.broadcast(inc), aircraft["id"] == inc["_inc_key"], how)
+    joined = aircraft.join(F.broadcast(inc), aircraft["id"] == inc["_inc_key"], "inner")
     return (
         joined.withColumn(
             "callsign",
-            # include.callsign overrides only when set (?? null-check, task.ts:227-229)
+            # last truthy include.callsign overrides (task.ts:227-229);
+            # _inc_callsign is NULL when no include had a truthy callsign
             F.coalesce(F.col("_inc_callsign"), F.col("callsign")),
         )
         .withColumn(

@@ -76,16 +76,15 @@ def control(
     # R21: Map-upsert — last row per id in ingestion order wins (task.ts:136)
     deduped = last_wins(feats, "id", "_idx")
     if includes is not None and filtering:
-        joined = includes_join(deduped, includes, filtering=True)
-        # R25: first-wins by id in *includes-list* order (quirk #5)
+        joined = includes_join(deduped, includes)
+        # R25: first-wins by id in *includes-list* order (quirk #5). The
+        # pre-aggregated includes side makes the join unique per id already;
+        # first_wins is kept as the explicit Set-guard operator
+        # (task.ts:235-238) and is a no-op hash-agg here.
         return first_wins(joined, "id", "_inc_idx").drop("_inc_idx")
-    if includes is not None:
-        joined = includes_join(deduped, includes, filtering=False)
-        # duplicate includes matches can fan out a single aircraft: keep the
-        # first include match per id (Set guard, task.ts:244-247)
-        return first_wins(
-            joined, "id", F.coalesce(F.col("_inc_idx"), F.lit(2**62))
-        ).drop("_inc_idx")
+    # ADSBX_INCLUDES_FILTERING=false branch (task.ts:241-249): the includes
+    # list is NOT consulted at all — every deduped feature passes through
+    # unenriched; the Set guard is a no-op because Map keys are unique.
     return deduped
 
 

@@ -1212,38 +1212,47 @@ def _cot_pipeline_sql(filtering: bool, hostile: bool) -> str:
     VALUES fixture — every quirk expressed: JS-falsy id coalesce (#2),
     lower/trim key (R7), category CASE (R10), dbFlags parity (R11),
     emergency gating (R12), sentinel defaults pre/post conversion (#4),
-    last-wins dedup by ingestion order (R21), includes join + enrichment
-    (R23/R24, #6/#7), first-wins output dedup in includes order (R25, #5)."""
+    last-wins dedup by ingestion order (R21), includes join + last-truthy
+    mutation enrichment with first-match position (R23/R24, #6/#7,
+    task.ts:223-238), no-filter pass-through without enrichment
+    (task.ts:241-249)."""
     emergency_sql = (
         "CASE WHEN emergency IS NOT NULL AND emergency != 'none' THEN '-h' ELSE '-f' END"
         if hostile
         else "'-f'"
     )
     if filtering:
-        join_sql = """
-    joined AS (
-      SELECT d.*, i.inc_idx, i.inc_callsign, i.inc_group
-      FROM dedup d JOIN inc i ON i.key = d.id
-    ),
-    out AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY id ORDER BY inc_idx) AS rn2
-        FROM joined
-      ) WHERE rn2 = 1
-    )"""
+        # includes pre-aggregated to one row per key: min(_idx) pins the
+        # first-match output position (Set guard, task.ts:235-238); the
+        # max_by(field, idx-if-truthy) picks the LAST include whose field is
+        # truthy — the reference mutates the shared Feature per match
+        # (task.ts:227-233), so later truthy values overwrite earlier ones.
+        final_sql = """,
+    inc AS (
+      SELECT lower(trim(registration)) AS key,
+             min(_idx) AS inc_idx,
+             max_by(callsign, CASE WHEN callsign IS NOT NULL AND callsign != ''
+                                   THEN _idx END) AS inc_callsign,
+             max_by(grp, CASE WHEN grp IS NOT NULL AND grp != ''
+                              THEN _idx END) AS inc_group
+      FROM includes
+      WHERE registration IS NOT NULL AND registration != ''
+      GROUP BY 1
+    )
+    SELECT id, cot_type,
+           COALESCE(inc_callsign, callsign) AS callsign, "time",
+           speed, course,
+           COALESCE(inc_group, meta_group) AS grp,
+           remarks, lon, lat, alt_m
+    FROM dedup d JOIN inc i ON i.key = d.id"""
     else:
-        join_sql = """
-    joined AS (
-      SELECT d.*, i.inc_idx, i.inc_callsign, i.inc_group
-      FROM dedup d LEFT JOIN inc i ON i.key = d.id
-    ),
-    out AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY id ORDER BY COALESCE(inc_idx, 4611686018427387904)) AS rn2
-        FROM joined
-      ) WHERE rn2 = 1
-    )"""
+        # ADSBX_INCLUDES_FILTERING=false (task.ts:241-249): includes are not
+        # consulted — every deduped feature passes through unenriched.
+        final_sql = """
+    SELECT id, cot_type, callsign, "time",
+           speed, course, meta_group AS grp,
+           remarks, lon, lat, alt_m
+    FROM dedup"""
     return f"""
     WITH {_fixture_ctes()},
     base AS (
@@ -1265,14 +1274,15 @@ def _cot_pipeline_sql(filtering: bool, hostile: bool) -> str:
         CASE WHEN track IS NULL OR track = 0 THEN 9999999.0 ELSE track END AS course,
         COALESCE("group", 'UNKNOWN') AS meta_group,
         concat_ws(chr(10),
-          'Flight: '    || trim(COALESCE(flight, 'Unknown')),
-          'Reg: '       || trim(COALESCE(r, 'Unknown')),
-          'Type: '      || trim(COALESCE(t, 'Unknown')),
-          'Category: '  || trim(COALESCE(category, 'Unknown')),
-          'Squawk: '    || trim(COALESCE(squawk, 'Unknown')),
-          'Emergency: ' || trim(COALESCE(emergency, 'Unknown'))) AS remarks,
+          'Flight: '       || trim(COALESCE(NULLIF(flight, ''),   'Unknown')),
+          'Registration: ' || trim(COALESCE(NULLIF(r, ''),        'Unknown')),
+          'Type: '         || trim(COALESCE(NULLIF(t, ''),        'Unknown')),
+          'Category: '     || trim(COALESCE(NULLIF(category, ''), 'Unknown')),
+          'Emergency: '    || trim(COALESCE(NULLIF(emergency, ''),'Unknown')),
+          'Squawk: '       || trim(COALESCE(NULLIF(squawk, ''),   'Unknown'))) AS remarks,
         lon, lat,
-        CASE WHEN alt_geom IS NOT NULL THEN alt_geom * 0.3048 END AS alt_m
+        CASE WHEN alt_geom IS NOT NULL AND alt_geom != 0
+             THEN alt_geom * 0.3048 END AS alt_m
       FROM filt
     ),
     dedup AS (
@@ -1280,18 +1290,7 @@ def _cot_pipeline_sql(filtering: bool, hostile: bool) -> str:
         SELECT *, row_number() OVER (PARTITION BY id ORDER BY _idx DESC) AS rn
         FROM feat
       ) WHERE rn = 1
-    ),
-    inc AS (
-      SELECT _idx AS inc_idx, callsign AS inc_callsign,
-             lower(trim(registration)) AS key, grp AS inc_group
-      FROM includes WHERE registration IS NOT NULL
-    ),{join_sql}
-    SELECT id, cot_type,
-           COALESCE(inc_callsign, callsign) AS callsign, "time",
-           speed, course,
-           COALESCE(inc_group, meta_group) AS grp,
-           remarks, lon, lat, alt_m
-    FROM out
+    ){final_sql}
     """
 
 

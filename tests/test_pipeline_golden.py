@@ -33,9 +33,9 @@ def flat_all(spark):
 
 
 def test_filtering_keeps_only_includes_matches(flat_filtered):
-    # includes rows match n100aa + n200hh only (N999ZZ matches nothing,
-    # null-registration row is ignored — quirk #6)
-    assert sorted(flat_filtered) == ["n100aa", "n200hh"]
+    # includes rows match n100aa + n200hh + n300ll (N999ZZ matches nothing,
+    # falsy-registration rows — null AND '' — are ignored, task.ts:219)
+    assert sorted(flat_filtered) == ["n100aa", "n200hh", "n300ll"]
 
 
 def test_last_write_wins_within_batch(flat_filtered):
@@ -46,19 +46,25 @@ def test_last_write_wins_within_batch(flat_filtered):
     assert r["metadata"]["lat"] == 39.5
 
 
-def test_callsign_override_and_first_wins_includes_order(flat_filtered):
-    # two includes rows carry registration N100AA: _idx=0 (LIFEFLT1) wins
-    # over _idx=1 (DUPE) — R25 first-wins in includes order (quirk #5)
-    assert flat_filtered["n100aa"]["callsign"] == "LIFEFLT1"
+def test_last_truthy_include_wins_on_duplicate_registration(flat_filtered):
+    # two includes rows carry registration N100AA: the reference mutates the
+    # shared Feature per match (task.ts:227-233), so the LAST truthy
+    # callsign/group — _idx=1 (DUPE / International) — is what gets emitted;
+    # the Set guard only pins the output position to _idx=0 (task.ts:235-238)
+    assert flat_filtered["n100aa"]["callsign"] == "DUPE"
     # group enrichment goes into metadata.group (quirk #7)
-    assert flat_filtered["n100aa"]["metadata"]["group"] == "National"
+    assert flat_filtered["n100aa"]["metadata"]["group"] == "International"
 
 
-def test_no_callsign_override_when_include_callsign_null(flat_filtered):
+def test_no_callsign_override_when_include_callsign_falsy(flat_filtered):
     # include row for n200hh has callsign NULL → aircraft callsign kept
-    # (?? is null-only, task.ts:227-229)
+    # (truthiness check, task.ts:227-229)
     assert flat_filtered["n200hh"]["callsign"] == ""
     assert flat_filtered["n200hh"]["metadata"]["group"] == "Fire"
+    # include row for n300ll has callsign '' (JS-falsy) → no override either,
+    # while its truthy group still enriches
+    assert flat_filtered["n300ll"]["callsign"] == "BLIMP7"
+    assert flat_filtered["n300ll"]["metadata"]["group"] == "Marine"
 
 
 def test_falsy_id_coalesce_and_drops(spark, flat_all):
@@ -67,9 +73,9 @@ def test_falsy_id_coalesce_and_drops(spark, flat_all):
     assert "swa2" in flat_all          # r=null → flight SWA2
     ids = set(flat_all)
     assert not any(i.strip() == "" for i in ids)
-    # rows 3 (both null) and 4 (whitespace r, null flight) dropped; 8 rows
-    # survive, n100aa appears twice → 7 distinct ids
-    assert len(ids) == 7
+    # rows 3 (both null) and 4 (whitespace r, null flight) dropped; 9 rows
+    # survive, n100aa appears twice → 8 distinct ids
+    assert len(ids) == 8
 
 
 def test_cot_type_codes(flat_all):
@@ -96,6 +102,17 @@ def test_altitude_geometric_not_baro(flat_all):
     assert r["coordinates"][2] == pytest.approx(1000.0 * 0.3048)
     # no alt_geom → 2-element coords
     assert len(flat_all["n400xx"]["coordinates"]) == 2
+    # alt_geom == 0 is JS-falsy (task.ts:145) → 2-element coords too
+    assert len(flat_all["n600za"]["coordinates"]) == 2
+
+
+def test_nofilter_branch_does_not_enrich(flat_all):
+    # ADSBX_INCLUDES_FILTERING=false (task.ts:241-249): includes list is
+    # never consulted — no callsign override, no group enrichment, even for
+    # aircraft the includes would match
+    assert flat_all["n100aa"]["callsign"] == "UAL1"
+    assert flat_all["n100aa"]["metadata"]["group"] == "UNKNOWN"
+    assert flat_all["n200hh"]["metadata"]["group"] == "UNKNOWN"
 
 
 def test_group_default_unknown(flat_all):
@@ -106,8 +123,11 @@ def test_group_default_unknown(flat_all):
 
 def test_remarks_format(flat_all):
     lines = flat_all["n100aa"]["remarks"].split("\n")
-    assert lines[0].startswith("Flight: ")
-    assert len(lines) == 6
+    # label order per task.ts:198-205, 'Registration' spelled out,
+    # Emergency BEFORE Squawk
+    assert [ln.split(":")[0] for ln in lines] == [
+        "Flight", "Registration", "Type", "Category", "Emergency", "Squawk",
+    ]
     assert "Emergency: none" in lines
 
 

@@ -62,8 +62,8 @@ def test_feature_collection_sink(spark):
     )
     doc = json.loads(feature_collection_json(feats))
     assert doc["type"] == "FeatureCollection"
-    assert {f["id"] for f in doc["features"]} == {"n100aa", "n200hh"}
+    assert {f["id"] for f in doc["features"]} == {"n100aa", "n200hh", "n300ll"}
 
     posts = []
     n = submit(feats, posts.append)
-    assert n == 2 and len(posts) == 1
+    assert n == 3 and len(posts) == 1
