@@ -29,7 +29,7 @@ HEADLINE = [
     "q5_regional_revenue",
     "rollup_agg",
     "window_running",
-    "last_wins_events",
+    "first_last_events",
     "asof_join_events",
     "range_join_events",
     "topk_per_group",
@@ -40,7 +40,7 @@ HEADLINE = [
     "q10_returned_revenue",
     "q14_promo_share",
     "q22_dormant_customers",
-    "sliding_window",
+    "time_windows",
 ]
 # [EXT] queries register later in the round; include any that exist
 OPTIONAL = [
@@ -54,9 +54,8 @@ OPTIONAL = [
     "ivf_ann_topk",
     "text_stats",
     "tfidf_top_terms",
-    "cube_agg",
-    "pivot_agg",
-    "lag_lead",
+    "cube_grouping_sets",
+    "pivot_unpivot",
     "media_frames",
 ]
 

@@ -238,20 +238,40 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(DISTINCT c_nationkey) AS n_nations,
       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
       CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
-      CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+      CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal,
+      CAST(1 AS BIGINT) AS approx_within_10pct
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count / count-distinct / min / max / sum in one hash-agg (Spark
-    plans distinct-agg as a two-phase expand+agg — still one shuffle)."""
+    plans distinct-agg as a two-phase expand+agg — still one shuffle),
+    plus approx_count_distinct (HyperLogLog++): the 100-TB cardinality
+    path — constant memory vs count(DISTINCT)'s full shuffle of distinct
+    values. The raw sketch value is engine-specific, so the checkable
+    CONTRACT is emitted instead: a boolean "approx within ±10% of exact"
+    (HLL++ rsd=0.02 makes 10% a probabilistically safe bound, ~5σ; the
+    Spark side computes the real assertion, the oracle column is the
+    expected constant — tests/test_queries_oracle.py asserts the per-group
+    bound authoritatively)."""
     c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_customers"),
-        F.countDistinct("c_nationkey").alias("n_nations"),
-        dsum(dec2("c_acctbal")).alias("sum_bal"),
-        F.min(dec2("c_acctbal")).cast("double").alias("min_bal"),
-        F.max(dec2("c_acctbal")).cast("double").alias("max_bal"),
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            dsum(dec2("c_acctbal")).alias("sum_bal"),
+            F.min(dec2("c_acctbal")).cast("double").alias("min_bal"),
+            F.max(dec2("c_acctbal")).cast("double").alias("max_bal"),
+            F.approx_count_distinct("c_nationkey", 0.02).alias("approx_nations"),
+        )
+        .select(
+            "c_mktsegment", "n_customers", "n_nations", "sum_bal", "min_bal", "max_bal",
+            F.col("approx_nations")
+            .between(F.col("n_nations") * 0.9, F.col("n_nations") * 1.1)
+            .cast("bigint")
+            .alias("approx_within_10pct"),
+        )
     )
 
 
@@ -339,25 +359,6 @@ def case_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "falsy_coalesce",
-    oracle="""
-    SELECT COALESCE(NULLIF(regexp_extract(text, '\\b(sp\\w+)', 1), ''), 'NONE') AS first_sp_word,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY 1
-    """,
-)
-def falsy_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quirk #2 as a relational op: JS `||` treats '' as missing —
-    regexp_extract returns '' on no match in both engines, and the falsy
-    coalesce falls through to the default (task.ts:139 semantics)."""
-    d = load_table(spark, sf_dir, "documents")
-    first_sp = F.regexp_extract(F.col("text"), r"\b(sp\w+)", 1)
-    return d.groupBy(
-        coalesce_falsy_str(first_sp, F.lit("NONE")).alias("first_sp_word")
-    ).agg(F.count("*").alias("n_docs"))
-
-
-@register(
     "string_funcs",
     oracle="""
     SELECT p_partkey,
@@ -369,24 +370,36 @@ def falsy_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
       concat_ws('|', p_brand, p_type) AS brand_type,
       CAST(length(p_name) AS BIGINT) AS name_len,
       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
-      CASE WHEN p_name LIKE '%part%' THEN 1 ELSE 0 END AS has_part
+      CASE WHEN p_name LIKE '%part%' THEN 1 ELSE 0 END AS has_part,
+      COALESCE(NULLIF(regexp_extract(p_name, '\\b(sp\\w+)', 1), ''), 'NONE') AS first_sp_word,
+      CAST(levenshtein(string_split(p_name, ' ')[1], p_brand) AS BIGINT) AS edit_dist
     FROM part
     """,
 )
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3/R7/R13/R19 generalized: the string-function surface."""
+    """R3/R7/R13/R19 generalized: the string-function surface — case/trim/
+    split/substring/concat/length/regexp/LIKE, plus the JS-falsy coalesce
+    quirk (#2: regexp_extract returns '' on no match in both engines, and
+    NULLIF-then-COALESCE falls through — task.ts:139 semantics) and fuzzy
+    matching via levenshtein edit distance (the verify kernel of a blocked
+    fuzzy self-join at scale)."""
     p = load_table(spark, sf_dir, "part")
+    first_word = F.element_at(F.split(F.col("p_name"), " "), 1)
     return p.select(
         "p_partkey",
         F.lower("p_name").alias("name_lower"),
         F.upper("p_brand").alias("brand_upper"),
         F.trim("p_type").alias("type_trim"),
-        F.element_at(F.split(F.col("p_name"), " "), 1).alias("first_word"),
+        first_word.alias("first_word"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.length("p_name").cast("bigint").alias("name_len"),
         F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("name_devowel"),
         F.when(F.col("p_name").like("%part%"), F.lit(1)).otherwise(F.lit(0)).alias("has_part"),
+        coalesce_falsy_str(
+            F.regexp_extract(F.col("p_name"), r"\b(sp\w+)", 1), F.lit("NONE")
+        ).alias("first_sp_word"),
+        F.levenshtein(first_word, F.col("p_brand")).cast("bigint").alias("edit_dist"),
     )
 
 
@@ -400,13 +413,29 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       date_trunc('month', o_orderdate) AS month_start,
       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
-      o_orderdate + INTERVAL 30 DAY AS due_date
+      o_orderdate + INTERVAL 30 DAY AS due_date,
+      CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+      CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+      last_day(o_orderdate)::TIMESTAMP AS month_end,
+      round(12 * (year(TIMESTAMP '1998-01-01') - year(o_orderdate))
+            + (month(TIMESTAMP '1998-01-01') - month(o_orderdate))
+            + (day(TIMESTAMP '1998-01-01') - day(o_orderdate)) / 31.0, 6) AS months_to_98,
+      strftime(o_orderdate, '%Y-%m') AS ym
     FROM orders
     """,
 )
 def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R15 generalized: the date/time surface."""
+    """R15 generalized: the date/time surface — extraction, truncation,
+    epoch, day arithmetic, intervals, quarter/ISO week conventions,
+    last_day, month arithmetic, formatting. ISO conventions are the
+    cross-engine-stable ones (Spark weekday 0=Monday → +1 = DuckDB isodow;
+    Spark weekofyear is ISO like DuckDB week); months_between is spelled
+    out arithmetically — Spark's builtin uses a 31-day divisor convention
+    DuckDB lacks."""
     o = load_table(spark, sf_dir, "orders")
+    ref = F.to_timestamp(F.lit("1998-01-01"))
+    d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -418,6 +447,17 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_since_95"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.quarter(d).cast("bigint").alias("q"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.round(
+            12 * (F.year(ref) - F.year(d))
+            + (F.month(ref) - F.month(d))
+            + (F.dayofmonth(ref) - F.dayofmonth(d)) / 31.0,
+            6,
+        ).alias("months_to_98"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
     )
 
 
@@ -428,19 +468,26 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n,
       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
     FROM events GROUP BY event_type
     """,
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4 generalized: JSON-in-string extraction (events.props)."""
+    """R4 generalized: JSON-in-string surface — path extraction
+    (get_json_object) plus schema-declared `from_json` parse into a typed
+    struct with a validity count (the FAILFAST variant and the PERMISSIVE
+    `_corrupt_record` quarantine live in sources/files.py; this is the
+    well-formed path the driver can value-check)."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
+    parsed = F.from_json("props", "k BIGINT")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(k).alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
+        F.sum(F.when(parsed.isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_valid"),
     )
 
 
@@ -520,35 +567,29 @@ def dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semi_join",
+    "semi_anti_join",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'semi' AS tag, c_custkey, c_name FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
-    """,
-)
-def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The includes filter IS a semi-join (task.ts:217-240 semantics)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "anti_join",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'anti' AS tag, c_custkey, c_name FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """,
 )
-def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Negation of the includes filter: aircraft NOT in the allow-list."""
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (the includes filter IS a semi-join, task.ts:217-240
+    semantics) and its negation (aircraft NOT in the allow-list) as one
+    tagged union of left_semi + left_anti."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
-        "c_custkey", "c_name"
+    big = o.filter(F.col("o_totalprice") > 300000)
+    semi = c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi").select(
+        F.lit("semi").alias("tag"), "c_custkey", "c_name"
     )
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        F.lit("anti").alias("tag"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -625,61 +666,48 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @register(
-    "last_wins_events",
+    "first_last_events",
     oracle="""
-    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-           ts AS last_ts, value AS last_value
+    SELECT f.user_id,
+           f.event_id AS first_event_id, f.event_type AS first_type, f.ts AS first_ts,
+           l.event_id AS last_event_id, l.event_type AS last_type,
+           l.ts AS last_ts, l.value AS last_value
     FROM (
-      SELECT *, row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ) f
+    JOIN (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ) l ON f.user_id = l.user_id
     """,
 )
-def last_wins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R21 (Map-upsert last-write-wins) over the events stream: latest event
-    per user. max_by aggregation — one shuffle, no window sort."""
+def first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21 (Map-upsert last-write-wins) and R25 (output Set-guard
+    first-wins) over the events stream in ONE hash-agg: min_by AND max_by
+    per user — one shuffle, no window sort, no self-join (the oracle's
+    two-window self-join is the naive form)."""
     e = load_table(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
     picked = e.groupBy("user_id").agg(
-        F.max_by(
-            F.struct("event_id", "event_type", "ts", "value"),
-            F.struct("ts", "event_id"),
-        ).alias("r")
+        F.min_by(F.struct("event_id", "event_type", "ts"), order).alias("fr"),
+        F.max_by(F.struct("event_id", "event_type", "ts", "value"), order).alias("lr"),
     )
     return picked.select(
         "user_id",
-        F.col("r.event_id").alias("last_event_id"),
-        F.col("r.event_type").alias("last_type"),
-        F.col("r.ts").alias("last_ts"),
-        F.col("r.value").alias("last_value"),
-    )
-
-
-@register(
-    "first_wins_events",
-    oracle="""
-    SELECT user_id, event_id AS first_event_id, event_type AS first_type,
-           ts AS first_ts
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts ASC, event_id ASC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
-def first_wins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R25 (output Set-guard first-wins) over events: first event per user."""
-    e = load_table(spark, sf_dir, "events")
-    picked = e.groupBy("user_id").agg(
-        F.min_by(
-            F.struct("event_id", "event_type", "ts"), F.struct("ts", "event_id")
-        ).alias("r")
-    )
-    return picked.select(
-        "user_id",
-        F.col("r.event_id").alias("first_event_id"),
-        F.col("r.event_type").alias("first_type"),
-        F.col("r.ts").alias("first_ts"),
+        F.col("fr.event_id").alias("first_event_id"),
+        F.col("fr.event_type").alias("first_type"),
+        F.col("fr.ts").alias("first_ts"),
+        F.col("lr.event_id").alias("last_event_id"),
+        F.col("lr.event_type").alias("last_type"),
+        F.col("lr.ts").alias("last_ts"),
+        F.col("lr.value").alias("last_value"),
     )
 
 
@@ -694,6 +722,7 @@ def first_wins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(row_number() OVER w AS BIGINT) AS rn,
       lag(value) OVER w AS prev_value,
       lead(value) OVER w AS next_value,
+      value - lag(value) OVER w AS delta,
       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum
     FROM events
@@ -701,9 +730,10 @@ def first_wins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead + running sum with explicit frame (SURVEY §2B windows).
-    Both engines accumulate the running sum in the same total order, so the
-    doubles agree bit-for-bit; rounded to 6 dp regardless."""
+    """lag/lead (+ the exact-deterministic double delta) and running sum
+    with explicit frame (SURVEY §2B windows). Both engines accumulate the
+    running sum in the same total order, so the doubles agree bit-for-bit;
+    rounded to 6 dp regardless."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -713,6 +743,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("rn"),
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
         F.round(F.sum("value").over(frame), 6).alias("run_sum"),
     )
 
@@ -738,43 +769,31 @@ def topk_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "order_limit",
-    oracle="""
-    SELECT o_orderkey, o_totalprice, o_orderdate
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 25
-    """,
-)
-def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global total-order top-k (Spark: TakeOrderedAndProject — no full
-    sort, each partition keeps k candidates)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_totalprice", "o_orderdate")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(25)
-    )
-
-
-@register(
     "set_ops",
     oracle="""
-    SELECT 'both' AS tag, c_custkey FROM (
-      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-      INTERSECT
-      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    SELECT * FROM (
+      SELECT 'both' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      )
+      UNION ALL
+      SELECT 'building_only' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      )
     )
-    UNION ALL
-    SELECT 'building_only' AS tag, c_custkey FROM (
-      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-      EXCEPT
-      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
-    )
+    ORDER BY tag ASC, c_custkey DESC
+    LIMIT 100
     """,
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT / UNION ALL in one result (SURVEY §2B set ops)."""
+    """INTERSECT / EXCEPT / UNION ALL in one result (SURVEY §2B set ops),
+    finished with a global total-order top-k over the union (Spark:
+    TakeOrderedAndProject — no full sort, each partition keeps k
+    candidates). (tag, c_custkey) is a total order, so the LIMIT is
+    deterministic on both engines."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -785,7 +804,11 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     only = building.exceptAll(big.distinct()).distinct().select(
         F.lit("building_only").alias("tag"), "c_custkey"
     )
-    return both.unionByName(only)
+    return (
+        both.unionByName(only)
+        .orderBy(F.col("tag").asc(), F.col("c_custkey").desc())
+        .limit(100)
+    )
 
 
 # =========================================================================
@@ -945,14 +968,20 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.4 * least(stop_ratio_raw * 5.0, 1.0)
             + 0.2 * (1.0 - least(punct_ratio_raw * 10.0, 1.0)), 6) AS quality,
       CASE WHEN stop_ratio_raw > 0.02 AND ascii_ratio > 0.6
-           THEN 'en' ELSE 'unknown' END AS lang_pred
+           THEN 'en' ELSE 'unknown' END AS lang_pred,
+      md5(array_to_string(
+        list_slice(list_sort(list_transform(
+          list_distinct(string_split_regex(trim(lower(text)), '\\s+')), x -> md5(x))),
+        1, 8), '|')) AS fingerprint
     FROM feat
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-quality feature extraction: token counts (whitespace + BPE-ish
     regex), stopword/punctuation ratios, composite quality score, heuristic
-    language ID — all built-in expressions (functions.text)."""
+    language ID, and the bottom-k (winnowing-style) document fingerprint
+    (md5 over the 8 smallest token-md5s — order-insensitive near-identity
+    signature) — all built-in expressions (functions.text)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -962,6 +991,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
         T.quality_score("text").alias("quality"),
         T.lang_id("text").alias("lang_pred"),
+        T.doc_fingerprint("text", 8).alias("fingerprint"),
     )
 
 
@@ -1011,24 +1041,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_fingerprint",
-    oracle="""
-    SELECT doc_id,
-      md5(array_to_string(
-        list_slice(list_sort(list_transform(
-          list_distinct(string_split_regex(trim(lower(text)), '\\s+')), x -> md5(x))),
-        1, 8), '|')) AS fingerprint
-    FROM documents
-    """,
-)
-def doc_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-k (winnowing-style) document fingerprint: md5 over the 8
-    smallest token-md5s — order-insensitive near-identity signature."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", T.doc_fingerprint("text", 8).alias("fingerprint"))
-
-
 # =========================================================================
 # [EXT] LLM-pipeline: similarity search (embeddings table)
 # =========================================================================
@@ -1070,11 +1082,12 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_ann_topk")  # approximate — no SQL oracle; rows-only check
+@register("lsh_ann_topk")  # oracle installed below (needs _hyperplane_sig_sql)
 def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (single-probe): the 100-TB scale path
-    for cosine_topk. Approximate ⇒ no value oracle; correctness of the
-    scheme is tested by recall against cosine_topk in tests/."""
+    for cosine_topk. The scheme is deterministic (fixed hyperplanes), so a
+    full SQL oracle replays it below (`_ORACLE["lsh_ann_topk"]`); recall
+    against exact cosine_topk is additionally tested in tests/."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -1115,26 +1128,52 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @register(
-    "tumbling_window",
+    "time_windows",
     oracle="""
-    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
-           COUNT(*) AS n,
+    SELECT 'tumble6h' AS kind,
+           time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+           event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'slide6h3h' AS kind, window_start,
+           window_start + INTERVAL '6 hours' AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '3 hours', ts),
+                     time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours'])
+               AS window_start
+      FROM events
+    )
+    GROUP BY 2, 3, 4
     """,
 )
-def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 6h event-time window aggregation (streaming.windows works
-    identically on streams — unified model)."""
-    from .streaming.windows import tumbling_agg
+def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (6h) AND sliding (width 6h, slide 3h — each row lands in 2
+    windows, expanded by Spark's window() generator before one hash-agg)
+    event-time window aggregations, tagged and unioned.
+    streaming.windows.{tumbling_agg,sliding_agg} work identically on
+    streams with a watermark — unified model."""
+    from .streaming.windows import sliding_agg, tumbling_agg
 
     e = load_table(spark, sf_dir, "events")
-    out = tumbling_agg(
-        e, "ts", "6 hours", ["event_type"],
-        [F.count("*").alias("n"), dsum(dec2("value")).alias("sum_value")],
+    aggs = [F.count("*").alias("n"), dsum(dec2("value")).alias("sum_value")]
+    cols = ["kind", "window_start", "window_end", "event_type", "n", "sum_value"]
+    tumble = (
+        tumbling_agg(e, "ts", "6 hours", ["event_type"], aggs)
+        .withColumn("kind", F.lit("tumble6h"))
+        .select(*cols)
     )
-    return out.select("window_start", "event_type", "n", "sum_value")
+    slide = (
+        sliding_agg(e, "ts", "6 hours", "3 hours", ["event_type"], aggs)
+        .withColumn("kind", F.lit("slide6h3h"))
+        .select(*cols)
+    )
+    return tumble.unionByName(slide)
 
 
 @register(
@@ -1421,77 +1460,80 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cube_agg",
+    "cube_grouping_sets",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    SELECT 'cube' AS src, o_orderstatus, o_orderpriority,
       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
       COUNT(*) AS n_orders,
       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over orders: all 4 grouping-set combinations in one pass —
-    Spark expands to a union of partial aggregations behind one shuffle."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.grouping_id().cast("bigint").alias("grp_id"),
-            F.count("*").alias("n_orders"),
-            dsum(dec2("o_totalprice")).alias("sum_price"),
-        )
-    )
-
-
-@register(
-    "grouping_sets",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    UNION ALL
+    SELECT 'gsets' AS src, o_orderstatus, o_orderpriority,
       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id,
-      COUNT(*) AS n_orders
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 )
-def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS ((status), (priority), ()) via the
-    DataFrame groupingSets API (Spark 4)."""
+def cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 4 grouping-set combinations — Spark expands to a union of
+    partial aggregations behind one shuffle) plus explicit GROUPING SETS
+    ((status), (priority), ()) via the DataFrame groupingSets API
+    (Spark 4), tagged and unioned. ROLLUP is covered by rollup_agg."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    aggs = [
+        F.grouping_id().cast("bigint").alias("grp_id"),
+        F.count("*").alias("n_orders"),
+        dsum(dec2("o_totalprice")).alias("sum_price"),
+    ]
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("src"), "*")
+    )
+    gsets = (
         o.groupingSets(
             [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
             "o_orderstatus",
             "o_orderpriority",
         )
-        .agg(
-            F.grouping_id().cast("bigint").alias("grp_id"),
-            F.count("*").alias("n_orders"),
-        )
+        .agg(*aggs)
+        .select(F.lit("gsets").alias("src"), "*")
     )
+    return cube.unionByName(gsets)
 
 
 @register(
-    "pivot_agg",
+    "pivot_unpivot",
     oracle="""
-    SELECT o_orderpriority,
-      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
-      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
-      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH wide AS (
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, o_orderstatus, CAST(sum_price AS DOUBLE) AS sum_price
+    FROM wide
+    UNPIVOT INCLUDE NULLS (sum_price FOR o_orderstatus IN (F, O, P))
     """,
 )
-def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot on order status with an explicit value list (no extra pass to
-    discover values — required at scale) → one hash-agg shuffle."""
+    discover values — required at scale; one hash-agg shuffle) then the
+    inverse unpivot (wide→long melt — Spark rewrites to an Expand node,
+    each row emits one row per value column, no shuffle). The round-trip
+    exercises both, and nulls are kept so the long shape is total."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(dsum(dec2("o_totalprice")))
     )
+    return wide.unpivot("o_orderpriority", ["F", "O", "P"], "o_orderstatus", "sum_price")
 
 
 @register(
@@ -1502,21 +1544,32 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              map_from_entries(list({'key': n_name, 'value': n_nationkey}
                                    ORDER BY n_name)) AS nmap
       FROM nation GROUP BY n_regionkey
+    ),
+    k AS (
+      SELECT *, list_transform(list_sort(map_keys(nmap)),
+                               x -> CAST(length(x) AS BIGINT)) AS lens
+      FROM m
     )
     SELECT n_regionkey,
            array_to_string(list_sort(map_keys(nmap)), '|') AS nations,
            CAST(len(map_keys(nmap)) AS BIGINT) AS n_nations,
-           nmap[list_sort(map_keys(nmap))[1]][1] AS first_key_val
-    FROM m
+           nmap[list_sort(map_keys(nmap))[1]][1] AS first_key_val,
+           CAST(len(list_filter(lens, x -> x > 6)) AS BIGINT) AS n_long_names,
+           CAST(list_sum(lens) AS BIGINT) AS total_name_len,
+           CASE WHEN len(list_filter(lens, x -> x > 12)) > 0 THEN 1 ELSE 0 END AS has_very_long
+    FROM k
     """,
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed columns: build name→key maps per region from entry
-    structs, then map_keys / size / element_at lookups. (The map itself is
-    never emitted — engines order map entries differently; its *lookups*
-    are deterministic. The key list is '|'-joined to a scalar string: the
-    driver's canonicalizer hashes cell values and cannot hash Python
-    lists, so array-typed OUTPUT columns are a driver-interface error.)"""
+    """Map-typed columns + array higher-order functions in one surface:
+    build name→key maps per region from entry structs, then map_keys /
+    size / element_at lookups, plus filter / transform+aggregate / exists
+    HOFs over the key-length array — all JVM-side expressions, no Python.
+    (The map itself is never emitted — engines order map entries
+    differently; its *lookups* are deterministic. The key list is
+    '|'-joined to a scalar string: the driver's canonicalizer hashes cell
+    values and cannot hash Python lists, so array-typed OUTPUT columns are
+    a driver-interface error.)"""
     n = load_table(spark, sf_dir, "nation")
     m = n.groupBy("n_regionkey").agg(
         F.map_from_entries(
@@ -1524,37 +1577,15 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nmap")
     )
     keys = F.array_sort(F.map_keys(F.col("nmap")))
+    lens = F.transform(keys, lambda k: F.length(k).cast("bigint"))
     return m.select(
         "n_regionkey",
         F.array_join(keys, "|").alias("nations"),
         F.size(F.map_keys(F.col("nmap"))).cast("bigint").alias("n_nations"),
         F.element_at(F.col("nmap"), F.element_at(keys, 1)).alias("first_key_val"),
-    )
-
-
-@register(
-    "lag_lead",
-    oracle="""
-    SELECT event_id, user_id, value,
-      lag(value)  OVER w AS prev_value,
-      lead(value) OVER w AS next_value,
-      value - lag(value) OVER w AS delta
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead over per-user event-time order (unique event_id tiebreak).
-    Double subtraction is exact-deterministic, so delta needs no rounding."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.size(F.filter(lens, lambda x: x > 6)).cast("bigint").alias("n_long_names"),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("total_name_len"),
+        F.when(F.exists(lens, lambda x: x > 12), F.lit(1)).otherwise(F.lit(0)).alias("has_very_long"),
     )
 
 
@@ -1584,40 +1615,6 @@ def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("users"),
         F.size(F.collect_set("user_id")).cast("bigint").alias("n_users"),
         F.count("*").alias("n_events"),
-    )
-
-
-@register(
-    "approx_distinct",
-    oracle="""
-    SELECT event_type,
-      COUNT(DISTINCT user_id) AS exact_users,
-      CAST(1 AS BIGINT) AS approx_within_10pct
-    FROM events GROUP BY event_type
-    """,
-)
-def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the 100-TB cardinality path —
-    constant memory vs count(DISTINCT)'s full shuffle of distinct values.
-    The raw sketch value is engine-specific, so the checkable CONTRACT is
-    emitted instead: exact distinct plus a boolean "approx within ±10% of
-    exact" (HLL++ rsd=0.02 makes 10% a comfortable deterministic bound).
-    The oracle asserts the boolean is 1 for every group."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        )
-        .select(
-            "event_type",
-            "exact_users",
-            F.col("approx_users")
-            .between(F.col("exact_users") * 0.9, F.col("exact_users") * 1.1)
-            .cast("bigint")
-            .alias("approx_within_10pct"),
-        )
     )
 
 
@@ -1670,36 +1667,6 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(documents_as_media(d), frame_bytes=256, every_n=2)
-
-
-@register(
-    "sliding_window",
-    oracle="""
-    WITH starts AS (
-      SELECT event_type, value,
-             unnest([time_bucket(INTERVAL '3 hours', ts),
-                     time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours'])
-               AS window_start
-      FROM events
-    )
-    SELECT window_start, window_start + INTERVAL '6 hours' AS window_end,
-           event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-    FROM starts
-    GROUP BY 1, 2, 3
-    """,
-)
-def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding event-time windows (width 6h, slide 3h) — each row lands in
-    2 windows; Spark's window() generator expands them before one hash-agg
-    (streaming.windows.sliding_agg, watermark-ready on a stream)."""
-    from .streaming.windows import sliding_agg
-
-    e = load_table(spark, sf_dir, "events")
-    return sliding_agg(
-        e, "ts", "6 hours", "3 hours", ["event_type"],
-        [F.count("*").alias("n"), dsum(dec2("value")).alias("sum_value")],
-    )
 
 
 @register(
@@ -1821,16 +1788,20 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(sx / n, 6) AS mean_qty,
       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
       round((n * sxy - sx * sy) /
-            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
     FROM s
     """,
 )
 def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (mean/stddev/corr) computed from *exact
-    decimal* power sums, finished in double — built-in stddev/corr use
-    engine-specific accumulation (Welford vs two-pass) whose results
-    differ in the last ulps; sums of decimals are exact in both engines,
-    and the identical double expressions over them are bit-deterministic."""
+    """Statistical + regression aggregates (mean/stddev/corr plus the
+    regr_slope/regr_intercept surface, price ~ quantity per flag) computed
+    from one set of *exact decimal* power sums, finished in double —
+    built-in stddev/corr/regr_* use engine-specific accumulation (Welford
+    vs two-pass) whose results differ in the last ulps; sums of decimals
+    are exact in both engines, and the identical double expressions over
+    them are bit-deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -1842,6 +1813,7 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(
         "l_returnflag",
         "n",
@@ -1852,103 +1824,77 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
             6,
         ).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
 
 
 @register(
-    "percentile_agg",
-    oracle="""
-    SELECT o_orderstatus,
-      round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
-      round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles (Spark `percentile` ≡ DuckDB
-    `quantile_cont`). The exact form needs a per-group sort — the 100-TB
-    path is approx_percentile (t-digest sketch, map-side mergeable), which
-    is engine-specific and therefore not the oracle-checked variant."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95_price"),
-    )
-
-
-@register(
-    "histogram_bins",
+    "percentile_histogram",
     oracle="""
     SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bin,
            COUNT(*) AS n,
            CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
-           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price
     FROM orders
     GROUP BY 1
     """,
 )
-def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram via arithmetic binning (floor/least) — a
+def percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic binning (floor/least — a
     single hash-agg over a computed key; the 20-bin cap keeps the key
     domain tiny so partial aggregation collapses almost everything
-    map-side."""
+    map-side) with exact linear-interpolation percentiles per bin (Spark
+    `percentile` ≡ DuckDB `quantile_cont`). The exact percentile needs a
+    per-group sort — the 100-TB path is approx_percentile (t-digest
+    sketch, map-side mergeable), which is engine-specific and therefore
+    not the oracle-checked variant."""
     o = load_table(spark, sf_dir, "orders")
     bin_ = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("bigint")
     return o.groupBy(bin_.alias("bin")).agg(
         F.count("*").alias("n"),
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95_price"),
     )
 
 
 @register(
-    "unpivot_melt",
+    "salted_skew",
     oracle="""
-    SELECT p_partkey, kind, CAST(val AS DOUBLE) AS val
-    FROM (
-      SELECT p_partkey,
-             CAST(p_size AS DOUBLE) AS size_val,
-             CAST(p_retailprice AS DOUBLE) AS price_val
-      FROM part
+    WITH dim(event_type, type_rank) AS (
+      VALUES ('click', 1), ('view', 2), ('purchase', 3), ('signup', 4), ('error', 5)
     )
-    UNPIVOT (val FOR kind IN (size_val, price_val))
-    """,
-)
-def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide→long melt): the inverse of pivot_agg. Spark rewrites
-    to an Expand node — each input row emits one row per value column, no
-    shuffle at all."""
-    p = load_table(spark, sf_dir, "part")
-    return (
-        p.select(
-            "p_partkey",
-            F.col("p_size").cast("double").alias("size_val"),
-            F.col("p_retailprice").cast("double").alias("price_val"),
-        )
-        .unpivot("p_partkey", ["size_val", "price_val"], "kind", "val")
-    )
-
-
-@register(
-    "salted_skew_agg",
-    oracle="""
-    SELECT event_type, COUNT(*) AS n,
+    SELECT e.event_type, d.type_rank, COUNT(*) AS n,
       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
       CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
-    FROM events GROUP BY event_type
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.type_rank
     """,
 )
-def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-phase aggregation over the 5 hot event types
-    (operators.skew.salted_agg): phase 1 shuffles on (key, salt) so each
-    hot key spreads over 16 reducers; phase 2 merges 5×16 partial rows.
-    Exact — the oracle is the plain unsalted GROUP BY."""
+def salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both skew-mitigation operators in one flow over the 5 hot event
+    types: a replicated-salt join of the hot-keyed events fact against a
+    5-row dim (operators.skew.salted_join — dim replicated 16x, join key
+    becomes (event_type, salt)), then a salted two-phase aggregation
+    (operators.skew.salted_agg — phase 1 shuffles on (key, salt) so each
+    hot key spreads over 16 reducers; phase 2 merges 5×16 partial rows).
+    Exact — the oracle is the plain join + unsalted GROUP BY."""
     from .operators.skew import salted_agg as salted
+    from .operators.skew import salted_join as sjoin
 
     e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        "event_type string, type_rank int",
+    )
+    joined = sjoin(e, dim, "event_type", unique_col="event_id", buckets=16)
     return salted(
-        e,
-        ["event_type"],
+        joined,
+        ["event_type", "type_rank"],
         {
             "n": (F.count("*"), F.sum("n")),
             "sum_value": (F.sum(dec2("value")), dsum(F.col("sum_value"))),
@@ -1960,50 +1906,37 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "salted_skew_join",
-    oracle="""
-    WITH dim(event_type, type_rank) AS (
-      VALUES ('click', 1), ('view', 2), ('purchase', 3), ('signup', 4), ('error', 5)
-    )
-    SELECT e.event_id, e.event_type, d.type_rank
-    FROM events e JOIN dim d ON e.event_type = d.event_type
-    """,
-)
-def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replicated-salt join of the hot-keyed events fact against a 5-row
-    dim (operators.skew.salted_join): dim replicated 16x, join key becomes
-    (event_type, salt). Identical result to the plain join (the oracle)."""
-    from .operators.skew import salted_join as sjoin
-
-    e = load_table(spark, sf_dir, "events")
-    dim = spark.createDataFrame(
-        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
-        "event_type string, type_rank int",
-    )
-    return sjoin(e, dim, "event_type", unique_col="event_id", buckets=16).select(
-        "event_id", "event_type", "type_rank"
-    )
-
-
-@register(
-    "window_rank_family",
+    "window_rank_frames",
     oracle="""
     SELECT o_orderkey,
       CAST(rank()         OVER w AS BIGINT) AS rnk,
       CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
       CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
       round(percent_rank() OVER w, 6) AS pct_rank,
-      round(cume_dist()    OVER w, 6) AS cdist
+      round(cume_dist()    OVER w, 6) AS cdist,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER r AS DOUBLE) AS near_sum,
+      CAST(COUNT(*) OVER r AS BIGINT) AS near_n
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+           r AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
     """,
 )
-def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full rank family over a total order (unique orderkey tiebreak):
     rank, dense_rank, ntile, percent_rank, cume_dist — one in-partition
-    sort serves all five."""
+    sort serves all five — plus a value-based RANGE frame (all orders
+    within $10k below the current price, frame defined by the ORDER BY
+    value, not row offsets; decimal sum keeps it exact on both engines).
+    Both windows share the o_orderstatus partitioning, so Catalyst plans
+    them over ONE exchange."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    r = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
     return o.select(
         "o_orderkey",
         F.rank().over(w).cast("bigint").alias("rnk"),
@@ -2011,36 +1944,8 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
-    )
-
-
-@register(
-    "window_range_frame",
-    oracle="""
-    SELECT o_orderkey,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
-        PARTITION BY o_orderstatus ORDER BY o_totalprice
-        RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
-      CAST(COUNT(*) OVER (
-        PARTITION BY o_orderstatus ORDER BY o_totalprice
-        RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_n
-    FROM orders
-    """,
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-based RANGE frame (all orders within $10k below the current
-    price): the frame is defined by the ORDER BY value, not row offsets.
-    Decimal sum keeps the frame aggregate exact on both engines."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy("o_totalprice")
-        .rangeBetween(-10000, Window.currentRow)
-    )
-    return o.select(
-        "o_orderkey",
-        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("near_sum"),
-        F.count("*").over(w).cast("bigint").alias("near_n"),
+        F.sum(dec2("o_totalprice")).over(r).cast("double").alias("near_sum"),
+        F.count("*").over(r).cast("bigint").alias("near_n"),
     )
 
 
@@ -2099,169 +2004,6 @@ def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart to the hyperplane-LSH scale path, fully oracle-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8)
-
-
-@register(
-    "fuzzy_levenshtein",
-    oracle="""
-    SELECT a.n_name AS a_name, b.n_name AS b_name,
-           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
-    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-    WHERE levenshtein(a.n_name, b.n_name) <= 6
-    """,
-)
-def fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string matching: edit-distance self-join on nation names with
-    a distance cap. At 100 TB a raw theta-join is O(n²) — the scale path
-    prefixes it with a cheap blocker (length band / first-char / q-gram
-    bucket) exactly like the MinHash→verify pattern; the verify kernel is
-    this built-in levenshtein."""
-    n = load_table(spark, sf_dir, "nation")
-    a, b = n.alias("a"), n.alias("b")
-    return (
-        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
-        .withColumn("edit_dist", F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).cast("bigint"))
-        .filter(F.col("edit_dist") <= 6)
-        .select(F.col("a.n_name").alias("a_name"), F.col("b.n_name").alias("b_name"), "edit_dist")
-    )
-
-
-@register(
-    "array_hof",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT vec_id,
-      CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
-      round(list_sum(list_transform(v, x -> abs(x))), 6) AS l1_norm,
-      round(list_max(v), 6) AS max_comp,
-      CASE WHEN len(list_filter(v, x -> abs(x) > 2.5)) > 0 THEN 1 ELSE 0 END AS has_outlier
-    FROM e
-    """,
-)
-def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array higher-order functions as first-class surface: filter /
-    transform+aggregate / array_max / exists over the embedding vectors —
-    all JVM-side expressions, no Python. (list_sum in DuckDB and the
-    left-fold aggregate in Spark accumulate in index order; round(6)
-    absorbs any last-ulp difference.)"""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    return emb.select(
-        "vec_id",
-        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
-        F.round(
-            F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x), 6
-        ).alias("l1_norm"),
-        F.round(F.array_max(v), 6).alias("max_comp"),
-        F.when(F.exists(v, lambda x: F.abs(x) > 2.5), F.lit(1)).otherwise(F.lit(0)).alias("has_outlier"),
-    )
-
-
-@register(
-    "from_json_struct",
-    oracle="""
-    SELECT event_id,
-      CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-      CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
-    FROM events
-    """,
-)
-def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4 generalized as a registry query: schema-declared JSON parse of
-    the props column into a typed struct (`from_json` — the FAILFAST
-    variant and the PERMISSIVE `_corrupt_record` quarantine live in
-    sources/files.py; this is the well-formed path the driver can
-    value-check)."""
-    e = load_table(spark, sf_dir, "events")
-    parsed = e.select(
-        "event_id", F.from_json("props", "k BIGINT").alias("p")
-    )
-    return parsed.select(
-        "event_id",
-        F.col("p.k").alias("k"),
-        F.when(F.col("p").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_valid"),
-    )
-
-
-@register(
-    "regression_agg",
-    oracle="""
-    WITH s AS (
-      SELECT l_returnflag,
-        COUNT(*) AS n,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT l_returnflag, n,
-      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-      round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
-    FROM s
-    """,
-)
-def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Least-squares regression aggregates (price ~ quantity per flag) from
-    exact decimal power sums — the regr_slope/regr_intercept surface with
-    cross-engine-deterministic arithmetic (same technique as stats_agg)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    s = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        dsum(dec2("l_quantity")).alias("sx"),
-        dsum(dec2("l_quantity") * dec2("l_quantity")).alias("sxx"),
-        dsum(dec2("l_extendedprice")).alias("sy"),
-        dsum(dec2("l_quantity") * dec2("l_extendedprice"), 4).alias("sxy"),
-    )
-    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return s.select(
-        "l_returnflag",
-        "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-    )
-
-
-@register(
-    "datetime_extras",
-    oracle="""
-    SELECT o_orderkey,
-      CAST(quarter(o_orderdate) AS BIGINT) AS q,
-      CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
-      CAST(week(o_orderdate) AS BIGINT) AS iso_week,
-      last_day(o_orderdate)::TIMESTAMP AS month_end,
-      round(12 * (year(TIMESTAMP '1998-01-01') - year(o_orderdate))
-            + (month(TIMESTAMP '1998-01-01') - month(o_orderdate))
-            + (day(TIMESTAMP '1998-01-01') - day(o_orderdate)) / 31.0, 6) AS months_to_98,
-      strftime(o_orderdate, '%Y-%m') AS ym
-    FROM orders
-    """,
-)
-def datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second datetime slice: quarter, ISO day-of-week/week-of-year,
-    last_day, month arithmetic, date formatting. ISO conventions chosen
-    because they are the cross-engine-stable ones (Spark weekday is
-    0=Monday → +1 = DuckDB isodow; Spark weekofyear is ISO like DuckDB
-    week). months_between is spelled out arithmetically — Spark's builtin
-    uses a 31-day divisor convention DuckDB lacks."""
-    o = load_table(spark, sf_dir, "orders")
-    ref = F.to_timestamp(F.lit("1998-01-01"))
-    d = F.col("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.quarter(d).cast("bigint").alias("q"),
-        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
-        F.weekofyear(d).cast("bigint").alias("iso_week"),
-        F.last_day(d).cast("timestamp").alias("month_end"),
-        F.round(
-            12 * (F.year(ref) - F.year(d))
-            + (F.month(ref) - F.month(d))
-            + (F.dayofmonth(ref) - F.dayofmonth(d)) / 31.0,
-            6,
-        ).alias("months_to_98"),
-        F.date_format(d, "yyyy-MM").alias("ym"),
-    )
 
 
 @register(

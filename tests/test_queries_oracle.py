@@ -29,10 +29,11 @@ def test_every_query_has_entry():
 
 
 def test_approx_distinct_error_bound(spark):
-    """The query now emits the checkable CONTRACT (exact count + "approx
-    within ±10%" boolean) instead of the engine-specific sketch value; the
-    boolean must hold for every group."""
-    rows = registry.queries()["approx_distinct"](spark, SF_ORACLE).collect()
+    """distinct_agg emits the checkable CONTRACT (exact count + "approx
+    within ±10%" boolean) instead of the engine-specific HLL sketch value;
+    the boolean must hold for every group — this is the authoritative
+    per-group assertion (the oracle column is the expected constant)."""
+    rows = registry.queries()["distinct_agg"](spark, SF_ORACLE).collect()
     assert rows
     for r in rows:
-        assert r["approx_within_10pct"] == 1, (r["event_type"], r["exact_users"])
+        assert r["approx_within_10pct"] == 1, (r["c_mktsegment"], r["n_nations"])
