@@ -4,16 +4,18 @@
 JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once for warm-up-free wall-clock honesty? No — JVM
-and code paths dominate the first run, so we do one warm-up pass of a tiny
-query (JVM/codegen spin-up), then time each headline query once. The
-flagship pipeline is included: it is the reference workload.
+JVM spin-up and codegen dominate first runs, so we do one warm-up pass at
+the smallest SF, then time each headline query N_RUNS times (default 3) and
+report the per-query MEDIAN — single-run timings at this scale have ±25%
+jitter that can't be told apart from a real regression. The flagship
+pipeline is included: it is the reference workload.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -86,15 +88,21 @@ def main() -> None:
         run_df(qs[name](spark, warm_dir))
     run_df(flagship(spark, warm_dir))
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    def timed(fn) -> float:
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            run_df(fn())
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 3)
+
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        run_df(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda: qs[name](spark, sf_dir))
 
-    t0 = time.perf_counter()
-    run_df(flagship(spark, sf_dir))
-    timings["flagship_pipeline"] = round(time.perf_counter() - t0, 3)
+    timings["flagship_pipeline"] = timed(lambda: flagship(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -105,6 +113,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": n_runs,
+                "stat": "median",
             }
         )
     )

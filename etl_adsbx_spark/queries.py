@@ -1025,13 +1025,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokc = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     tf = tokc.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tokc.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; tiny driver-side count, broadcast as literal
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
-        ).alias("tfidf"),
+    # Global scalar subquery (n_docs) folded into the plan as a 1-row
+    # broadcast crossJoin — same pattern as q22_dormant_customers. A
+    # driver-side d.count() here would be a second full scan of documents.
+    n_docs = d.agg(F.count("*").cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df").cast("double")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
@@ -1593,8 +1600,10 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_agg",
     oracle="""
     SELECT event_type,
-      array_to_string(list_sort(list(DISTINCT user_id)), '|') AS users,
-      CAST(len(list(DISTINCT user_id)) AS BIGINT) AS n_users,
+      array_to_string(list_sort(list(DISTINCT user_id)
+                                FILTER (WHERE user_id IS NOT NULL)), '|') AS users,
+      CAST(len(list(DISTINCT user_id)
+               FILTER (WHERE user_id IS NOT NULL)) AS BIGINT) AS n_users,
       COUNT(*) AS n_events
     FROM events GROUP BY event_type
     """,
@@ -1603,7 +1612,10 @@ def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort (order-insensitive list agg — the deterministic
     form of the reference's FeatureCollection assembly, task.ts:252-255).
     The set is '|'-joined to a scalar: the driver canonicalizer cannot
-    hash list cells (same convention as map_funcs)."""
+    hash list cells (same convention as map_funcs). Null semantics pinned
+    explicitly: Spark collect_set drops NULL user_ids, so the oracle's
+    list(DISTINCT ...) carries FILTER (WHERE user_id IS NOT NULL) — DuckDB
+    would otherwise count NULL as a distinct element in n_users."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.array_join(
@@ -1749,8 +1761,10 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN-subquery over an aggregate = semi-join against a
-    HAVING-filtered agg; the hot-key orderkey list is small → broadcast
-    semi-join, then the main 3-way join + agg + total-order top-k."""
+    HAVING-filtered agg; the hot-key orderkey list is usually small, but a
+    low HAVING threshold at 100 TB could blow a forced broadcast — no hint,
+    AQE converts the semi-join to broadcast at runtime when the agg output
+    is actually small. Then the main 3-way join + agg + total-order top-k."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1761,7 +1775,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
         .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(li, F.col("o_orderkey") == li["l_orderkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")

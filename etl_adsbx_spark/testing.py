@@ -40,9 +40,17 @@ def assert_driver_hashable(pdf: pd.DataFrame, side: str) -> None:
     columns fail locally before the driver sees them."""
     for c in pdf.columns:
         if pdf[c].dtype == object and len(pdf):
-            bad = pdf[c].map(
-                lambda v: isinstance(v, (list, tuple, np.ndarray, dict))
-            )
+            # pyspark Row is a tuple subclass: check struct-ness FIRST so
+            # struct-typed outputs get an actionable message, not the
+            # list/array one ('|'-joining a struct makes no sense).
+            structy = pdf[c].map(lambda v: isinstance(v, dict) or hasattr(v, "asDict"))
+            if structy.any():
+                raise AssertionError(
+                    f"{side} column {c!r} has struct-typed cells — the driver "
+                    "canonicalizer cannot hash these; flatten the struct to "
+                    "scalar columns (col('s.a'), col('s.b')) on both sides"
+                )
+            bad = pdf[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray)))
             if bad.any():
                 raise AssertionError(
                     f"{side} column {c!r} has list/array-typed cells — the "
