@@ -58,7 +58,8 @@ OPTIONAL = [
     "tfidf_top_terms",
     "cube_grouping_sets",
     "pivot_unpivot",
-    "media_frames",
+    "media_kernels",
+    "dedup_clusters",
 ]
 
 

@@ -248,6 +248,71 @@ def ngram_jaccard_pairs(
     return joined
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph: every node gets
+    ``cluster_id`` = the minimum node id reachable through the pairs. This
+    is the clustering step of near-dup removal — group LSH/Jaccard pairs
+    into components, then keep one canonical document per component.
+
+    Algorithm: iterative min-label propagation. Each round is one shuffle
+    (edge ⋈ labels on src) + one hash agg (min label per dst) + one left
+    join back onto labels; labels only ever decrease, so convergence is
+    detected by the label-sum fixpoint (an exact decimal sum — no
+    overflow at 10^11 rows × 10^18 ids) without a change-count join.
+
+    100-TB design: LSH near-dup components are quasi-cliques (every pair
+    sharing a band bucket is directly connected), so component diameters
+    are tiny and propagation converges in ~2-4 rounds regardless of data
+    size. For adversarial long-chain graphs the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC '14) bounds rounds at O(log n) with the
+    same per-round join+agg shape — the swap is local to this function.
+    Per-round lineage is truncated with ``localCheckpoint`` (on a real
+    cluster, prefer ``checkpoint`` to reliable storage so lost executors
+    replay one round, not the whole chain).
+
+    Returns (node_id_col, cluster_id).
+    """
+    und = pairs.select(
+        F.col(a_col).cast("bigint").alias("src"), F.col(b_col).cast("bigint").alias("dst")
+    ).union(
+        pairs.select(
+            F.col(b_col).cast("bigint").alias("src"), F.col(a_col).cast("bigint").alias("dst")
+        )
+    )
+    labels = nodes.select(
+        F.col(id_col).cast("bigint").alias("node"),
+        F.col(id_col).cast("bigint").alias("label"),
+    ).localCheckpoint(eager=False)
+    cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        prop = (
+            und.join(labels, und["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("p_node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(prop, labels["node"] == prop["p_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if new_sum == cur_sum:
+            break
+        cur_sum = new_sum
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def token_hash32(tok: Column) -> Column:
     """Portable 32-bit token hash: first 8 hex chars of md5 → bigint.
     Spark `conv(hex,16,10)`; DuckDB `('0x'||hex)::BIGINT` — identical."""

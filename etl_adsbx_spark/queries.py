@@ -874,6 +874,78 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, s, MIN((a * h + b) % {MERSENNE61}) AS minh
+      FROM hashed, (VALUES {_MINHASH_SEED_VALUES}) seeds(s, a, b)
+      GROUP BY doc_id, s
+    ),
+    sig AS (SELECT doc_id, list(minh ORDER BY s) AS sg FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_transform(
+                 list_slice(sg, b*4 + 1, b*4 + 4), x -> x::VARCHAR), '|')) AS bucket
+      FROM sig, range(0, 4) bands(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM cc
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Near-dup CLUSTERING — the step after pair generation in a
+    corpus-dedup pipeline: connected components over the MinHash-LSH pair
+    graph, one ``cluster_id`` (= min doc_id in the component) per document,
+    canonical-doc flag for the keep/drop decision. Iterative min-label
+    propagation (operators.dedup.connected_components); the oracle computes
+    the same fixpoint with a recursive CTE — a full value check for an
+    iterative algorithm, not just a row count."""
+    from .operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    cc = connected_components(pairs, d, id_col="doc_id")
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (
@@ -1631,54 +1703,59 @@ def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "media_resize",
+    "media_kernels",
     oracle="""
-    SELECT doc_id AS media_id,
-           'application/octet-stream' AS mime,
-           CAST(least(octet_length(encode(text)), 1024) AS BIGINT) AS n_bytes_out,
-           sha256(substring(text, 1, 1024)) AS resized_sha
-    FROM documents
-    """,
-)
-def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] Multimodal resize plumbing (operators.multimodal.resize_media):
-    mapInPandas over binary payloads, stub kernel = prefix truncation.
-    Oracle substrings VARCHAR, valid because the synthetic corpus is ASCII
-    (byte == character — the feat_mean oracle already relies on this)."""
-    from .operators.multimodal import documents_as_media, resize_media
-
-    d = load_table(spark, sf_dir, "documents")
-    return resize_media(documents_as_media(d), target_bytes=1024)
-
-
-@register(
-    "media_frames",
-    oracle="""
-    WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents),
+    WITH resize AS (
+      SELECT doc_id AS media_id,
+             'resize' AS kernel,
+             CAST(-1 AS BIGINT) AS frame_idx,
+             CAST(least(octet_length(encode(text)), 1024) AS BIGINT) AS n_bytes,
+             sha256(substring(text, 1, 1024)) AS payload_hash
+      FROM documents
+    ),
+    m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents),
     f AS (
       SELECT media_id, text,
              unnest(generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS frame_idx
       FROM m
     ),
-    c AS (
-      SELECT media_id, frame_idx,
-             substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256) AS chunk
+    frames AS (
+      SELECT media_id, 'frame' AS kernel, frame_idx,
+             CAST(octet_length(encode(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256))) AS BIGINT) AS n_bytes,
+             md5(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS payload_hash
       FROM f WHERE frame_idx % 2 = 0
     )
-    SELECT media_id, frame_idx,
-           CAST(octet_length(encode(chunk)) AS BIGINT) AS n_frame_bytes,
-           md5(chunk) AS frame_md5
-    FROM c
+    SELECT * FROM resize UNION ALL SELECT * FROM frames
     """,
 )
-def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] Frame sampling (operators.multimodal.sample_frames): 1 row →
-    N frame rows via mapInPandas, every-2nd 256-byte chunk. The UDTF-shaped
-    fan-out of a video pipeline with the codec stubbed out."""
-    from .operators.multimodal import documents_as_media, sample_frames
+def media_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Multimodal kernel plumbing, both shapes in one tagged union:
 
-    d = load_table(spark, sf_dir, "documents")
-    return sample_frames(documents_as_media(d), frame_bytes=256, every_n=2)
+    - ``resize`` rows (operators.multimodal.resize_media): mapInPandas over
+      binary payloads, stub kernel = prefix truncation; 1 row per media.
+    - ``frame`` rows (operators.multimodal.sample_frames): the UDTF-shaped
+      1→N fan-out of a video pipeline, every-2nd 256-byte chunk.
+
+    Oracle substrings VARCHAR, valid because the synthetic corpus is ASCII
+    (byte == character — the feat_mean oracle already relies on this)."""
+    from .operators.multimodal import documents_as_media, resize_media, sample_frames
+
+    d = documents_as_media(load_table(spark, sf_dir, "documents"))
+    resized = resize_media(d, target_bytes=1024).select(
+        "media_id",
+        F.lit("resize").alias("kernel"),
+        F.lit(-1).cast("bigint").alias("frame_idx"),
+        F.col("n_bytes_out").alias("n_bytes"),
+        F.col("resized_sha").alias("payload_hash"),
+    )
+    frames = sample_frames(d, frame_bytes=256, every_n=2).select(
+        "media_id",
+        F.lit("frame").alias("kernel"),
+        "frame_idx",
+        F.col("n_frame_bytes").alias("n_bytes"),
+        F.col("frame_md5").alias("payload_hash"),
+    )
+    return resized.unionByName(frames)
 
 
 @register(

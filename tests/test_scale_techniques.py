@@ -137,6 +137,38 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_filter_pushdown_and_column_pruning(spark):
+    """The two scan-level levers that decide whether a 100-TB parquet read
+    touches 100 TB or 100 GB: the selective predicate must reach the scan
+    (PushedFilters), and the scan must read only referenced columns
+    (ReadSchema), not the full 16-column lineitem row."""
+    from etl_adsbx_spark.queries import queries
+
+    df = queries()["q10_returned_revenue"](spark, SF)
+    plan = _physical_plan(df)
+    # predicate pushed into the lineitem parquet scan
+    assert "PushedFilters" in plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    # column pruning: the lineitem ReadSchema carries only the columns the
+    # query references — never the wide unused ones
+    for scan_schema in [s for s in plan.split("ReadSchema: ")[1:]]:
+        line = scan_schema.splitlines()[0]
+        assert "l_comment" not in line and "l_shipinstruct" not in line, line
+
+
+def test_q18_semi_join_no_forced_broadcast(spark):
+    """q18's HAVING-filtered semi-join side must not carry a planner-forced
+    broadcast hint: at 100 TB a low HAVING threshold can make that side
+    arbitrarily large, so the choice belongs to AQE at runtime (which still
+    picks broadcast when the aggregated list is actually small)."""
+    from etl_adsbx_spark.queries import queries
+
+    df = queries()["q18_large_orders"](spark, SF)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint BROADCAST" not in logical
+    assert "hint = broadcast" not in logical.lower()
+
+
 def test_observed_count_no_extra_job(spark):
     """R27 (`ids.size` per batch) as an observe metric: the count rides the
     action the query already runs."""

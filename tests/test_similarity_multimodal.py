@@ -74,3 +74,21 @@ def test_sample_frames_fanout(spark):
         n_chunks = (len(src[mid]) + 15) // 16
         assert len(frames) == (n_chunks + 1) // 2  # every 2nd chunk
         assert all(f.frame_idx % 2 == 0 for f in frames)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Chain topology 1-2-3-4-5 needs multiple propagation rounds (the min
+    label must travel the full diameter) — the case LSH's quasi-clique
+    components never exercise. Plus a 2-cycle component and singletons."""
+    from etl_adsbx_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9), (9, 8)],
+        "a_id long, b_id long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes, id_col="doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 8, 9: 8, 10: 10}
