@@ -81,3 +81,30 @@ def doc_fingerprint(col: Column | str = "text", k: int = 8) -> Column:
     t = F.array_distinct(tokens(col))
     hashed = F.array_sort(F.transform(t, F.md5))
     return F.md5(F.concat_ws("|", F.slice(hashed, 1, k)))
+
+
+def split_bucket(id_col: Column | str = "doc_id", buckets: int = 100) -> Column:
+    """Deterministic hash bucket in [0, buckets) from the document id:
+    first 8 hex chars of md5(id) as an integer, mod buckets. The basis for
+    train/val/test corpus splitting that is stable under re-runs, data
+    growth, repartitioning, and engine version — none of which hold for
+    `rand()`-based sampling. Portable: DuckDB computes the identical
+    bucket with ('0x' || substring(md5(id::VARCHAR), 1, 8))::BIGINT."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return h % F.lit(buckets)
+
+
+def split_assign(
+    id_col: Column | str = "doc_id", train_pct: int = 90, val_pct: int = 5
+) -> Column:
+    """Train/val/test label from the deterministic hash bucket: buckets
+    [0, train) → 'train', [train, train+val) → 'val', rest → 'test'.
+    Per-row expression — no shuffle, no state, exactly reproducible on any
+    cluster size."""
+    b = split_bucket(id_col)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

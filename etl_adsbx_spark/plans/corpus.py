@@ -1,0 +1,115 @@
+"""[EXT] End-to-end corpus-cleaning plan — the composition a training-data
+pipeline actually runs over a raw document crawl, built entirely from the
+operators this engine already verifies individually:
+
+    quality/language gate  (functions.text — per-row, codegen)
+      → exact dedup        (sha256 hash-agg, min doc_id per normalized text)
+      → near-dup clustering (MinHash-LSH pairs → connected components)
+      → canonical keep     (drop non-canonical cluster members)
+      → deterministic split (md5-bucket train/val/test)
+
+100-TB shape: one hash-agg shuffle (exact dedup), one band equi-join +
+CC rounds (near-dup), everything else per-row expressions. No all-pairs
+stage, no window over the full corpus, no driver-side collection. Each
+stage's keep/drop decision is carried as a column so the plan can also
+emit an audit frame (why was each document dropped) without re-running
+anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    normalized_text,
+)
+from ..tables import load_table
+
+
+def clean_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_min: float = 0.5,
+    lang: str = "en",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Returns the cleaned corpus: one row per KEPT document with
+    (doc_id, quality, lang_pred, split) plus the audit columns
+    (drop_reason is NULL for kept rows). Filter `drop_reason IS NULL`
+    is already applied; the audit variant is `corpus_audit`.
+    """
+    return corpus_audit(spark, sf_dir, quality_min, lang, shingle_n).filter(
+        F.col("drop_reason").isNull()
+    )
+
+
+def corpus_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_min: float = 0.5,
+    lang: str = "en",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Every input document with its keep/drop decision:
+
+    drop_reason ∈ (NULL=kept, 'quality', 'language', 'exact_dup',
+    'near_dup'). Decisions cascade in that order — a low-quality doc is
+    dropped as 'quality' even if it is also a duplicate, mirroring the
+    cheapest-gate-first order the stages execute in (per-row gates prune
+    before any shuffle happens).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "text",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+        T.split_assign("doc_id").alias("split"),
+        F.sha2(normalized_text("text"), 256).alias("_sha"),
+    )
+
+    # Per-row gates first: only gate-surviving docs pay for the dedup
+    # shuffles (predicate pushes into both dedup subplans below).
+    gated = feats.filter(
+        (F.col("quality") >= quality_min) & (F.col("lang_pred") == lang)
+    )
+
+    # Exact dedup: canonical = min doc_id per normalized-text hash.
+    exact_keep = gated.groupBy("_sha").agg(F.min("doc_id").alias("_exact_keep"))
+    after_exact = gated.join(exact_keep, "_sha").withColumn(
+        "_is_exact_dup", F.col("doc_id") != F.col("_exact_keep")
+    )
+    exact_survivors = after_exact.filter(~F.col("_is_exact_dup"))
+
+    # Near-dup clustering over the exact-survivors only.
+    pairs = minhash_lsh_pairs(
+        exact_survivors.select("doc_id", "text"), "doc_id", "text", shingle_n
+    )
+    cc = connected_components(pairs, exact_survivors.select("doc_id"), "doc_id")
+    survivors = exact_survivors.join(cc, "doc_id").withColumn(
+        "_is_near_dup", F.col("doc_id") != F.col("cluster_id")
+    )
+
+    audit = (
+        feats.join(
+            survivors.select("doc_id", "cluster_id", "_is_near_dup"), "doc_id", "left"
+        )
+        .join(after_exact.select("doc_id", "_is_exact_dup"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            "lang_pred",
+            "split",
+            "cluster_id",
+            F.when(F.col("quality") < quality_min, F.lit("quality"))
+            .when(F.col("lang_pred") != lang, F.lit("language"))
+            .when(F.col("_is_exact_dup"), F.lit("exact_dup"))
+            .when(F.col("_is_near_dup"), F.lit("near_dup"))
+            .alias("drop_reason"),
+        )
+    )
+    return audit

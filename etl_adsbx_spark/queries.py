@@ -1044,16 +1044,22 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5(array_to_string(
         list_slice(list_sort(list_transform(
           list_distinct(string_split_regex(trim(lower(text)), '\\s+')), x -> md5(x))),
-        1, 8), '|')) AS fingerprint
+        1, 8), '|')) AS fingerprint,
+      ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS split_bucket,
+      CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+           WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+           ELSE 'test' END AS split
     FROM feat
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-quality feature extraction: token counts (whitespace + BPE-ish
     regex), stopword/punctuation ratios, composite quality score, heuristic
-    language ID, and the bottom-k (winnowing-style) document fingerprint
+    language ID, the bottom-k (winnowing-style) document fingerprint
     (md5 over the 8 smallest token-md5s — order-insensitive near-identity
-    signature) — all built-in expressions (functions.text)."""
+    signature), and the deterministic hash-based train/val/test split
+    (90/5/5, stable under re-runs and data growth — functions.text
+    split_bucket/split_assign) — all built-in expressions."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1064,6 +1070,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score("text").alias("quality"),
         T.lang_id("text").alias("lang_pred"),
         T.doc_fingerprint("text", 8).alias("fingerprint"),
+        T.split_bucket("doc_id").alias("split_bucket"),
+        T.split_assign("doc_id").alias("split"),
     )
 
 

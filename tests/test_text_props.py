@@ -84,3 +84,57 @@ def test_quality_score_bounded(spark, texts):
     for r in rows:
         assert r["q"] is None or 0.0 <= r["q"] <= 1.0
         assert r["lang"] in ("en", "unknown")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 15)),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_connected_components_matches_union_find(spark, graphs):
+    """Random multi-graphs (self-loops, duplicates, arbitrary direction)
+    vs a pure-Python union-find: every node's cluster_id must equal the
+    min node id of its component. Graphs are namespaced into one Spark run
+    (no cross-graph edges), so one iterative CC evaluates all of them."""
+    from etl_adsbx_spark.operators.dedup import connected_components
+
+    edges = [
+        (g * 100 + a, g * 100 + b)
+        for g, pairs in enumerate(graphs)
+        for a, b in pairs
+    ]
+    node_ids = sorted({n for e in edges for n in e} | {g * 100 for g in range(len(graphs))})
+
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    roots: dict[int, int] = {}
+    for n in node_ids:
+        r = find(n)
+        roots.setdefault(r, n)  # node_ids sorted -> first seen is min
+        expected[n] = roots[r]
+
+    pairs_df = spark.createDataFrame(edges or [], "a_id long, b_id long")
+    nodes_df = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs_df, nodes_df, id_col="doc_id").collect()
+    }
+    assert got == expected
