@@ -280,12 +280,22 @@ def connected_components(
 
     Returns (node_id_col, cluster_id).
     """
-    und = pairs.select(
-        F.col(a_col).cast("bigint").alias("src"), F.col(b_col).cast("bigint").alias("dst")
-    ).union(
+    # Materialize the edge list once: `pairs` may sit on an expensive
+    # lineage (the whole MinHash-LSH pipeline), and every propagation round
+    # joins against it — without truncation each round's job re-plans that
+    # full subtree (Spark's shuffle-stage reuse usually skips the re-run,
+    # but the edge list is tiny relative to the corpus, so pinning it is
+    # strictly better and makes the per-round cost explicit).
+    und = (
         pairs.select(
-            F.col(b_col).cast("bigint").alias("src"), F.col(a_col).cast("bigint").alias("dst")
+            F.col(a_col).cast("bigint").alias("src"), F.col(b_col).cast("bigint").alias("dst")
         )
+        .union(
+            pairs.select(
+                F.col(b_col).cast("bigint").alias("src"), F.col(a_col).cast("bigint").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select(
         F.col(id_col).cast("bigint").alias("node"),
