@@ -51,9 +51,9 @@ OPTIONAL = [
     "ngram_jaccard_pairs",
     "simhash_docs",
     "embedding_neardup",
-    "cosine_topk",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
+    "ann_topk",
+    "decontaminate",
+    "pack_sequences",
     "text_stats",
     "tfidf_top_terms",
     "cube_grouping_sets",

@@ -42,3 +42,55 @@ def observed_count(df: DataFrame):
 
     obs = Observation()
     return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Distributed global prefix sum: ``out_col`` = sum of ``value_col``
+    over all rows up to and including this one in ``order_cols`` order.
+
+    The naive form — ``Window.orderBy(...)`` with no partition keys —
+    collapses the whole dataset into ONE task (Spark must see every row to
+    order it), which is the single worst scale trap in window functions.
+    This is the textbook two-level rewrite that stays parallel:
+
+    1. ``repartitionByRange(order_cols)`` — range shuffle, partitions are
+       contiguous key ranges (any boundary placement is correct; sampled
+       boundaries only affect balance);
+    2. per-partition running sum: ``Window.partitionBy(partition_id)
+       .orderBy(order_cols)`` — each partition sorts locally in parallel;
+    3. per-partition totals (one tiny row per partition) get their own
+       running sum — at most a few thousand rows, broadcast back as base
+       offsets and added to the local sums.
+
+    Wall-clock at 100 TB: one range shuffle + one local sort, same cost
+    class as a global orderBy; the prefix-sum itself adds a broadcast of
+    #partitions rows. Exactly reproducible for any partition count.
+    """
+    num_parts = num_parts or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(num_parts, *[F.col(c) for c in order_cols])
+    local = part.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = local.withColumn("_local_cum", F.sum(value_col).over(w_local))
+    # tiny frame: one row per partition — a driver-size window is fine here
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_pt"))
+        .withColumn("_base", F.coalesce(F.sum("_pt").over(w_pid), F.lit(0)))
+        .select("_pid", "_base")
+    )
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .withColumn(out_col, (F.col("_base") + F.col("_local_cum")).cast("bigint"))
+        .drop("_pid", "_local_cum", "_base")
+    )

@@ -1128,13 +1128,117 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 23 = 0),
+    hits AS (
+      SELECT s.doc_id, COUNT(DISTINCT s.g) AS nh
+      FROM sh s JOIN ev USING (g) WHERE s.doc_id % 23 != 0 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(nh, 0) AS n_eval_grams,
+           CAST(COALESCE(nh, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+    WHERE d.doc_id % 23 != 0
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Benchmark decontamination: flag training documents sharing any
+    word 5-gram with the eval set (here: a deterministic doc_id % 23 == 0
+    slice standing in for an external benchmark corpus). The canonical
+    train-data hygiene step (GPT-3-style n-gram overlap).
+
+    100-TB shape: eval-side distinct shingles are tiny relative to the
+    train corpus → broadcast hash join against the exploded train shingles
+    (never shuffles the train side); per-doc hit counts partial-aggregate
+    map-side. The train scan is the only full pass."""
+    from .operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 23 != 0)
+    evald = d.filter(F.col("doc_id") % 23 == 0)
+    tr_sh = train.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 5))).alias("g")
+    )
+    ev_sh = (
+        evald.select(F.explode(F.array_distinct(word_shingles("text", 5))).alias("g"))
+        .distinct()
+    )
+    hits = tr_sh.join(F.broadcast(ev_sh), "g").groupBy("doc_id").agg(
+        F.count_distinct("g").alias("nh")
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("nh", F.lit(0)).cast("bigint").alias("n_eval_grams"),
+        (F.coalesce("nh", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS first_chunk,
+           CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_chunks
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Sequence packing, concat-and-chunk style: documents are laid
+    out contiguously in corpus (doc_id) order and cut into fixed 512-token
+    training chunks; each doc reports its global token offset and the chunk
+    range it spans. The offset is a GLOBAL prefix sum — computed with the
+    two-level distributed rewrite (operators.agg.global_running_sum), NOT a
+    partition-less window, which would collapse 100 TB into one task."""
+    from .functions import text as T
+    from .operators.agg import global_running_sum
+
+    budget = 512
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    cum = global_running_sum(t, ["doc_id"], "n_tokens", out_col="_cum")
+    start = F.col("_cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("bigint").alias("first_chunk"),
+        F.floor((F.col("_cum") - 1) / budget).cast("bigint").alias("last_chunk"),
+        (
+            F.floor((F.col("_cum") - 1) / budget) - F.floor(start / budget) + 1
+        ).cast("bigint").alias("n_chunks"),
+    )
+
+
 # =========================================================================
 # [EXT] LLM-pipeline: similarity search (embeddings table)
 # =========================================================================
 
-@register(
-    "cosine_topk",
-    oracle="""
+_COSINE_EXACT_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
          dots AS (
@@ -1157,26 +1261,34 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine_sim DESC, neighbor_id DESC) AS rn
       FROM scored
     ) WHERE rn <= 5
-    """,
-)
-def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 neighbors for query vectors
-    (vec_id < 10) — the oracle-checkable ANN baseline. Higher-order
-    zip_with/aggregate dot products, broadcast query side."""
+"""
+
+
+@register("ann_topk")  # oracle installed below (needs _hyperplane_sig_sql)
+def ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, all three paths in one tagged union over the same
+    query set (vec_id < 10), top-5 each:
+
+    - ``exact``: brute-force cosine — the oracle-checkable baseline
+      (broadcast query side, higher-order zip_with/aggregate dot products);
+    - ``lsh``: hyperplane-LSH bucketed ANN (single-probe) — a 100-TB scale
+      path; deterministic fixed hyperplanes, so fully oracle-replayable;
+    - ``ivf``: IVF-flat ANN (deterministic first-K coarse quantizer) — the
+      inverted-list scale path.
+
+    Recall of the ANN paths vs exact is additionally pinned in tests/."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).select(
+        F.lit("exact").alias("method"), "query_id", "neighbor_id", "cosine_sim"
     )
-
-
-@register("lsh_ann_topk")  # oracle installed below (needs _hyperplane_sig_sql)
-def lsh_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (single-probe): the 100-TB scale path
-    for cosine_topk. The scheme is deterministic (fixed hyperplanes), so a
-    full SQL oracle replays it below (`_ORACLE["lsh_ann_topk"]`); recall
-    against exact cosine_topk is additionally tested in tests/."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    lsh = similarity.lsh_ann_topk(emb, q, k=5).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine_sim"
+    )
+    ivf = similarity.ivf_ann_topk(emb, q, k=5, n_centroids=8).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine_sim"
+    )
+    return exact.unionByName(lsh).unionByName(ivf)
 
 
 # =========================================================================
@@ -1487,7 +1599,7 @@ def _hyperplane_sig_sql(vec_expr: str, nbits: int, dim: int) -> str:
     return " + ".join(parts)
 
 
-_ORACLE["lsh_ann_topk"] = f"""
+_LSH_ANN_SQL = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     s AS (SELECT vec_id, {_hyperplane_sig_sql('v', 8, 64)} AS sig, v FROM e),
     q AS (SELECT vec_id AS query_id, sig, v AS qv FROM s WHERE vec_id < 10),
@@ -1513,6 +1625,61 @@ _ORACLE["lsh_ann_topk"] = f"""
                                    ORDER BY cosine_sim DESC, neighbor_id DESC) AS rn
       FROM scored
     ) WHERE rn <= 5
+"""
+
+_IVF_ANN_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8
+    ),
+    sims AS (
+      SELECT e.vec_id, cents.cent_id,
+        round(SUM(e.v[i] * cents.cv[i])
+              / (sqrt(SUM(e.v[i] * e.v[i])) * sqrt(SUM(cents.cv[i] * cents.cv[i]))), 6) AS s
+      FROM e, cents, range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cid FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id DESC) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10),
+    cand AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id
+      FROM q JOIN assign c ON q.cid = c.cid AND c.vec_id != q.query_id
+    ),
+    dots AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        SUM(qe.v[i] * ce.v[i]) AS dp,
+        SUM(qe.v[i] * qe.v[i]) AS qn,
+        SUM(ce.v[i] * ce.v[i]) AS cn
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+      CROSS JOIN range(1, 65) r(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dp / (sqrt(qn) * sqrt(cn)), 6) AS cosine_sim
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id DESC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+_ORACLE["ann_topk"] = f"""
+    SELECT 'exact' AS method, t.* FROM ({_COSINE_EXACT_SQL}) t
+    UNION ALL
+    SELECT 'lsh' AS method, t.* FROM ({_LSH_ANN_SQL}) t
+    UNION ALL
+    SELECT 'ivf' AS method, t.* FROM ({_IVF_ANN_SQL}) t
 """
 
 
@@ -2046,63 +2213,6 @@ def window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("o_totalprice")).over(r).cast("double").alias("near_sum"),
         F.count("*").over(r).cast("bigint").alias("near_n"),
     )
-
-
-@register(
-    "ivf_ann_topk",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents AS (
-      SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8
-    ),
-    sims AS (
-      SELECT e.vec_id, cents.cent_id,
-        round(SUM(e.v[i] * cents.cv[i])
-              / (sqrt(SUM(e.v[i] * e.v[i])) * sqrt(SUM(cents.cv[i] * cents.cv[i]))), 6) AS s
-      FROM e, cents, range(1, 65) r(i)
-      GROUP BY 1, 2
-    ),
-    assign AS (
-      SELECT vec_id, cent_id AS cid FROM (
-        SELECT vec_id, cent_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id DESC) AS rn
-        FROM sims
-      ) WHERE rn = 1
-    ),
-    q AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id < 10),
-    cand AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id
-      FROM q JOIN assign c ON q.cid = c.cid AND c.vec_id != q.query_id
-    ),
-    dots AS (
-      SELECT cand.query_id, cand.neighbor_id,
-        SUM(qe.v[i] * ce.v[i]) AS dp,
-        SUM(qe.v[i] * qe.v[i]) AS qn,
-        SUM(ce.v[i] * ce.v[i]) AS cn
-      FROM cand
-      JOIN e qe ON qe.vec_id = cand.query_id
-      JOIN e ce ON ce.vec_id = cand.neighbor_id
-      CROSS JOIN range(1, 65) r(i)
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             round(dp / (sqrt(qn) * sqrt(cn)), 6) AS cosine_sim
-      FROM dots
-    )
-    SELECT query_id, neighbor_id, cosine_sim FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine_sim DESC, neighbor_id DESC) AS rn
-      FROM scored
-    ) WHERE rn <= 5
-    """,
-)
-def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] IVF-flat ANN (single-probe, deterministic first-K coarse
-    quantizer — see operators.similarity.ivf_ann_topk): the inverted-list
-    counterpart to the hyperplane-LSH scale path, fully oracle-checked."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8)
 
 
 @register(

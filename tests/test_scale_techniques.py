@@ -178,3 +178,28 @@ def test_observed_count_no_extra_job(spark):
     observed, obs = observed_count(e)
     rows = observed.collect()
     assert obs.get["n_rows"] == len(rows) > 0
+
+
+@pytest.mark.parametrize("num_parts", [1, 4, 32])
+def test_global_running_sum_matches_naive(spark, num_parts):
+    """The two-level distributed prefix sum must equal the naive
+    single-partition window for any partition count."""
+    from etl_adsbx_spark.operators.agg import global_running_sum
+    from pyspark.sql import Window
+
+    e = load_table(spark, SF, "events").select("event_id", "value")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {
+        r["event_id"]: r["cum"]
+        for r in e.withColumn(
+            "cum", F.sum(F.col("value").cast("bigint")).over(w)
+        ).collect()
+    }
+    got = {
+        r["event_id"]: r["running_sum"]
+        for r in global_running_sum(
+            e.withColumn("value", F.col("value").cast("bigint")),
+            ["event_id"], "value", num_parts=num_parts,
+        ).collect()
+    }
+    assert got == naive
