@@ -132,3 +132,54 @@ def test_streaming_tumbling_window_with_watermark(spark):
     q.awaitTermination(120)
     got = {r["window_start"].strftime("%H:%M"): r["n"] for r in out}
     assert got == {"12:00": 1, "12:10": 1, "12:20": 1}
+
+
+def test_streaming_flagship_pipeline(spark):
+    """R29 (task.ts:97-98, 261-264): the reference is a *scheduled
+    micro-batch* job — each tick runs the full control() pipeline on that
+    tick's fetch. Model it exactly: a file stream of observation batches,
+    foreachBatch invoking control() (transform → last-wins dedup →
+    includes join + enrichment → first-wins) and Feature assembly per
+    batch."""
+    import json
+    import os
+
+    from etl_adsbx_spark.fixtures import AIRCRAFT_ROWS, BATCH_TIME, includes_df
+    from etl_adsbx_spark.pipeline import control, to_features
+    from etl_adsbx_spark.schemas import ADSB_SCHEMA
+
+    names = [f.name for f in ADSB_SCHEMA.fields]
+    rows = [dict(zip(names, r)) for r in AIRCRAFT_ROWS]
+    d = tempfile.mkdtemp()
+    half = len(rows) // 2
+    for i, batch in enumerate([rows[:half], rows[half:]]):
+        with open(os.path.join(d, f"b{i}.json"), "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema(ADSB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    inc = includes_df(spark)
+    out = []
+
+    def batch_fn(df, batch_id):
+        feats = to_features(
+            control(df, inc, filtering=True, batch_time=BATCH_TIME)
+        )
+        out.append((batch_id, feats.collect()))
+
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    all_feats = [r for _, fs in out for r in fs]
+    assert len(all_feats) >= 1
+    for r in all_feats:
+        assert r["type"] == "Feature"
+        assert r["properties"]["type"].startswith("a-")
+        assert len(r["geometry"]["coordinates"]) in (2, 3)
