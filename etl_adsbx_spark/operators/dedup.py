@@ -279,6 +279,12 @@ def connected_components(
     replay one round, not the whole chain).
 
     Returns (node_id_col, cluster_id).
+
+    Contract: every id in ``pairs`` must appear in ``nodes`` (edges whose
+    endpoints are unknown nodes are silently ignored by the joins). A
+    component whose diameter exceeds ``max_iter`` would return unconverged
+    labels — raise ``max_iter`` or swap in the star algorithm below for
+    adversarial graphs; LSH pair graphs never get close.
     """
     # Materialize the edge list once: `pairs` may sit on an expensive
     # lineage (the whole MinHash-LSH pipeline), and every propagation round

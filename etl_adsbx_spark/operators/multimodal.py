@@ -183,3 +183,53 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+KERNELS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kernel", StringType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("payload_hash", StringType(), False),
+    ]
+)
+
+
+def media_kernels_pass(
+    media: DataFrame,
+    target_bytes: int = 1024,
+    frame_bytes: int = 256,
+    every_n: int = 2,
+) -> DataFrame:
+    """ALL kernels in ONE decode pass: each payload is decoded once and
+    emits its resize row (kernel='resize', frame_idx=-1, sha256) plus its
+    sampled frame rows (kernel='frame', md5 per chunk). At 100 TB the
+    decode dominates — running resize_media and sample_frames separately
+    would scan and decode every payload twice; this is the fused form."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "kernel": [], "frame_idx": [],
+                "n_bytes": [], "payload_hash": [],
+            }
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                d = decode_media(p, m)
+                r = d[:target_bytes]
+                out["media_id"].append(mid)
+                out["kernel"].append("resize")
+                out["frame_idx"].append(-1)
+                out["n_bytes"].append(len(r))
+                out["payload_hash"].append(hashlib.sha256(r).hexdigest())
+                for i in range(0, (len(d) + frame_bytes - 1) // frame_bytes, every_n):
+                    chunk = d[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["media_id"].append(mid)
+                    out["kernel"].append("frame")
+                    out["frame_idx"].append(i)
+                    out["n_bytes"].append(len(chunk))
+                    out["payload_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=KERNELS_SCHEMA)

@@ -1904,33 +1904,21 @@ def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def media_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] Multimodal kernel plumbing, both shapes in one tagged union:
+    """[EXT] Multimodal kernel plumbing, both shapes in one tagged union
+    from a SINGLE decode pass (operators.multimodal.media_kernels_pass —
+    decoding twice is the 100-TB sin the fused kernel avoids):
 
-    - ``resize`` rows (operators.multimodal.resize_media): mapInPandas over
-      binary payloads, stub kernel = prefix truncation; 1 row per media.
-    - ``frame`` rows (operators.multimodal.sample_frames): the UDTF-shaped
-      1→N fan-out of a video pipeline, every-2nd 256-byte chunk.
+    - ``resize`` rows: mapInPandas over binary payloads, stub kernel =
+      prefix truncation; 1 row per media (sha256 of the thumbnail).
+    - ``frame`` rows: the UDTF-shaped 1→N fan-out of a video pipeline,
+      every-2nd 256-byte chunk (md5 per frame).
 
     Oracle substrings VARCHAR, valid because the synthetic corpus is ASCII
     (byte == character — the feat_mean oracle already relies on this)."""
-    from .operators.multimodal import documents_as_media, resize_media, sample_frames
+    from .operators.multimodal import documents_as_media, media_kernels_pass
 
     d = documents_as_media(load_table(spark, sf_dir, "documents"))
-    resized = resize_media(d, target_bytes=1024).select(
-        "media_id",
-        F.lit("resize").alias("kernel"),
-        F.lit(-1).cast("bigint").alias("frame_idx"),
-        F.col("n_bytes_out").alias("n_bytes"),
-        F.col("resized_sha").alias("payload_hash"),
-    )
-    frames = sample_frames(d, frame_bytes=256, every_n=2).select(
-        "media_id",
-        F.lit("frame").alias("kernel"),
-        "frame_idx",
-        F.col("n_frame_bytes").alias("n_bytes"),
-        F.col("frame_md5").alias("payload_hash"),
-    )
-    return resized.unionByName(frames)
+    return media_kernels_pass(d, target_bytes=1024, frame_bytes=256, every_n=2)
 
 
 @register(
