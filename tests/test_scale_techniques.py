@@ -203,3 +203,59 @@ def test_global_running_sum_matches_naive(spark, num_parts):
         ).collect()
     }
     assert got == naive
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime bloom-filter join pruning: when the selective side of a
+    shuffle join is too big to broadcast, Spark can still build a bloom
+    filter from it and push `might_contain` into the big side's scan —
+    rows that can't match die before the shuffle. The lever between
+    broadcast (small dims) and bare SMJ (huge-huge) at 100 TB."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # sf0.001 files are far below the production thresholds; relax them
+        # so the mechanism (not the sizing heuristics) is what's under test
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(F.col("o_orderstatus") == "P")
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt, opt
+        # and it must not change results
+        plain_n = li.join(
+            o.hint("merge"), li["l_orderkey"] == o["o_orderkey"]
+        ).count()
+        assert j.count() == plain_n
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """percentile_histogram's documented 100-TB path is approx_percentile
+    (t-digest-style sketch, map-side mergeable, no per-group sort). Pin
+    that the sketch at accuracy 10000 stays within 1% of the exact
+    per-group percentile it replaces."""
+    o = load_table(spark, SF, "orders")
+    rows = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01, r
