@@ -183,3 +183,55 @@ def test_streaming_flagship_pipeline(spark):
         assert r["type"] == "Feature"
         assert r["properties"]["type"].startswith("a-")
         assert len(r["geometry"]["coordinates"]) in (2, 3)
+
+
+def test_streaming_exact_text_dedup(spark):
+    """[EXT] Corpus dedup as a stream: documents arrive in micro-batches,
+    exact dedup keys on the normalized-text sha (operators.dedup
+    normalization), and dropDuplicatesWithinWatermark suppresses re-arrivals
+    ACROSS batches with watermark-bounded state — the incremental-ingest
+    form of exact_dedup_docs."""
+    import json
+    import os
+
+    from etl_adsbx_spark.operators.dedup import normalized_text
+    from etl_adsbx_spark.streaming.dedup import streaming_dropdup
+
+    batches = [
+        [{"doc_id": 1, "ts": "2026-01-15 12:00:00", "text": "the quick brown fox"},
+         {"doc_id": 2, "ts": "2026-01-15 12:00:05", "text": "entirely different text"}],
+        # doc 3 = whitespace/case variant of doc 1 -> same normalized sha
+        [{"doc_id": 3, "ts": "2026-01-15 12:00:40", "text": "  The   QUICK brown fox "},
+         {"doc_id": 4, "ts": "2026-01-15 12:00:50", "text": "a third distinct doc"}],
+    ]
+    d = tempfile.mkdtemp()
+    for i, batch in enumerate(batches):
+        with open(os.path.join(d, f"b{i}.json"), "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+        .withColumn("text_sha", F.sha2(normalized_text("text"), 256))
+    )
+    out = []
+
+    def batch_fn(df, _):
+        out.extend(df.collect())
+
+    q = (
+        streaming_dropdup(stream, ["text_sha"], "ts", "10 minutes")
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = sorted(r["doc_id"] for r in out)
+    # exactly one of the two normalized-identical docs (1, 3) survives —
+    # WHICH one depends on file/batch arrival order, so assert the
+    # deduplication property, not an arrival order the source doesn't owe us
+    assert len(kept) == 3
+    assert {2, 4} <= set(kept)
+    assert len({1, 3} & set(kept)) == 1
