@@ -87,13 +87,24 @@ def asof_join(
     """As-of join: for each left row, the latest right row with the same
     key and right_ts <= left_ts (generalizes R21 recency, SURVEY.md §2B).
 
-    Implementation: equi-join on key (sort-merge at scale, AQE-managed),
-    filter the time predicate, then one ``max_by`` aggregation per left row
-    keyed by a unique left id — no window sort over the whole joined set.
-    Left rows with no match are kept with NULL right values.
+    Implementation: the best match is a pure function of ``(left_key,
+    left_ts)``, so the probe side is the *distinct* key/ts pairs — no
+    per-row id at all. (An earlier version keyed left rows with
+    ``monotonically_increasing_id`` and self-joined against an aggregate
+    of the same frame; the id expression is nondeterministic by contract,
+    so a task retry or an unstable source ordering could disagree between
+    the two subplan instances. Content-derived probe keys cannot.)
+    Probes equi-join right on the key (sort-merge at scale, AQE-managed),
+    the time predicate filters, one ``max_by`` per probe picks the latest
+    (ts, tiebreak) — no window sort over the joined set — and a final
+    equi-join on (key, ts) fans the result back onto the full left rows.
+    Deduplicating the probe side also shrinks the expensive time-filter
+    join when left repeats (key, ts). Left rows with no match (including
+    NULL key/ts) keep NULL right values.
     """
-    lid = "_asof_lid"
-    lw = left.withColumn(lid, F.monotonically_increasing_id())
+    probes = left.select(
+        F.col(left_key).alias("_pk"), F.col(left_ts).alias("_pts")
+    ).distinct()
     r = right.select(
         F.col(right_key).alias("_rk"),
         F.col(right_ts).alias("_rts"),
@@ -101,19 +112,26 @@ def asof_join(
         *[F.col(c) for c in right_vals],
     )
     matched = (
-        lw.join(r, (F.col(left_key) == F.col("_rk")) & (F.col("_rts") <= F.col(left_ts)), "inner")
-        .groupBy(lid)
+        probes.join(
+            r, (F.col("_pk") == F.col("_rk")) & (F.col("_rts") <= F.col("_pts")), "inner"
+        )
+        .groupBy("_pk", "_pts")
         .agg(
             F.max_by(
                 F.struct("_rts", *right_vals), F.struct("_rts", "_rtb")
             ).alias("_best")
         )
         .select(
-            F.col(lid),
+            "_pk",
+            "_pts",
             *[F.col(f"_best.{c}").alias(c) for c in ["_rts", *right_vals]],
         )
     )
-    out = lw.join(matched, lid, "left").drop(lid)
+    out = left.join(
+        matched,
+        (left[left_key] == matched["_pk"]) & (left[left_ts] == matched["_pts"]),
+        "left",
+    ).drop("_pk", "_pts")
     return out.withColumnRenamed("_rts", f"asof_{right_ts}")
 
 

@@ -205,6 +205,45 @@ def test_global_running_sum_matches_naive(spark, num_parts):
     assert got == naive
 
 
+def test_asof_join_deterministic_under_repartition(spark):
+    """asof_join must be a pure function of row *content*: repartitioning,
+    shuffling, or re-sorting the left input cannot change the output. (An
+    earlier implementation keyed left rows with monotonically_increasing_id
+    and self-joined against an aggregate of the same frame — partition-
+    layout-dependent by contract; this pins the content-keyed rewrite.)"""
+    from etl_adsbx_spark.operators.joins import asof_join
+
+    e = load_table(spark, SF, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+
+    def run(left):
+        out = asof_join(
+            left,
+            clicks,
+            left_key="user_id",
+            right_key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            tiebreak="click_id",
+            right_vals=["click_id"],
+        )
+        return sorted(
+            (r["event_id"], r["user_id"], r["ts"], r["asof_ts"], r["click_id"])
+            for r in out.collect()
+        )
+
+    base = run(purchases)
+    assert base  # non-degenerate
+    assert run(purchases.repartition(13)) == base
+    assert run(purchases.orderBy(F.col("ts").desc(), F.col("event_id").desc())) == base
+    assert run(purchases.coalesce(1)) == base
+
+
 def test_runtime_bloom_filter_injection(spark):
     """Runtime bloom-filter join pruning: when the selective side of a
     shuffle join is too big to broadcast, Spark can still build a bloom
