@@ -89,7 +89,11 @@ def main() -> None:
         run_df(qs[name](spark, warm_dir))
     run_df(flagship(spark, warm_dir))
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    raw_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")
+    try:
+        n_runs = max(1, int(raw_runs))
+    except ValueError:
+        sys.exit(f"SPARK_GRAFT_BENCH_RUNS must be an integer, got {raw_runs!r}")
 
     def timed(fn) -> float:
         samples = []

@@ -74,7 +74,15 @@ def global_running_sum(
     """
     num_parts = num_parts or df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(num_parts, *[F.col(c) for c in order_cols])
-    local = part.withColumn("_pid", F.spark_partition_id())
+    # Materialize ONE physical partitioning that both consumers below (the
+    # row side and the per-partition `bases` aggregate) read: `_pid` comes
+    # from spark_partition_id() over a *sampled* range shuffle, so if the
+    # two subtrees executed independently (exchange reuse defeated by conf
+    # or plan divergence) the sampler could re-draw boundaries and the two
+    # sides would disagree on partition assignment — wrong base offsets.
+    # A lazy localCheckpoint pins the assignment instead of relying on
+    # ReuseExchange.
+    local = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*[F.col(c) for c in order_cols])

@@ -255,78 +255,213 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components over an undirected pair graph: every node gets
     ``cluster_id`` = the minimum node id reachable through the pairs. This
     is the clustering step of near-dup removal — group LSH/Jaccard pairs
     into components, then keep one canonical document per component.
 
-    Algorithm: iterative min-label propagation. Each round is one shuffle
-    (edge ⋈ labels on src) + one hash agg (min label per dst) + one left
-    join back onto labels; labels only ever decrease, so convergence is
-    detected by the label-sum fixpoint (an exact decimal sum — no
-    overflow at 10^11 rows × 10^18 ids) without a change-count join.
+    Two algorithms, same output contract:
 
-    100-TB design: LSH near-dup components are quasi-cliques (every pair
-    sharing a band bucket is directly connected), so component diameters
-    are tiny and propagation converges in ~2-4 rounds regardless of data
-    size. For adversarial long-chain graphs the alternating large-star /
-    small-star algorithm (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC '14) bounds rounds at O(log n) with the
-    same per-round join+agg shape — the swap is local to this function.
-    Per-round lineage is truncated with ``localCheckpoint`` (on a real
-    cluster, prefer ``checkpoint`` to reliable storage so lost executors
-    replay one round, not the whole chain).
+    - ``algorithm="propagation"`` (default): iterative min-label
+      propagation. Each round is one shuffle (edge ⋈ labels on src) + one
+      hash agg (min label per dst) + one left join back onto labels;
+      labels only ever decrease, so convergence is detected by the
+      label-sum fixpoint (an exact decimal sum — no overflow at 10^11
+      rows × 10^18 ids). The sum rides the round's materializing action as
+      an ``observe`` metric, so each round is exactly ONE Spark job.
+      Rounds scale with component *diameter* — right for LSH near-dup
+      graphs, whose components are quasi-cliques (every pair sharing a
+      band bucket is directly connected; diameters are tiny, ~2-4 rounds
+      regardless of data size).
+    - ``algorithm="star"``: alternating large-star / small-star (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC '14).
+      Each round rewires every edge toward its neighborhood minimum, so
+      rounds scale O(log n) in the *number of nodes*, independent of
+      diameter — the fallback for adversarial long-chain graphs where
+      propagation would need diameter rounds. Per-round cost is two
+      groupBy+join passes (vs one for propagation), so it is not the
+      default for LSH graphs.
+
+    Block/lineage hygiene (both variants): each round's frame is
+    ``persist``-ed and the previous round's is explicitly unpersisted as
+    soon as the new one materializes — no waiting on driver GC /
+    ContextCleaner to free round blocks. Because each round's *logical
+    plan* references the prior round's multiple times (labels twice per
+    propagation round, edges ~12× per star round), lineage would grow
+    exponentially and OOM the analyzer after ~15 rounds; every few rounds
+    an eager ``localCheckpoint`` truncates it (and its persisted parent is
+    freed immediately, so at most one truncation block set per few rounds
+    outlives explicit cleanup, reclaimed by the ContextCleaner). The final
+    labels are returned as an eager ``localCheckpoint`` — self-contained,
+    so re-running actions on the result does not replay the rounds. On a
+    real cluster, prefer ``checkpoint`` to reliable storage so lost
+    executors replay one round, not the whole chain.
 
     Returns (node_id_col, cluster_id).
 
     Contract: every id in ``pairs`` must appear in ``nodes`` (edges whose
     endpoints are unknown nodes are silently ignored by the joins). A
-    component whose diameter exceeds ``max_iter`` would return unconverged
-    labels — raise ``max_iter`` or swap in the star algorithm below for
-    adversarial graphs; LSH pair graphs never get close.
+    graph needing more than ``max_iter`` rounds would return unconverged
+    labels — raise ``max_iter`` or use ``algorithm="star"`` for
+    long-chain graphs; LSH pair graphs never get close.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, nodes, id_col, a_col, b_col, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'propagation' or 'star'")
+    from pyspark.sql import Observation
+
     # Materialize the edge list once: `pairs` may sit on an expensive
     # lineage (the whole MinHash-LSH pipeline), and every propagation round
-    # joins against it — without truncation each round's job re-plans that
+    # joins against it — without pinning, each round's job re-plans that
     # full subtree (Spark's shuffle-stage reuse usually skips the re-run,
     # but the edge list is tiny relative to the corpus, so pinning it is
     # strictly better and makes the per-round cost explicit).
-    und = (
+    und = pairs.select(
+        F.col(a_col).cast("bigint").alias("src"), F.col(b_col).cast("bigint").alias("dst")
+    ).union(
         pairs.select(
-            F.col(a_col).cast("bigint").alias("src"), F.col(b_col).cast("bigint").alias("dst")
+            F.col(b_col).cast("bigint").alias("src"), F.col(a_col).cast("bigint").alias("dst")
         )
-        .union(
-            pairs.select(
-                F.col(b_col).cast("bigint").alias("src"), F.col(a_col).cast("bigint").alias("dst")
-            )
-        )
-        .localCheckpoint(eager=False)
-    )
+    ).persist()
     labels = nodes.select(
         F.col(id_col).cast("bigint").alias("node"),
         F.col(id_col).cast("bigint").alias("label"),
-    ).localCheckpoint(eager=False)
-    cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-    for _ in range(max_iter):
+    )
+    prev_sum: object = ()  # sentinel: () never equals a real sum (incl. None)
+    prev_persisted: DataFrame | None = None
+    for rnd in range(max_iter):
         prop = (
             und.join(labels, und["src"] == labels["node"])
             .groupBy(F.col("dst").alias("p_node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        obs = Observation()
         labels = (
             labels.join(prop, labels["node"] == prop["p_node"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("label_sum"))
+            .persist()
         )
-        new_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-        if new_sum == cur_sum:
+        labels.count()  # the round's single job; fills obs, pins the frame
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = labels
+        # each round's plan embeds the prior round's twice — truncate the
+        # lineage periodically or analysis cost grows 2^rounds
+        if (rnd + 1) % 4 == 0:
+            labels = labels.localCheckpoint(eager=True)
+            prev_persisted.unpersist()
+            prev_persisted = None
+        new_sum = obs.get["label_sum"]
+        if new_sum == prev_sum:
             break
-        cur_sum = new_sum
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+        prev_sum = new_sum
+    out = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    if prev_persisted is not None:
+        prev_persisted.unpersist()
+    und.unpersist()
+    return out
+
+
+def _cc_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., SoCC '14). Edge state is the canonical directed set
+    (src > dst, distinct, self-loops dropped); each round applies
+
+    - large-star: for every center u, connect each *larger* neighbor
+      v > u to m = min(Γ(u) ∪ {u});
+    - small-star: for every center u, connect each smaller neighbor and u
+      itself to m = min of the smaller neighborhood.
+
+    Both steps strictly rewire edges toward component minima; the edge set
+    reaches the star fixpoint (every node points at its component min) in
+    O(log n) rounds. Convergence is detected exactly: same edge count and
+    an empty ``exceptAll`` diff — no checksum heuristics. See
+    ``connected_components`` for the persist/unpersist contract.
+    """
+    e = (
+        pairs.select(
+            F.col(a_col).cast("bigint").alias("u"), F.col(b_col).cast("bigint").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("src"), F.least("u", "v").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    cur_cnt = e.count()
+    prev: DataFrame = e
+    prev_is_persisted = True
+    for rnd in range(max_iter):
+        # large-star over the symmetrized edges
+        sym = prev.union(prev.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        lmin = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("_m"))
+            .withColumn("_m", F.least("_m", F.col("src")))
+        )
+        large = (
+            sym.join(lmin, "src")
+            .where(F.col("dst") > F.col("src"))
+            # _m = min(Γ(u) ∪ {u}) ≤ u < v, so (v, _m) is already src > dst
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .distinct()
+        )
+        # small-star over the large→small directed edges
+        smin = large.groupBy("src").agg(F.min("dst").alias("_m"))
+        nbrs = large.join(smin, "src").select(F.col("dst").alias("v"), "_m")
+        selfs = smin.select(F.col("src").alias("v"), "_m")
+        new_e = (
+            nbrs.union(selfs)
+            .where(F.col("v") != F.col("_m"))
+            # every survivor has v > _m (= min of a set containing smaller ids)
+            .select(F.col("v").alias("src"), F.col("_m").alias("dst"))
+            .distinct()
+            .persist()
+        )
+        new_cnt = new_e.count()
+        converged = new_cnt == cur_cnt and new_e.exceptAll(prev).isEmpty()
+        if prev_is_persisted:
+            prev.unpersist()
+        prev, cur_cnt, prev_is_persisted = new_e, new_cnt, True
+        if converged:
+            break
+        # a star round embeds the prior edge plan ~12× (two symmetrize/
+        # join/agg passes) — truncate every other round or analysis blows
+        # up exponentially (observed: JVM heap OOM near round 8 untruncated)
+        if (rnd + 1) % 2 == 0:
+            prev = prev.localCheckpoint(eager=True)
+            new_e.unpersist()
+            prev_is_persisted = False
+    mins = prev.groupBy("src").agg(F.min("dst").alias("_m"))
+    out = (
+        nodes.select(F.col(id_col).cast("bigint").alias("node"))
+        .join(mins, F.col("node") == mins["src"], "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("_m", F.col("node")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if prev_is_persisted:
+        prev.unpersist()
+    return out
 
 
 def token_hash32(tok: Column) -> Column:

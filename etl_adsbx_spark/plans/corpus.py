@@ -11,9 +11,12 @@ operators this engine already verifies individually:
 100-TB shape: one hash-agg shuffle (exact dedup), one band equi-join +
 CC rounds (near-dup), everything else per-row expressions. No all-pairs
 stage, no window over the full corpus, no driver-side collection. Each
-stage's keep/drop decision is carried as a column so the plan can also
-emit an audit frame (why was each document dropped) without re-running
-anything.
+stage's keep/drop decision is carried as a column, so ``corpus_audit``
+(why was each document dropped) and ``clean_corpus`` (the kept rows) are
+two views of ONE plan. Callers that want both should pay for it once:
+persist/cache the ``corpus_audit`` frame and pass it to ``clean_corpus``
+via ``audit_df`` (or filter it themselves) — two independent calls each
+build and execute the full LSH + connected-components pipeline.
 """
 
 from __future__ import annotations
@@ -36,15 +39,24 @@ def clean_corpus(
     quality_min: float = 0.5,
     lang: str = "en",
     shingle_n: int = 3,
+    audit_df: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the cleaned corpus: one row per KEPT document with
     (doc_id, quality, lang_pred, split) plus the audit columns
     (drop_reason is NULL for kept rows). Filter `drop_reason IS NULL`
     is already applied; the audit variant is `corpus_audit`.
+
+    Callers that also consume the audit should build it once —
+    ``audit = corpus_audit(...).persist()`` — and pass it as ``audit_df``
+    so the expensive dedup stages (LSH join + CC rounds) execute a single
+    time instead of once per consumer.
     """
-    return corpus_audit(spark, sf_dir, quality_min, lang, shingle_n).filter(
-        F.col("drop_reason").isNull()
+    audit = (
+        audit_df
+        if audit_df is not None
+        else corpus_audit(spark, sf_dir, quality_min, lang, shingle_n)
     )
+    return audit.filter(F.col("drop_reason").isNull())
 
 
 def corpus_audit(

@@ -10,6 +10,7 @@ minutes-slow), keeping the property run inside the test-suite budget.
 from __future__ import annotations
 
 import hypothesis.strategies as st
+import pytest
 from hypothesis import given, settings
 from pyspark.sql import functions as F
 
@@ -86,6 +87,7 @@ def test_quality_score_bounded(spark, texts):
         assert r["lang"] in ("en", "unknown")
 
 
+@pytest.mark.parametrize("algorithm", ["propagation", "star"])
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
@@ -98,11 +100,13 @@ def test_quality_score_bounded(spark, texts):
         max_size=4,
     )
 )
-def test_connected_components_matches_union_find(spark, graphs):
+def test_connected_components_matches_union_find(spark, algorithm, graphs):
     """Random multi-graphs (self-loops, duplicates, arbitrary direction)
     vs a pure-Python union-find: every node's cluster_id must equal the
-    min node id of its component. Graphs are namespaced into one Spark run
-    (no cross-graph edges), so one iterative CC evaluates all of them."""
+    min node id of its component, for BOTH the propagation and the
+    large-star/small-star variants. Graphs are namespaced into one Spark
+    run (no cross-graph edges), so one iterative CC evaluates all of
+    them."""
     from etl_adsbx_spark.operators.dedup import connected_components
 
     edges = [
@@ -135,6 +139,35 @@ def test_connected_components_matches_union_find(spark, graphs):
     nodes_df = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(pairs_df, nodes_df, id_col="doc_id").collect()
+        for r in connected_components(
+            pairs_df, nodes_df, id_col="doc_id", algorithm=algorithm
+        ).collect()
     }
+    assert got == expected
+
+
+def test_star_cc_long_chain_beats_diameter(spark):
+    """The adversarial case the star algorithm exists for: a 200-node
+    chain has diameter 199, so min-label propagation would need ~199
+    rounds — large-star/small-star must collapse it within max_iter=20
+    (O(log n) rounds). Mixed with a ring and singletons to keep the
+    component bookkeeping honest."""
+    from etl_adsbx_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(199)]  # nodes 0..199, min 0
+    ring = [(1000 + i, 1000 + (i + 1) % 50) for i in range(50)]  # min 1000
+    singletons = [5000, 5001]
+    edges = chain + ring
+    nodes = sorted({n for e in edges for n in e} | set(singletons))
+    pairs_df = spark.createDataFrame(edges, "a_id long, b_id long")
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs_df, nodes_df, id_col="doc_id", algorithm="star", max_iter=20
+        ).collect()
+    }
+    expected = {n: 0 for n in range(200)}
+    expected.update({1000 + i: 1000 for i in range(50)})
+    expected.update({s: s for s in singletons})
     assert got == expected
