@@ -77,19 +77,53 @@ def decode_media(payload: bytes, mime: str) -> bytes:
     return payload
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def pillow_decode(payload: bytes, mime: str) -> bytes:
+    """Pillow-backed image decode: raw RGB pixel bytes for ``image/*``
+    payloads, identity for everything else (audio/video still need
+    ffmpeg — plug a richer kernel for those). Only importable where
+    Pillow is installed; ``default_decode_kernel`` auto-selects it."""
+    if mime.startswith("image/"):
+        import io
+
+        from PIL import Image
+
+        return Image.open(io.BytesIO(payload)).convert("RGB").tobytes()
+    if mime.startswith(("audio/", "video/")):
+        raise NotImplementedError("audio/video decode needs an ffmpeg-backed kernel")
+    return payload
+
+
+def default_decode_kernel():
+    """The decode kernel every media operator defaults to: Pillow-backed
+    if Pillow is importable in this environment, else the honest stub.
+    Operators take ``decode_fn`` so deployments can inject ffmpeg/custom
+    codecs without touching any plan code; the kernel must be a
+    module-level (picklable) ``bytes, mime -> bytes`` callable, shipped to
+    executors inside the mapInPandas closure."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        return pillow_decode
+    return decode_media
+
+
+def extract_features(media: DataFrame, decode_fn=None) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched: each pandas batch holds many payloads; per-payload work
     is vectorized where possible. Output: byte count, sha256, and a fake
     'feature' (mean byte value) standing in for an embedding model.
+    ``decode_fn`` swaps the decode kernel (default: auto-detected via
+    ``default_decode_kernel``) without touching the Spark plumbing.
     """
     import hashlib
+
+    decode_fn = decode_fn or default_decode_kernel()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             decoded = [
-                decode_media(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+                decode_fn(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame(
                 {
@@ -116,18 +150,20 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_media(media: DataFrame, target_bytes: int = 1024) -> DataFrame:
-    """mapInPandas resize. The kernel is a stub — a real deployment plugs
-    Pillow's `Image.resize` here; for synthetic octet-stream payloads the
+def resize_media(media: DataFrame, target_bytes: int = 1024, decode_fn=None) -> DataFrame:
+    """mapInPandas resize. For synthetic octet-stream payloads the
     deterministic fake is prefix-truncation to ``target_bytes`` (a
-    'thumbnail' is a smaller deterministic function of the payload). Real
-    media mime types raise (no codec libs in this container)."""
+    'thumbnail' is a smaller deterministic function of the payload); a
+    real deployment injects a Pillow `Image.resize` kernel via
+    ``decode_fn`` (default: auto-detected via ``default_decode_kernel``)."""
     import hashlib
+
+    decode_fn = decode_fn or default_decode_kernel()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             resized = [
-                decode_media(p, m)[:target_bytes]
+                decode_fn(p, m)[:target_bytes]
                 for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame(
@@ -153,16 +189,18 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(
-    media: DataFrame, frame_bytes: int = 256, every_n: int = 2
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 2, decode_fn=None
 ) -> DataFrame:
     """mapInPandas frame sampling (1 input row → many frame rows — the
     UDTF-shaped fan-out a video pipeline needs). Kernel stub: a 'frame' is
     the i-th ``frame_bytes`` chunk of the decoded payload; keep every
     ``every_n``-th. A real deployment plugs ffmpeg keyframe extraction
-    here. Output partitioning follows the input — at 100 TB size input
-    partitions by payload bytes (maxPartitionBytes), and the fan-out stays
-    within-partition (no shuffle)."""
+    here via ``decode_fn``. Output partitioning follows the input — at
+    100 TB size input partitions by payload bytes (maxPartitionBytes), and
+    the fan-out stays within-partition (no shuffle)."""
     import hashlib
+
+    decode_fn = decode_fn or default_decode_kernel()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -173,7 +211,7 @@ def sample_frames(
                 "frame_md5": [],
             }
             for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
-                d = decode_media(p, m)
+                d = decode_fn(p, m)
                 for i in range(0, (len(d) + frame_bytes - 1) // frame_bytes, every_n):
                     chunk = d[i * frame_bytes : (i + 1) * frame_bytes]
                     out["media_id"].append(mid)
@@ -201,13 +239,17 @@ def media_kernels_pass(
     target_bytes: int = 1024,
     frame_bytes: int = 256,
     every_n: int = 2,
+    decode_fn=None,
 ) -> DataFrame:
     """ALL kernels in ONE decode pass: each payload is decoded once and
     emits its resize row (kernel='resize', frame_idx=-1, sha256) plus its
     sampled frame rows (kernel='frame', md5 per chunk). At 100 TB the
     decode dominates — running resize_media and sample_frames separately
-    would scan and decode every payload twice; this is the fused form."""
+    would scan and decode every payload twice; this is the fused form.
+    ``decode_fn`` swaps the codec kernel without touching the fusion."""
     import hashlib
+
+    decode_fn = decode_fn or default_decode_kernel()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -216,7 +258,7 @@ def media_kernels_pass(
                 "n_bytes": [], "payload_hash": [],
             }
             for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
-                d = decode_media(p, m)
+                d = decode_fn(p, m)
                 r = d[:target_bytes]
                 out["media_id"].append(mid)
                 out["kernel"].append("resize")

@@ -50,30 +50,37 @@ def cosine_topk(
     return topk_per_group(scored, ["query_id"], F.struct("cosine_sim", "neighbor_id"), k)
 
 
-def hyperplane_weights(nbits: int = 8, dim: int = 64) -> list[list[float]]:
+def hyperplane_weights(
+    nbits: int = 8, dim: int = 64, plane_offset: int = 0
+) -> list[list[float]]:
     """Deterministic ±1.0 weight per (plane p, component j): bit 0 of the
     32-bit int from the first 8 hex chars of md5('p:j') — the same
     construction as ``dedup.token_hash32``, evaluated driver-side with
     hashlib (byte-identical to SQL md5). Precomputing makes the weights
     plan-time literals: the previous formulation evaluated an md5 per
     (row, plane, component) at runtime, and literal weights are what lets
-    the DuckDB oracle embed the identical arrays."""
+    the DuckDB oracle embed the identical arrays. ``plane_offset`` selects
+    planes [offset, offset+nbits) from the same infinite family — table t
+    of a multi-table LSH uses offset t·nbits, and offset 0 is byte-for-byte
+    the single-table family the oracle replays."""
     return [
         [
             1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8], 16) & 1 else -1.0
             for j in range(dim)
         ]
-        for p in range(nbits)
+        for p in range(plane_offset, plane_offset + nbits)
     ]
 
 
-def hyperplane_signature(vec_col, nbits: int = 8, dim: int = 64) -> Column:
+def hyperplane_signature(
+    vec_col, nbits: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane signature: bit p is 1 iff round(Σ_j w_pj·v_j, 6)
     > 0 (rounded so a 1-ulp accumulation difference between engines cannot
     flip a bit). Returns int in [0, 2^nbits)."""
     v = as_double(vec_col)
     sig = F.lit(0)
-    for p, w in enumerate(hyperplane_weights(nbits, dim)):
+    for p, w in enumerate(hyperplane_weights(nbits, dim, plane_offset)):
         proj = F.aggregate(
             F.zip_with(v, F.array(*[F.lit(x) for x in w]), lambda x, wj: x * wj),
             F.lit(0.0),
@@ -112,28 +119,36 @@ def ivf_assign(
     )
 
 
-def ivf_ann_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
+def kmeans_centroids(
+    base: DataFrame,
     n_centroids: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    iters: int = 2,
+    sample_mod: int | None = None,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: coarse-quantize the corpus into
-    ``n_centroids`` inverted lists, search only the query's own list
-    (single-probe). The coarse quantizer is deliberately deterministic —
-    the centroids are the ``n_centroids`` lowest-id vectors — instead of
-    k-means: same operator shape and scale behavior (assignment is a
-    broadcast argmax join; search is an equi-join on the list id), but
-    reproducible and therefore fully oracle-checkable. A production build
-    swaps in sampled k-means centroids without touching the plan shape.
-    Output schema matches ``cosine_topk``; recall < 1 by construction."""
-    base = embeddings.select(
-        F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
-    ).withColumn("_n", norm(F.col("_v")))
+    """Deterministic sampled k-means coarse quantizer for IVF.
+
+    ``base`` carries (_bid, _v, _n). Seeds are the ``n_centroids`` vectors
+    with the lowest md5(_bid) — a deterministic spread sample, unlike
+    lowest-id, which can seed from one insertion-ordered neighborhood.
+    Each Lloyd iteration is the same plan shape the search itself uses:
+    broadcast-argmax assignment (``ivf_assign``) + an element-wise mean
+    per cluster (posexplode → avg per (cluster, pos) → re-assemble; the
+    aggregate is over n_centroids·dim cells — tiny). At 100 TB, fit on a
+    deterministic sample (``sample_mod=m`` keeps _bids with md5 ≡ 0 mod m)
+    and let only the final assignment see the full corpus; the fitted
+    centroid table stays n_centroids rows — broadcast-size — throughout.
+    Returns (_cent_id, _cv, _cn) like the lowid quantizer; clusters that
+    lose all members drop out (standard k-means degeneracy).
+    """
+    fit = base
+    if sample_mod is not None and sample_mod > 1:
+        fit = base.where(
+            F.conv(F.substring(F.md5(F.col("_bid").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % sample_mod == 0
+        )
+    seed_rank = F.md5(F.col("_bid").cast("string"))
     cents = (
-        base.orderBy("_bid")
+        fit.orderBy(seed_rank, "_bid")
         .limit(n_centroids)
         .select(
             F.col("_bid").alias("_cent_id"),
@@ -141,13 +156,97 @@ def ivf_ann_topk(
             F.col("_n").alias("_cn"),
         )
     )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            fit.withColumnRenamed("_bid", "m_id"), cents, "m_id", "m_id"
+        )
+        cents = (
+            assigned.select("_cid", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("_cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy(F.col("_cid").alias("_cent_id"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("_cv")
+            )
+            .withColumn("_cn", norm(F.col("_cv")))
+        )
+    return cents
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "lowid",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists, search only the query's own list
+    (single-probe). Output schema matches ``cosine_topk``; recall < 1 by
+    construction.
+
+    ``centroids="lowid"`` (default): the quantizer is deliberately
+    deterministic-trivial — the ``n_centroids`` lowest-id vectors — so the
+    DuckDB oracle can replay it exactly. ``centroids="kmeans"``: fitted by
+    ``kmeans_centroids`` (deterministic seeds + Lloyd iterations); same
+    plan shape for assignment and search (broadcast argmax join + list
+    equi-join). The oracle path stays on lowid because k-means is not
+    reasonably SQL-replayable.
+
+    ``nprobe``: search the query's top-``nprobe`` lists instead of only
+    the nearest (standard multi-probe IVF). The corpus side still carries
+    exactly one list per vector; only the broadcast-size query side fans
+    out, so scanned candidates scale with ~nprobe/n_centroids of the
+    corpus. Measurement note (tests/test_similarity_multimodal.py):
+    evaluate with queries DISJOINT from the quantizer's seeds — seeding
+    the quantizer with the query vectors themselves (lowid seeds 0..7 vs
+    queries vec_id<10) inflates single-probe recall from ~0.2 to ~0.8 on
+    i.i.d. vectors, a pure evaluation artifact."""
+    base = embeddings.select(
+        F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    if centroids == "kmeans":
+        cents = kmeans_centroids(base, n_centroids)
+    elif centroids == "lowid":
+        cents = (
+            base.orderBy("_bid")
+            .limit(n_centroids)
+            .select(
+                F.col("_bid").alias("_cent_id"),
+                F.col("_v").alias("_cv"),
+                F.col("_n").alias("_cn"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown centroids {centroids!r}: use 'lowid' or 'kmeans'")
     corpus = ivf_assign(
         base.withColumnRenamed("_bid", id_col), cents, id_col, "neighbor_id"
     )
     qv = queries.select(
         F.col(id_col).alias("_qid"), as_double(vec_col).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
-    qs = ivf_assign(qv.withColumnRenamed("_qid", id_col), cents, id_col, "query_id")
+    if nprobe <= 1:
+        qs = ivf_assign(qv.withColumnRenamed("_qid", id_col), cents, id_col, "query_id")
+    else:
+        # multi-probe: rank all centroids per query, keep the top nprobe —
+        # the ranking frame is |queries| × n_centroids rows, broadcast-size
+        sim = F.round(
+            dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6
+        )
+        ranked = (
+            qv.select(F.col("_qid").alias("query_id"), "_v", "_n")
+            .join(F.broadcast(cents))
+            .withColumn("_csim", sim)
+        )
+        qs = topk_per_group(
+            ranked, ["query_id"], F.struct("_csim", "_cent_id"), nprobe
+        ).select("query_id", "_v", "_n", F.col("_cent_id").alias("_cid"))
     scored = (
         corpus.alias("c")
         .join(
@@ -220,10 +319,68 @@ def lsh_ann_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signature, re-rank within
-    bucket. Recall < 1 by construction (single probe); the scale win is the
-    equi-join on the signature. Output schema matches ``cosine_topk``."""
+    bucket. Output schema matches ``cosine_topk``.
+
+    ``n_tables=1`` (default, the oracle-replayable path) is single-probe:
+    recall is (1−θ/π)^nbits per true neighbor — low for weakly-similar
+    random vectors. ``n_tables=L`` is the standard OR-amplification:
+    L independent ``nbits``-bit tables (disjoint plane ranges from the
+    same deterministic family; table 0 ≡ the single-table signature), a
+    candidate matches if ANY table buckets it with the query — recall
+    1−(1−p^nbits)^L. The Spark shape stays an equi-join: ids explode to
+    (table, sig) rows — narrow, no vectors — join on (table, sig),
+    distinct candidate pairs, then one re-rank join pulls the vectors.
+    Measured at sf0.01 (tests/test_similarity_multimodal.py): single-probe
+    8-bit ≈ 0.04, 8 tables × 4 bits ≈ 0.8 recall@5."""
+    if n_tables > 1:
+        bits_sig = lambda df, name: df.select(  # noqa: E731
+            F.col(id_col).alias(name),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            hyperplane_signature(
+                                F.col(vec_col), nbits, dim, plane_offset=t * nbits
+                            ).alias("sig"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("ts"),
+        ).select(name, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+        vec = lambda df, name: df.select(  # noqa: E731
+            F.col(id_col).alias(name), as_double(vec_col).alias(f"_{name}_v")
+        ).withColumn(f"_{name}_n", norm(F.col(f"_{name}_v")))
+        cand = (
+            bits_sig(embeddings, "neighbor_id")
+            .join(
+                F.broadcast(bits_sig(queries, "query_id")),
+                ["t", "sig"],
+            )
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        scored = (
+            cand.join(vec(embeddings, "neighbor_id"), "neighbor_id")
+            .join(F.broadcast(vec(queries, "query_id")), "query_id")
+            .withColumn(
+                "cosine_sim",
+                F.round(
+                    dot(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+                    / (F.col("_query_id_n") * F.col("_neighbor_id_n")),
+                    6,
+                ),
+            )
+            .select("query_id", "neighbor_id", "cosine_sim")
+        )
+        return topk_per_group(
+            scored, ["query_id"], F.struct("cosine_sim", "neighbor_id"), k
+        )
     sig = lambda df, name: df.select(
         F.col(id_col).alias(name),
         as_double(vec_col).alias(f"_{name}_v"),

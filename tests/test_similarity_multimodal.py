@@ -30,6 +30,53 @@ def test_lsh_ann_subset_of_space_and_reasonable_recall(spark):
     assert recall > 0.05, f"recall={recall}"
 
 
+def test_ann_recall_floors_and_kmeans_improvement(spark):
+    """Recall@5 contract of the approximate paths, measured fairly: the
+    query set (vec_id 100..109) is DISJOINT from both quantizers' seed
+    ids — seeding the quantizer with the queries themselves (lowid seeds
+    0..7 vs queries vec_id<10) inflates single-probe IVF recall ~4× on
+    i.i.d. vectors, a pure evaluation artifact this test must not inherit.
+
+    Pins (sf0.01 measured values in BASELINE.md; floors leave margin):
+    - multi-table LSH OR-amplification works: 8 tables × 4 bits ≥ 0.6
+      (the single-probe 8-bit table is near-zero on weakly-similar
+      random vectors), 16 × 4 ≥ 0.85;
+    - k-means centroids beat the lowid quantizer at equal probe budget;
+    - multi-probe IVF recall rises with nprobe, k-means@3-of-8 ≥ 0.6.
+    """
+    from etl_adsbx_spark.operators.similarity import ivf_ann_topk
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(cosine_topk(emb, q, k=5))
+    assert len(exact) == 50
+
+    def recall(df):
+        return len(pairs(df) & exact) / len(exact)
+
+    lsh8x4 = recall(lsh_ann_topk(emb, q, k=5, nbits=4, n_tables=8))
+    lsh16x4 = recall(lsh_ann_topk(emb, q, k=5, nbits=4, n_tables=16))
+    assert lsh8x4 >= 0.6, f"lsh 8x4 recall={lsh8x4}"
+    assert lsh16x4 >= 0.85, f"lsh 16x4 recall={lsh16x4}"
+
+    ivf = {
+        (mode, np_): recall(
+            ivf_ann_topk(emb, q, k=5, n_centroids=8, centroids=mode, nprobe=np_)
+        )
+        for mode in ("lowid", "kmeans")
+        for np_ in (1, 3)
+    }
+    assert ivf[("kmeans", 1)] > ivf[("lowid", 1)], ivf
+    assert ivf[("kmeans", 3)] > ivf[("lowid", 3)] - 0.05, ivf
+    assert ivf[("kmeans", 3)] > ivf[("kmeans", 1)], ivf
+    assert ivf[("kmeans", 3)] >= 0.6, ivf
+
+
 def test_multimodal_plumbing(spark):
     d = load_table(spark, SF, "documents").limit(20)
     feats = extract_features(documents_as_media(d)).collect()
@@ -43,6 +90,58 @@ def test_multimodal_plumbing(spark):
 def test_decode_media_stub_raises_for_real_media():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def _xor_decode(payload: bytes, mime: str) -> bytes:
+    # module-level so the mapInPandas closure pickles it to executors
+    return bytes(b ^ 0xFF for b in payload)
+
+
+def test_decode_kernel_is_pluggable(spark):
+    """Injecting a custom decode_fn must change the decoded bytes every
+    downstream feature sees, with zero plan changes — the contract that
+    lets deployments drop in Pillow/ffmpeg kernels."""
+    import hashlib
+
+    d = load_table(spark, SF, "documents").limit(5)
+    media = documents_as_media(d)
+    stock = {r["media_id"]: r["payload_sha"] for r in extract_features(media).collect()}
+    custom = {
+        r["media_id"]: r["payload_sha"]
+        for r in extract_features(media, decode_fn=_xor_decode).collect()
+    }
+    assert set(stock) == set(custom)
+    assert all(stock[k] != custom[k] for k in stock)
+    # and the custom sha is exactly sha256(xor(payload)) for a known row
+    row = media.orderBy("media_id").first()
+    want = hashlib.sha256(_xor_decode(bytes(row["payload"]), row["mime"])).hexdigest()
+    assert custom[row["media_id"]] == want
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="Pillow not installed in this container",
+)
+def test_pillow_kernel_decodes_real_jpeg(spark):
+    """When Pillow IS present, default_decode_kernel auto-selects the
+    image decoder and a real JPEG flows through the same plumbing."""
+    import io
+
+    from PIL import Image
+
+    from etl_adsbx_spark.operators.multimodal import default_decode_kernel
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, bytearray(jpeg), "image/jpeg", 4, 3)],
+        "media_id long, payload binary, mime string, width long, height long",
+    )
+    feats = extract_features(media).collect()
+    assert len(feats) == 1
+    assert feats[0]["n_bytes"] == 4 * 3 * 3  # raw RGB pixels
+    assert default_decode_kernel().__name__ == "pillow_decode"
     assert decode_media(b"abc", "application/octet-stream") == b"abc"
 
 
