@@ -205,6 +205,32 @@ def test_global_running_sum_matches_naive(spark, num_parts):
     assert got == naive
 
 
+def test_flagship_pipeline_plan_shape(spark):
+    """Pin the flagship pipeline's physical plan (SURVEY §3.4 lifecycle
+    claim): the includes dimension joins as exactly ONE BroadcastHashJoin,
+    and the whole pipeline runs on TWO hash-partition shuffles — one
+    id-keyed exchange SHARED by both keyed dedups (the broadcast join
+    preserves the left partitioning, so first-wins reuses last-wins'
+    shuffle) plus the broadcast-side tiny includes pre-aggregate. No
+    sort-merge join, no cartesian/nested-loop anywhere. A regression that
+    adds a shuffle or demotes the broadcast at 100 TB would 10× the
+    pipeline cost; this test catches it at sf0.001."""
+    import re
+
+    from etl_adsbx_spark.plans.flagship import flagship
+
+    df = flagship(spark, SF)
+    df.collect()  # AQE: final plan exists only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall("BroadcastHashJoin", final)) == 1, final
+    assert "SortMergeJoin" not in final, final
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 2, final
+    assert len(re.findall(r"BroadcastExchange", final)) == 1, final
+
+
 def test_asof_join_deterministic_under_repartition(spark):
     """asof_join must be a pure function of row *content*: repartitioning,
     shuffling, or re-sorting the left input cannot change the output. (An
