@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Scale probe: measure the heavy operators at sf0.1 AND sf1 (10x) in one
+process, median of N runs each, and report the scaling ratio per query.
+
+A ratio near 10 (the data grew 10x) means near-linear scaling; well below
+10 means fixed overhead still dominates at sf0.1 (expected for the
+iterative/LSH queries); well above 10 means something super-linear is
+hiding in the plan and needs fixing before the 100-TB story holds.
+Results are appended to BASELINE.md by hand -- run on an otherwise idle
+box, output is one JSON line.
+
+Usage: python scripts/scale_probe.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_adsbx_spark import queries as registry  # noqa: E402
+from etl_adsbx_spark.session import get_spark  # noqa: E402
+
+PROBE = [
+    "exact_dedup_docs",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "dedup_clusters",
+    "embedding_neardup",
+    "ann_topk",
+    "pack_sequences",
+    "window_running",
+    "q5_regional_revenue",
+    "q18_large_orders",
+]
+
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, "testdata_sf1")
+    sf01_dir = "/root/testdata/sf0.1"
+    spark = get_spark("etl-adsbx-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # warm codegen/JVM at the smallest SF
+    for name in PROBE:
+        qs[name](spark, "/root/testdata/sf0.001").count()
+
+    def timed(name: str, sf_dir: str) -> float:
+        samples = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 3)
+
+    out: dict[str, dict[str, float]] = {}
+    for name in PROBE:
+        t01 = timed(name, sf01_dir)
+        t1 = timed(name, sf1_dir)
+        out[name] = {
+            "sf0.1": t01,
+            "sf1": t1,
+            "ratio": round(t1 / t01, 2) if t01 > 0 else float("nan"),
+        }
+        print(f"## {name}: sf0.1={t01}s sf1={t1}s ratio={out[name]['ratio']}", file=sys.stderr)
+    print(json.dumps({"metric": "scale_probe", "runs": N_RUNS, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
