@@ -268,23 +268,87 @@ def ivf_ann_topk(
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,
-    nbits: int = 4,
+    nbits: int | None = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
+    target_bucket_size: int = 128,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: block by a coarse
     ``nbits``-plane hyperplane signature (equi-join on the bucket), then
-    verify candidates with exact cosine ≥ ``threshold``.
+    verify candidates with exact cosine ≥ ``threshold``. Exact-verify
+    keeps precision = 1; output (a_id, b_id, cosine_sim).
 
-    The blocking is the scale lever: the all-pairs O(n²) comparison becomes
-    an equi-join with ~n²/2^nbits candidate pairs, at the cost of recall
-    (two near-dups land in different buckets with probability
-    1−(1−θ/π)^nbits). Exact-verify keeps precision = 1. Output
-    (a_id, b_id, cosine_sim)."""
+    SIZING IS THE SCALE CONTRACT. A fixed ``nbits`` means a fixed 2^nbits
+    bucket count, so candidate pairs grow ~n²/2^nbits — QUADRATIC in
+    corpus size. The sf0.1→sf1 scale probe measured exactly that: 80× the
+    runtime for 10× the vectors at nbits=4 (BASELINE.md). The bucket
+    count must grow with n: ``nbits=None`` auto-sizes to
+    ceil(log2(n / target_bucket_size)) (one cheap count job at plan
+    time), keeping expected bucket size — and therefore per-vector
+    candidate work — constant, so the pair join scales ~n·B/2 ≈ linearly.
+    Raising nbits lowers per-table recall (a true pair co-buckets with
+    probability (1−θ/π)^nbits); hold recall by raising ``n_tables``
+    (OR-amplification, 1−(1−p^nbits)^L — same equi-join shape: ids
+    explode to (table, sig) rows, candidates distinct, ONE exact-verify
+    pass re-joins the vectors). The registered driver query pins
+    nbits=4, n_tables=1 — the oracle-replayable configuration."""
+    if nbits is None:
+        import math
+
+        n = embeddings.count()
+        nbits = max(1, math.ceil(math.log2(max(n, 2) / target_bucket_size)))
     # norms precomputed per side: cosine = dot/(norm_a·norm_b) evaluates
     # one O(dim) fold per candidate pair instead of three (same FP result —
     # sqrt(Σa²)·sqrt(Σb²) is the exact expression cosine() uses per pair)
+    if n_tables > 1:
+        sigs = embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            hyperplane_signature(
+                                F.col(vec_col), nbits, dim, plane_offset=t * nbits
+                            ).alias("sig"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("ts"),
+        ).select("_id", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+        cand = (
+            sigs.alias("a")
+            .join(
+                sigs.alias("b"),
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+            .distinct()
+        )
+        vec = embeddings.select(
+            F.col(id_col).alias("_vid"), as_double(vec_col).alias("_v")
+        ).withColumn("_n", norm(F.col("_v")))
+        av = vec.select(
+            F.col("_vid").alias("a_id"), F.col("_v").alias("_av"), F.col("_n").alias("_an")
+        )
+        bv = vec.select(
+            F.col("_vid").alias("b_id"), F.col("_v").alias("_bv"), F.col("_n").alias("_bn")
+        )
+        return (
+            cand.join(av, "a_id")
+            .join(bv, "b_id")
+            .withColumn(
+                "cosine_sim",
+                F.round(dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("a_id", "b_id", "cosine_sim")
+        )
     sig = embeddings.select(
         F.col(id_col).alias("_id"),
         as_double(vec_col).alias("_v"),

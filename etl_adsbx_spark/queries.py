@@ -203,8 +203,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join with three broadcast dims + one large
-    fact-fact equi-join; Catalyst reorders the dim filters below the joins."""
+    """TPC-H Q5 shape: star join over one large fact-fact equi-join;
+    Catalyst reorders the dim filters below the joins.
+
+    Broadcast policy: only nation⋈region carries a hint — those dims are
+    FIXED size (25/5 rows) at any scale factor. customer and supplier
+    scale LINEARLY with SF, so forcing them broadcast would ship an
+    arbitrarily large build side at 100 TB; AQE picks broadcast for them
+    at bench scale on its own (runtime sizes ≪ the 64 MB threshold) and
+    switches to shuffle joins when they outgrow it."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -216,13 +223,13 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
             F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
             c["c_nationkey"] == F.col("n_nationkey"),
         )
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == F.col("n_nationkey")),
         )
         .groupBy("n_name")

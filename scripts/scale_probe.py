@@ -32,12 +32,28 @@ PROBE = [
     "simhash_docs",
     "dedup_clusters",
     "embedding_neardup",
+    "embedding_neardup_scaled",
     "ann_topk",
     "pack_sequences",
     "window_running",
     "q5_regional_revenue",
     "q18_large_orders",
 ]
+
+
+def _embedding_neardup_scaled(spark, sf_dir):
+    """The scale-correct config the probe validates: auto-sized bucket
+    count (constant expected bucket size as n grows) + 2 OR-tables. The
+    plain `embedding_neardup` entry keeps the driver query's fixed
+    nbits=4 — the measured-quadratic trap row in BASELINE.md."""
+    from etl_adsbx_spark.operators.similarity import embedding_neardup_pairs
+    from etl_adsbx_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, nbits=None, n_tables=2)
+
+
+SPECIAL = {"embedding_neardup_scaled": _embedding_neardup_scaled}
 
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
@@ -49,6 +65,7 @@ def main() -> None:
     spark = get_spark("etl-adsbx-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
+    qs = {**qs, **SPECIAL}
 
     # warm codegen/JVM at the smallest SF
     for name in PROBE:

@@ -77,6 +77,37 @@ def test_ann_recall_floors_and_kmeans_improvement(spark):
     assert ivf[("kmeans", 3)] >= 0.6, ivf
 
 
+def test_embedding_neardup_scaled_config(spark):
+    """The scale-probe fix (BASELINE.md): multi-table blocking at fixed
+    nbits must find a SUPERSET of the single-table pairs (table 0 shares
+    the single-table planes; OR-amplification only adds candidates), every
+    pair must pass the exact-verify threshold (precision 1), and
+    nbits=None must auto-size the bucket count from the corpus."""
+    from etl_adsbx_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    single = {
+        (r["a_id"], r["b_id"]): r["cosine_sim"]
+        for r in embedding_neardup_pairs(emb, nbits=4).collect()
+    }
+    multi = {
+        (r["a_id"], r["b_id"]): r["cosine_sim"]
+        for r in embedding_neardup_pairs(emb, nbits=4, n_tables=2).collect()
+    }
+    assert set(single) <= set(multi)
+    assert len(multi) > len(single)  # second table genuinely adds recall
+    assert all(v >= 0.3 for v in multi.values())
+    # identical exact-verify scores on the shared pairs
+    assert all(multi[k] == v for k, v in single.items())
+    # auto-sizing: 500 vectors / target 128 → ceil(log2(3.9)) = 2 bits;
+    # coarser buckets than nbits=4 ⇒ at least the single-table pairs
+    auto = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_neardup_pairs(emb, nbits=None).collect()
+    }
+    assert set(single) <= auto
+
+
 def test_multimodal_plumbing(spark):
     d = load_table(spark, SF, "documents").limit(20)
     feats = extract_features(documents_as_media(d)).collect()
