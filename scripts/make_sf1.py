@@ -27,7 +27,9 @@ per-replica key offsets chosen above every key domain's max, so
 
 Everything is a pure function of the input bytes -- no RNG. Output goes to
 testdata_sf1/ (gitignored); parquet schemas are byte-compatible with the
-originals (events.ts stays TIMESTAMP(NANOS) via pyarrow cast).
+originals (the final cast to the source schema preserves whatever physical
+timestamp layout the driver generation shipped -- TIMESTAMP(NANOS) in
+earlier generations, timestamp[us] now; tables.load_table normalizes both).
 """
 
 from __future__ import annotations

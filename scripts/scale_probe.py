@@ -26,6 +26,7 @@ from etl_adsbx_spark import queries as registry  # noqa: E402
 from etl_adsbx_spark.session import get_spark  # noqa: E402
 
 PROBE = [
+    # the heavy dedup/similarity/packing set (the original probe)
     "exact_dedup_docs",
     "minhash_pairs",
     "ngram_jaccard_pairs",
@@ -38,6 +39,29 @@ PROBE = [
     "window_running",
     "q5_regional_revenue",
     "q18_large_orders",
+    # the rest of bench.py's headline set + the flagship pipeline, so the
+    # scaling table covers every benchmarked query, not just the heavies
+    "cot_pipeline",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "rollup_agg",
+    "first_last_events",
+    "asof_join_events",
+    "range_join_events",
+    "topk_per_group",
+    "haversine_geo",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q22_dormant_customers",
+    "time_windows",
+    "decontaminate",
+    "text_stats",
+    "tfidf_top_terms",
+    "cube_grouping_sets",
+    "pivot_unpivot",
+    "media_kernels",
 ]
 
 
