@@ -78,6 +78,88 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return last_wins(hashed, ["text_sha"], F.col(id_col) * -1)
 
 
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit only the batch documents whose normalized text has never been
+    seen: not in the corpus, and first (lowest ``id_col``) within the
+    batch. FIRST-SEEN-WINS — a batch doc whose text already exists in the
+    corpus is dropped even if its id is lower than the corpus copy's,
+    because the corpus copy has already been emitted downstream; this is
+    deliberately different from re-running ``exact_dedup`` over
+    corpus ∪ batch, which could retroactively prefer the batch copy.
+
+    Scale shape: the corpus collapses to DISTINCT text_sha before the
+    anti-join (map-side partial agg on a 64-char key; at a real deployment
+    this is a *maintained* hash-index table — pass it as ``corpus`` with a
+    ``text_sha`` column already present and the agg is free), then the
+    batch left-anti-joins it. The batch is the small side of every
+    incremental tick, so the per-tick cost is one scan of the batch plus
+    an equi-join shuffle keyed on the hash — never a rescan of the corpus
+    text. Returns the admitted batch rows + ``text_sha``.
+    """
+    b = batch.withColumn("text_sha", F.sha2(normalized_text(text_col), 256))
+    if "text_sha" in corpus.columns:
+        seen = corpus.select("text_sha").distinct()
+    else:
+        seen = corpus.select(
+            F.sha2(normalized_text(text_col), 256).alias("text_sha")
+        ).distinct()
+    fresh = b.join(seen, "text_sha", "left_anti")
+    return last_wins(fresh, ["text_sha"], F.col(id_col) * -1)
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup admission of a new batch against an existing corpus: a
+    batch document is admitted iff (a) it shares NO LSH band bucket with
+    any corpus document (first-seen-wins, as in
+    ``incremental_exact_dedup``) and (b) it is the canonical (lowest-id)
+    member of its intra-batch near-dup component — survivors' candidate
+    pairs are clustered with ``connected_components`` and one doc per
+    component survives, exactly the semantics of the full-corpus
+    ``dedup_clusters`` pipeline applied to the batch alone.
+
+    Scale shape: the corpus side reduces to its DISTINCT (band, bucket)
+    signature set — the LSH *index*; production maintains it as a bucketed
+    table, appending admitted docs' signatures per tick, so each tick
+    computes signatures only for the batch and probes with a semi-join
+    keyed on the short bucket hash. Batch-sized frames are the only thing
+    the CC fixpoint ever sees. Returns the admitted batch rows.
+    """
+    bsig = band_signatures(batch, id_col, text_col, shingle_n, num_hashes, bands)
+    if set(corpus.columns) >= {"band", "bucket"}:
+        index = corpus.select("band", "bucket").distinct()
+    else:
+        index = (
+            band_signatures(corpus, id_col, text_col, shingle_n, num_hashes, bands)
+            .select("band", "bucket")
+            .distinct()
+        )
+    collided = (
+        bsig.join(index, ["band", "bucket"], "left_semi").select("_id").distinct()
+    )
+    survivors = batch.join(
+        collided.withColumnRenamed("_id", id_col), id_col, "left_anti"
+    )
+    pairs = minhash_lsh_pairs(
+        survivors, id_col, text_col, shingle_n, num_hashes, bands
+    )
+    labels = connected_components(pairs, survivors.select(id_col), id_col)
+    canonical = labels.where(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return survivors.join(canonical, id_col, "left_semi")
+
+
 def word_shingles(col: Column | str = "text", n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> of space-joined n-grams.
 
@@ -136,7 +218,7 @@ def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
     return F.array(*sigs)
 
 
-def minhash_lsh_pairs(
+def band_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -144,12 +226,14 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """MinHash + LSH near-dup candidate pairs.
+    """Per-document LSH band signatures: shingle → minhash → band hashes.
 
-    Pipeline: shingle → minhash signature → split into ``bands`` bands →
-    band-hash equi-join → distinct (a_id < b_id) pairs. The only shuffle is
-    the band equi-join on a short hash key; at scale each band bucket is
-    small, and AQE splits skewed buckets. Returns (a_id, b_id).
+    Returns (_id, band, bucket) — ``bands`` rows per document. This is the
+    shared first half of every MinHash-LSH operator: the self-join pair
+    enumeration (``minhash_lsh_pairs``) and the batch-vs-corpus incremental
+    admission (``incremental_minhash_dedup``) both join on (band, bucket).
+    At production scale the corpus side of the incremental path persists
+    this frame as a bucketed index table so only the new batch recomputes.
     """
     rows_per_band = num_hashes // bands
     # Stage 1 (the only md5 pass): shingle + hash each shingle to a 32-bit
@@ -167,7 +251,7 @@ def minhash_lsh_pairs(
     sig = hashed.select(
         "_id", minhash_signature(F.col("_h"), num_hashes).alias("_sig")
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.array(
@@ -189,6 +273,24 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs.
+
+    Pipeline: shingle → minhash signature → split into ``bands`` bands →
+    band-hash equi-join → distinct (a_id < b_id) pairs. The only shuffle is
+    the band equi-join on a short hash key; at scale each band bucket is
+    small, and AQE splits skewed buckets. Returns (a_id, b_id).
+    """
+    banded = band_signatures(df, id_col, text_col, shingle_n, num_hashes, bands)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (

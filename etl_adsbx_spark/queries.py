@@ -35,6 +35,7 @@ from .operators.agg import topk_per_group
 from .operators.dedup import (
     MERSENNE61,
     exact_dedup,
+    incremental_exact_dedup,
     minhash_lsh_pairs,
     minhash_params,
     ngram_jaccard_pairs,
@@ -825,17 +826,44 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "exact_dedup_docs",
     oracle="""
-    SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_sha,
-           MIN(doc_id) AS doc_id
-    FROM documents GROUP BY 1
+    WITH norm AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_sha
+      FROM documents
+    )
+    SELECT 'corpus_keep' AS part, text_sha, MIN(doc_id) AS doc_id
+    FROM norm GROUP BY 2
+    UNION ALL
+    SELECT 'incremental_admit' AS part, text_sha, MIN(doc_id) AS doc_id
+    FROM norm b
+    WHERE b.doc_id % 10 = 0
+      AND NOT EXISTS (SELECT 1 FROM norm c
+                      WHERE c.doc_id % 10 != 0 AND c.text_sha = b.text_sha)
+    GROUP BY 2
     """,
 )
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact text dedup: sha256 over normalized text, lowest doc id kept
-    (operators.dedup.exact_dedup — single hash-agg, the cheapest dedup at
-    100 TB)."""
+    """Exact text dedup, both deployment modes as a tagged union:
+
+    - ``corpus_keep``: full-corpus dedup — sha256 over normalized text,
+      lowest doc id kept (operators.dedup.exact_dedup — single hash-agg,
+      the cheapest dedup at 100 TB).
+    - ``incremental_admit``: the per-tick form — docs with doc_id % 10 = 0
+      play a "new batch" deduped against the rest as the existing corpus
+      (operators.dedup.incremental_exact_dedup — corpus collapses to its
+      distinct hash index, batch anti-joins it; first-seen-wins).
+    """
     d = load_table(spark, sf_dir, "documents")
-    return exact_dedup(d, "text", "doc_id").select("text_sha", "doc_id")
+    full = exact_dedup(d, "text", "doc_id").select(
+        F.lit("corpus_keep").alias("part"), "text_sha", "doc_id"
+    )
+    inc = incremental_exact_dedup(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        "text",
+        "doc_id",
+    ).select(F.lit("incremental_admit").alias("part"), "text_sha", "doc_id")
+    return full.unionByName(inc)
 
 
 @register(

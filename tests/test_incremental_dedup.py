@@ -1,0 +1,125 @@
+"""Incremental (batch-vs-corpus) dedup: the per-tick admission form of the
+corpus dedup family. Invariants pinned here; the exact path is also
+driver-oracle-checked via the `exact_dedup_docs` tagged union."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_adsbx_spark.operators.dedup import (
+    band_signatures,
+    exact_dedup,
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
+    minhash_lsh_pairs,
+)
+from etl_adsbx_spark.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def _split(d):
+    return (
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
+def test_incremental_exact_no_corpus_overlap_and_batch_unique(spark):
+    batch, corpus = _split(_docs(spark))
+    admitted = incremental_exact_dedup(batch, corpus)
+    assert admitted.count() > 0
+    # no admitted hash exists in the corpus
+    corpus_sha = exact_dedup(corpus).select("text_sha")
+    assert admitted.join(corpus_sha, "text_sha", "left_semi").count() == 0
+    # admitted hashes are unique within the batch result
+    n = admitted.count()
+    assert admitted.select("text_sha").distinct().count() == n
+
+
+def test_incremental_exact_union_covers_all_text(spark):
+    """corpus keeps ∪ admitted batch docs must cover every distinct text of
+    corpus ∪ batch — incremental admission loses no content."""
+    d = _docs(spark)
+    batch, corpus = _split(d)
+    admitted = incremental_exact_dedup(batch, corpus)
+    covered = (
+        exact_dedup(corpus)
+        .select("text_sha")
+        .union(admitted.select("text_sha"))
+        .distinct()
+        .count()
+    )
+    assert covered == exact_dedup(d).count()
+
+
+def test_incremental_exact_first_seen_wins(spark):
+    """A batch doc duplicating corpus text is dropped even when its id is
+    LOWER than the corpus copy's — the corpus copy already shipped."""
+    corpus = spark.createDataFrame([(100, "alpha beta"), (101, "unique text")],
+                                   ["doc_id", "text"])
+    batch = spark.createDataFrame([(1, "alpha  BETA"), (2, "brand new")],
+                                  ["doc_id", "text"])
+    got = sorted(r.doc_id for r in incremental_exact_dedup(batch, corpus).collect())
+    assert got == [2]
+
+
+def test_incremental_exact_accepts_prebuilt_hash_index(spark):
+    """Passing a corpus that already carries text_sha (the maintained index
+    table) must behave identically to hashing the raw corpus."""
+    batch, corpus = _split(_docs(spark))
+    index = corpus.select(
+        F.sha2(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 256
+        ).alias("text_sha")
+    )
+    a = set(r.doc_id for r in incremental_exact_dedup(batch, corpus).collect())
+    b = set(r.doc_id for r in incremental_exact_dedup(batch, index).collect())
+    assert a == b
+
+
+def test_incremental_minhash_no_band_collision_with_corpus(spark):
+    batch, corpus = _split(_docs(spark))
+    admitted = incremental_minhash_dedup(batch, corpus)
+    n = admitted.count()
+    assert 0 < n <= batch.count()
+    asig = band_signatures(admitted)
+    csig = band_signatures(corpus).select("band", "bucket").distinct()
+    assert asig.join(csig, ["band", "bucket"], "left_semi").count() == 0
+
+
+def test_incremental_minhash_intra_batch_canonical(spark):
+    """Within the admitted set no candidate pair survives, and each dropped
+    survivor's component canonical (min id) is admitted."""
+    batch, corpus = _split(_docs(spark))
+    admitted = incremental_minhash_dedup(batch, corpus)
+    assert minhash_lsh_pairs(admitted).count() == 0
+
+
+def test_incremental_minhash_crafted(spark):
+    """Crafted corpus/batch: exact near-dup of a corpus doc is rejected,
+    the intra-batch near-dup pair keeps only the lower id, the novel doc
+    is admitted."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest tonight")
+    intra = ("completely different content about spark engines processing "
+             "huge corpora with deterministic hashing everywhere always")
+    corpus = spark.createDataFrame([(50, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (1, base),                      # dup of corpus -> rejected
+            (2, intra),                     # canonical of intra pair -> admitted
+            (3, intra + " extra"),          # near-dup of 2 -> dropped
+            (4, "totally novel words that share no shingles with anything "
+                "else in this test corpus of documents"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(r.doc_id for r in incremental_minhash_dedup(batch, corpus).collect())
+    assert 1 not in got
+    assert 2 in got and 4 in got
+    assert 3 not in got
