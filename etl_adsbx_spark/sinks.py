@@ -43,3 +43,79 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
+    salt_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Curated-corpus parquet writer: hive-partitioned, small-file-safe,
+    optionally clustered for row-group pruning.
+
+    The naive ``df.write.partitionBy(cols)`` writes one file per (task ×
+    live partition value) — at 100 TB with thousands of tasks and hundreds
+    of partition values that is the classic small-files explosion (memory
+    too: each task holds one open parquet writer PER value it encounters).
+    This writer shuffles first so each hive partition's rows land on
+    exactly ``files_per_partition`` tasks:
+
+    - the shuffle key is (partition_by…, file slot), where the slot is
+      ``pmod(xxhash64(salt_col), files_per_partition)`` — content-derived
+      (deterministic under retry, unlike round-robin), and skew-safe: a
+      single hot partition value still spreads over ``files_per_partition``
+      tasks. Pick ``files_per_partition`` ≈ partition bytes / desired file
+      size. With the default 1, each hive partition is exactly one file.
+    - ``sort_by`` applies ``sortWithinPartitions`` after the shuffle, so
+      parquet row-group min/max stats actually prune on those columns for
+      readers filtering inside a partition.
+    - ``max_records_per_file`` caps runaway files via the DataSource
+      option of the same name (rows, not bytes — estimate from the
+      corpus's average row width).
+    """
+    salt = salt_col or partition_by[-1]
+    slot = F.pmod(F.xxhash64(F.col(salt)), F.lit(max(1, files_per_partition)))
+    out = df.withColumn("_slot", slot).repartition(
+        *[F.col(c) for c in partition_by], F.col("_slot")
+    )
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    w = out.drop("_slot").write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Compact a small-files parquet directory into ~``target_file_bytes``
+    files (the maintenance pass every long-lived ingest needs: per-tick
+    micro-batch writes accumulate thousands of tiny files whose open/footer
+    overhead eventually dominates scans). File count is sized from the
+    *actual on-disk bytes* of the source, never a row-count guess;
+    ``coalesce`` (not ``repartition``) avoids a full shuffle — compaction
+    is IO-bound, so collapsing read tasks is exactly what we want. Returns
+    the target file count. Partitioned layouts: compact per partition (this
+    helper is the flat-directory case; hive-partitioned dirs keep their
+    structure by re-running ``write_corpus`` instead)."""
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total / target_file_bytes))
+    spark.read.parquet(src).coalesce(n_files).write.mode(mode).parquet(dst)
+    return n_files
