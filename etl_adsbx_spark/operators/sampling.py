@@ -1,0 +1,127 @@
+"""[EXT] Deterministic sampling & dataset mixing (BASELINE.json north
+star: assembling a training mix from heterogeneous sources is the step
+right after dedup/quality filtering in every large-scale data pipeline).
+
+Everything here is hash-based and shuffle-free: the keep/repeat decision
+for a row is a pure function of (salt, key), so samples are reproducible
+across runs, machines, and partitionings; adding data never flips the
+decision for existing rows (the property `rand()`-based `df.sample` lacks
+— see operators/skew.py:24-26 for the same hazard in salting). The hash is
+the portable md5-prefix construction shared with the dedup family
+(`token_hash32`), so every sampling expression is DuckDB-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Hash-bucket resolution: rates are quantized to 1/1e6 (0.0001%). A
+#: coarser 1/100 grid would misstate small rates; finer adds nothing at
+#: realistic corpus sizes.
+RESOLUTION = 1_000_000
+
+
+def sample_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform bucket in [0, RESOLUTION) from md5(salt ':' key) — the
+    first 8 hex chars as an integer, mod RESOLUTION. Independent salts
+    give independent buckets (md5 avalanche), so e.g. the train/val/test
+    split (functions.text.split_bucket) and a mixing sample never
+    correlate."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), k.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % RESOLUTION
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose bucket falls
+    below ``fraction``. Pure per-row filter — pushed to the scan, no
+    shuffle, no RNG state; at 100 TB it costs one md5 per row."""
+    return df.where(sample_bucket(key_col, salt) < int(fraction * RESOLUTION))
+
+
+def stratum_rate(
+    strata_col: Column | str, rates: dict[str, float], default: float = 0.0
+) -> Column:
+    """Per-stratum rate as a literal CASE chain (strata values are a small
+    known set — language codes, source names). For an open-ended or
+    data-driven rate table use ``stratified_sample`` with a DataFrame."""
+    c = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    expr: Column = F.lit(float(default))
+    for value, rate in sorted(rates.items()):
+        expr = F.when(c == value, F.lit(float(rate))).otherwise(expr)
+    return expr
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float] | DataFrame,
+    strata_col: str,
+    key_col: str,
+    default: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the dataset-mixing primitive
+    (e.g. keep all en, half de, a tenth of everything else).
+
+    ``rates`` as a dict compiles to a literal CASE chain (zero joins);
+    as a DataFrame (columns: ``strata_col``, ``rate``) it broadcast-joins —
+    the rate table is one row per stratum, broadcast-size by construction.
+    Unmatched strata fall back to ``default``. Sampling within a stratum
+    is uniform and independent across strata (the key, not the stratum,
+    drives the bucket)."""
+    if isinstance(rates, DataFrame):
+        joined = df.join(F.broadcast(rates), strata_col, "left")
+        rate = F.coalesce(F.col("rate"), F.lit(float(default)))
+        return joined.where(
+            sample_bucket(key_col, salt) < (rate * RESOLUTION).cast("bigint")
+        ).drop("rate")
+    rate = stratum_rate(strata_col, rates, default)
+    return df.where(
+        sample_bucket(key_col, salt) < (rate * RESOLUTION).cast("bigint")
+    )
+
+
+def weighted_mix(
+    sources: list[tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Assemble a training mix with per-source weights, allowing
+    upsampling (weight > 1): weight w emits floor(w) full copies of every
+    row plus a hash-sampled (w - floor(w)) fraction. Output adds a
+    ``_rep`` column (0-based copy index) so downstream keys can stay
+    unique — e.g. sequence packing over an upsampled mix keys on
+    (key, _rep).
+
+    Shape: copies come from one `explode(sequence(...))` per source — a
+    per-row generator, no join, no shuffle; the fractional extra copy
+    reuses the same salted-hash filter as ``hash_sample`` with the source
+    index folded into the salt, so the same key sampled from two sources
+    decides independently. Schemas must match across sources
+    (unionByName)."""
+    out: DataFrame | None = None
+    for i, (df, weight) in enumerate(sources):
+        whole = int(weight)
+        frac = weight - whole
+        n_copies = (
+            F.lit(whole)
+            + F.when(
+                sample_bucket(key_col, f"{salt}:{i}") < int(frac * RESOLUTION),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        expanded = (
+            df.withColumn("_n", n_copies)
+            .where(F.col("_n") > 0)
+            .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+            .drop("_n")
+        )
+        out = expanded if out is None else out.unionByName(expanded)
+    assert out is not None, "weighted_mix needs at least one source"
+    return out

@@ -1051,12 +1051,12 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats",
     oracle="""
     WITH t AS (
-      SELECT doc_id, text,
+      SELECT doc_id, text, lang,
              string_split_regex(trim(lower(text)), '\\s+') AS toks
       FROM documents
     ),
     feat AS (
-      SELECT doc_id, text, toks,
+      SELECT doc_id, text, lang, toks,
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
         len(list_filter(toks, x -> list_contains(
@@ -1083,7 +1083,13 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS split_bucket,
       CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
            WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
-           ELSE 'test' END AS split
+           ELSE 'test' END AS split,
+      round(CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+                      WHEN 'fr' THEN 0.5 ELSE 0.25 END, 6) AS mix_rate,
+      CASE WHEN ('0x' || substring(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+                < (CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+                             WHEN 'fr' THEN 0.5 ELSE 0.25 END * 1000000)::BIGINT
+           THEN 1 ELSE 0 END AS mix_keep
     FROM feat
     """,
 )
@@ -1092,9 +1098,15 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex), stopword/punctuation ratios, composite quality score, heuristic
     language ID, the bottom-k (winnowing-style) document fingerprint
     (md5 over the 8 smallest token-md5s — order-insensitive near-identity
-    signature), and the deterministic hash-based train/val/test split
+    signature), the deterministic hash-based train/val/test split
     (90/5/5, stable under re-runs and data growth — functions.text
-    split_bucket/split_assign) — all built-in expressions."""
+    split_bucket/split_assign), and the dataset-mixing decision
+    (operators.sampling: per-language stratified rates, salt-independent
+    of the split buckets) — all built-in expressions."""
+    from .operators.sampling import RESOLUTION, sample_bucket, stratum_rate
+
+    mix_rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5}
+    rate = stratum_rate("lang", mix_rates, default=0.25)
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1107,6 +1119,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.doc_fingerprint("text", 8).alias("fingerprint"),
         T.split_bucket("doc_id").alias("split_bucket"),
         T.split_assign("doc_id").alias("split"),
+        F.round(rate, 6).alias("mix_rate"),
+        F.when(
+            sample_bucket("doc_id", "mix") < (rate * RESOLUTION).cast("bigint"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("mix_keep"),
     )
 
 

@@ -1,0 +1,107 @@
+"""Deterministic sampling / dataset mixing (operators.sampling). The
+stratified decision columns are also driver-oracle-checked via
+`text_stats` (mix_rate / mix_keep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_adsbx_spark.operators.sampling import (
+    RESOLUTION,
+    hash_sample,
+    sample_bucket,
+    stratified_sample,
+    weighted_mix,
+)
+from etl_adsbx_spark.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    d = _docs(spark)
+    a = {r.doc_id for r in hash_sample(d, 0.5, "doc_id").select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(d, 0.5, "doc_id").select("doc_id").collect()}
+    assert a == b
+    # monotone nesting: a 0.2 sample is a subset of the 0.5 sample
+    c = {r.doc_id for r in hash_sample(d, 0.2, "doc_id").select("doc_id").collect()}
+    assert c <= a
+    n = d.count()
+    assert 0.35 * n < len(a) < 0.65 * n  # tolerance at ~500 rows
+
+
+def test_hash_sample_stable_under_data_growth(spark):
+    """Adding rows never flips the decision for existing rows (the
+    property rand()-based sampling lacks)."""
+    d = _docs(spark)
+    half = d.limit(200)
+    kept_half = {r.doc_id for r in hash_sample(half, 0.5, "doc_id").select("doc_id").collect()}
+    kept_all = {r.doc_id for r in hash_sample(d, 0.5, "doc_id").select("doc_id").collect()}
+    half_ids = {r.doc_id for r in half.select("doc_id").collect()}
+    assert kept_half == kept_all & half_ids
+
+
+def test_stratified_rates_dict_and_df_agree(spark):
+    d = _docs(spark)
+    rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5}
+    via_dict = stratified_sample(d, rates, "lang", "doc_id", default=0.25)
+    rates_df = spark.createDataFrame(
+        [(k, v) for k, v in rates.items()], ["lang", "rate"]
+    )
+    via_df = stratified_sample(d, rates_df, "lang", "doc_id", default=0.25)
+    a = {r.doc_id for r in via_dict.select("doc_id").collect()}
+    b = {r.doc_id for r in via_df.select("doc_id").collect()}
+    assert a == b
+    # en is kept in full; other strata actually subsample
+    n_en = d.filter(F.col("lang") == "en").count()
+    assert via_dict.filter(F.col("lang") == "en").count() == n_en
+    assert via_dict.count() < d.count()
+
+
+def test_stratified_sample_independent_of_split(spark):
+    """The mixing salt and the train/val/test split hash are different md5
+    domains — the sample must not preferentially eat one split."""
+    from etl_adsbx_spark.functions.text import split_assign
+
+    d = _docs(spark).withColumn("split", split_assign("doc_id"))
+    kept = stratified_sample(d, {"en": 0.5}, "lang", "doc_id", default=0.5)
+    full = {r.split: r.c for r in d.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    samp = {r.split: r.c for r in kept.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    # train keeps roughly half; tolerance wide (binomial at ~450 rows)
+    assert 0.35 < samp["train"] / full["train"] < 0.65
+
+
+def test_weighted_mix_upsamples(spark):
+    d = _docs(spark).select("doc_id", "lang", "text")
+    n = d.count()
+    mix = weighted_mix([(d, 2.3)], "doc_id")
+    m = mix.count()
+    assert 2.1 * n < m < 2.5 * n
+    # every row has >= 2 copies, _rep distinguishes them
+    per_key = mix.groupBy("doc_id").agg(
+        F.count("*").alias("c"), F.countDistinct("_rep").alias("r")
+    )
+    assert per_key.filter((F.col("c") < 2) | (F.col("c") != F.col("r"))).count() == 0
+
+
+def test_weighted_mix_multi_source_downsample(spark):
+    d = _docs(spark).select("doc_id", "lang", "text")
+    en = d.filter(F.col("lang") == "en")
+    rest = d.filter(F.col("lang") != "en")
+    mix = weighted_mix([(en, 1.0), (rest, 0.5)], "doc_id")
+    n_en, n_rest = en.count(), rest.count()
+    got_en = mix.filter(F.col("lang") == "en").count()
+    got_rest = mix.count() - got_en
+    assert got_en == n_en
+    assert 0.3 * n_rest < got_rest < 0.7 * n_rest
+    assert mix.columns == en.columns + ["_rep"]
+
+
+def test_sample_bucket_range(spark):
+    d = _docs(spark).select(sample_bucket("doc_id").alias("b"))
+    mn, mx = d.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx < RESOLUTION
