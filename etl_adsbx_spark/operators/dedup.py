@@ -376,7 +376,10 @@ def connected_components(
       Rounds scale with component *diameter* — right for LSH near-dup
       graphs, whose components are quasi-cliques (every pair sharing a
       band bucket is directly connected; diameters are tiny, ~2-4 rounds
-      regardless of data size).
+      regardless of data size). The fixpoint iterates ONLY over
+      edge-incident nodes (per-round shuffles are O(|E|), not O(|V|) —
+      in a near-dup corpus almost every document is isolated and re-enters
+      as its own singleton cluster in one final left join).
     - ``algorithm="star"``: alternating large-star / small-star (Kiveris
       et al., "Connected Components in MapReduce and Beyond", SoCC '14).
       Each round rewires every edge toward its neighborhood minimum, so
@@ -428,13 +431,27 @@ def connected_components(
             F.col(b_col).cast("bigint").alias("src"), F.col(a_col).cast("bigint").alias("dst")
         )
     ).persist()
-    labels = nodes.select(
-        F.col(id_col).cast("bigint").alias("node"),
-        F.col(id_col).cast("bigint").alias("label"),
+    # The fixpoint runs ONLY over edge-incident nodes: an isolated node can
+    # never receive a neighbor label, so carrying it through every round
+    # just inflates each round's shuffle from O(|E|) to O(|V|). In a
+    # near-dup corpus |touched| ≈ 2·|pairs| ≪ |docs| (most documents have
+    # no near-duplicate), so rounds shuffle the pair graph, not the corpus;
+    # isolated nodes re-enter as their own singleton cluster in the final
+    # left join below. Round 0 needs no node list and no join at all: the
+    # post-round-0 label of a touched node is min(direct neighborhood ∪
+    # self) — ONE hash agg over the edge list seeds the fixpoint.
+    obs0 = Observation()
+    labels = (
+        und.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("_nbr"))
+        .select("node", F.least(F.col("node"), F.col("_nbr")).alias("label"))
+        .observe(obs0, F.sum(F.col("label").cast("decimal(38,0)")).alias("label_sum"))
+        .persist()
     )
-    prev_sum: object = ()  # sentinel: () never equals a real sum (incl. None)
-    prev_persisted: DataFrame | None = None
-    for rnd in range(max_iter):
+    labels.count()
+    prev_sum: object = obs0.get["label_sum"]
+    prev_persisted: DataFrame | None = labels
+    for rnd in range(1, max_iter):
         prop = (
             und.join(labels, und["src"] == labels["node"])
             .groupBy(F.col("dst").alias("p_node"))
@@ -464,9 +481,16 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    out = labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    out = (
+        nodes.select(F.col(id_col).cast("bigint").alias("node"))
+        .join(labels.withColumnRenamed("node", "t_node"),
+              F.col("node") == F.col("t_node"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
     if prev_persisted is not None:
         prev_persisted.unpersist()
     und.unpersist()
