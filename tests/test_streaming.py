@@ -235,3 +235,68 @@ def test_streaming_exact_text_dedup(spark):
     assert len(kept) == 3
     assert {2, 4} <= set(kept)
     assert len({1, 3} & set(kept)) == 1
+
+
+def test_streaming_incremental_dedup_with_durable_index(spark):
+    """[EXT] The unbounded-history counterpart of the watermark test above:
+    each micro-batch is admitted via operators.dedup.incremental_exact_dedup
+    against a parquet hash index that foreachBatch maintains on disk, so
+    dedup state survives stream restarts and never expires — the production
+    corpus-ingest shape (watermark state bounds memory; the index bounds
+    nothing and lives where the corpus lives)."""
+    import json
+    import os
+
+    from etl_adsbx_spark.operators.dedup import incremental_exact_dedup
+
+    batches = [
+        [{"doc_id": 10, "ts": "2026-01-15 12:00:00", "text": "the quick brown fox"},
+         {"doc_id": 11, "ts": "2026-01-15 12:00:05", "text": "second document"}],
+        # 12 duplicates batch-0's doc 10 (normalized); 13 is new
+        [{"doc_id": 12, "ts": "2026-01-15 13:00:40", "text": "THE  quick  brown fox"},
+         {"doc_id": 13, "ts": "2026-01-15 13:00:50", "text": "third document"}],
+        # 14 duplicates batch-1's doc 13 — far outside any plausible
+        # watermark horizon in event time; the index still rejects it
+        [{"doc_id": 14, "ts": "2026-02-20 09:00:00", "text": "third  DOCUMENT "},
+         {"doc_id": 15, "ts": "2026-02-20 09:00:10", "text": "fourth document"}],
+    ]
+    src = tempfile.mkdtemp()
+    for i, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    index_dir = os.path.join(tempfile.mkdtemp(), "sha_index")
+    corpus_dir = os.path.join(tempfile.mkdtemp(), "corpus")
+
+    def ingest(batch_df, _epoch):
+        spark = batch_df.sparkSession
+        if os.path.isdir(index_dir):
+            index = spark.read.parquet(index_dir)
+        else:
+            index = spark.createDataFrame([], "text_sha string")
+        admitted = incremental_exact_dedup(batch_df, index).localCheckpoint()
+        admitted.write.mode("append").parquet(corpus_dir)
+        admitted.select("text_sha").write.mode("append").parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    # batch arrival order is not owed by the file source, so assert the
+    # dedup property: one survivor per normalized text, cross-batch and
+    # cross-restart, with no watermark horizon involved
+    assert len(kept) == 4
+    assert {11, 15} <= kept
+    assert len({10, 12} & kept) == 1  # "the quick brown fox" admitted once
+    assert len({13, 14} & kept) == 1  # "third document" admitted once
+    index = spark.read.parquet(index_dir)
+    assert index.distinct().count() == 4
