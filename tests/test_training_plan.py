@@ -1,0 +1,79 @@
+"""End-to-end training-data preparation plan (plans.training): clean →
+decontaminate → mix → pack → write, composed from individually-verified
+operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_adsbx_spark.plans.training import decontaminate_against, prepare_training_data
+from etl_adsbx_spark.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_decontaminate_against_drops_overlap(spark):
+    d = load_table(spark, SF_SMALL, "documents")
+    ev = d.filter(F.col("doc_id") % 23 == 0)
+    tr = d.filter(F.col("doc_id") % 23 != 0)
+    out = decontaminate_against(tr, ev)
+    assert out.count() < tr.count()  # synthetic corpus shares shingles
+    # no survivor shares a 5-gram with the eval set
+    from etl_adsbx_spark.operators.dedup import word_shingles
+
+    evg = ev.select(F.explode(word_shingles("text", 5)).alias("g")).distinct()
+    outg = out.select(F.explode(word_shingles("text", 5)).alias("g")).distinct()
+    assert outg.join(evg, "g", "left_semi").count() == 0
+
+
+def test_prepare_training_data_end_to_end(spark, tmp_path):
+    d = load_table(spark, SF_SMALL, "documents")
+    ev = d.filter(F.col("doc_id") % 23 == 0)
+    out_dir = str(tmp_path / "train_corpus")
+    final, counts = prepare_training_data(
+        spark,
+        SF_SMALL,
+        out_dir=out_dir,
+        eval_docs=ev,
+        mix_rates={"src0": 1.0, "src1": 1.0},
+        mix_default=0.5,
+    )
+    # stages only ever shrink the corpus (no mixing weight > 1 here)
+    assert (
+        counts["input"]
+        >= counts["cleaned"]
+        >= counts["decontaminated"]
+        >= counts["mixed"]
+        == counts["written"]
+        > 0
+    )
+    # offsets tile the token stream exactly: sorted by offset, each doc
+    # starts where the previous ended, and the total matches the sum
+    rows = final.orderBy("start_offset").collect()
+    pos = 0
+    for r in rows:
+        assert r.start_offset == pos
+        pos += r.n_tokens
+    assert pos == final.agg(F.sum("n_tokens")).first()[0]
+    # chunk spans consistent with the 512 budget
+    for r in rows:
+        assert r.first_chunk == r.start_offset // 512
+        assert r.last_chunk == (r.start_offset + r.n_tokens - 1) // 512
+    # written corpus is split-partitioned and readable
+    import glob
+
+    assert glob.glob(out_dir + "/split=*"), "no split partitions"
+    back = spark.read.parquet(out_dir)
+    assert back.count() == len(rows)
+    assert set(back.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
+
+
+def test_prepare_training_data_deterministic(spark):
+    a, ca = prepare_training_data(spark, SF_SMALL, mix_rates={"src0": 0.5}, mix_default=0.5)
+    b, cb = prepare_training_data(spark, SF_SMALL, mix_rates={"src0": 0.5}, mix_default=0.5)
+    assert ca == cb
+    ra = sorted((r.doc_id, r.start_offset) for r in a.collect())
+    rb = sorted((r.doc_id, r.start_offset) for r in b.collect())
+    assert ra == rb
