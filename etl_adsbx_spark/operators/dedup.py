@@ -160,6 +160,74 @@ def incremental_minhash_dedup(
     return survivors.join(canonical, id_col, "left_semi")
 
 
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_doc_frac: float = 0.01,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Line-level cross-document dedup (the C4/RefinedWeb boilerplate
+    filter): a line whose normalized form appears in at least
+    ``max(min_docs, min_doc_frac · n_docs)`` DISTINCT documents is
+    boilerplate (nav menus, cookie banners, license footers) and is removed
+    from every document. Returns (id_col, text, n_lines_removed) with each
+    document's surviving lines re-joined in original order; documents
+    reduced to nothing keep an empty text.
+
+    Scale shape: posexplode lines (order survives as the position column) →
+    one hash-agg counting distinct docs per normalized-line hash — the ONLY
+    corpus-body shuffle except the per-doc reassembly agg. The frequent set
+    is joined back by hash; it is small by construction (only lines
+    crossing the threshold), so AQE turns that join into a broadcast. The
+    reassembly sorts line structs per document with ``array_sort`` inside
+    the agg — never a global sort. The doc-count threshold compares against
+    a 1-row count subquery folded in as a broadcast crossJoin (the same
+    shape tfidf uses for n_docs).
+    """
+    n_docs_df = docs.select(F.count("*").alias("_n_docs"))
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    ).withColumn("_lh", F.md5(F.lower(F.trim(F.col("_line")))))
+    freq = (
+        lines.groupBy("_lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .filter(
+            F.col("_nd")
+            >= F.greatest(
+                F.lit(min_docs),
+                F.ceil(F.lit(min_doc_frac) * F.col("_n_docs")).cast("bigint"),
+            )
+        )
+        .select("_lh")
+    )
+    kept = lines.join(freq, "_lh", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            line_sep,
+        ).alias("text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("_n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )
+
+
 def word_shingles(col: Column | str = "text", n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> of space-joined n-grams.
 

@@ -123,3 +123,44 @@ def test_incremental_minhash_crafted(spark):
     assert 1 not in got
     assert 2 in got and 4 in got
     assert 3 not in got
+
+
+def test_strip_boilerplate_lines(spark):
+    from etl_adsbx_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique opening line\nAccept all cookies\nreal content one"),
+            (2, "Accept ALL Cookies  \nreal content two\ncopyright footer"),
+            (3, "accept all cookies\nCOPYRIGHT FOOTER\nreal content three"),
+            (4, "totally clean document\nwith two lines"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_lines(docs, min_doc_frac=0.5).collect()}
+    # cookie banner in 3/4 docs, footer in 2/4 (>= ceil(0.5*4)=2): both removed
+    assert out[1].text == "unique opening line\nreal content one"
+    assert out[1].n_lines_removed == 1
+    assert out[2].text == "real content two"
+    assert out[2].n_lines_removed == 2
+    assert out[3].text == "real content three"
+    assert out[4].text == "totally clean document\nwith two lines"
+    assert out[4].n_lines_removed == 0
+
+
+def test_strip_boilerplate_lines_preserves_order_and_empties(spark):
+    from etl_adsbx_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "z last\na first\nz last\nm middle"),
+            (2, "z last\nboiler\nother"),
+            (3, "boiler\nthird doc"),
+            (4, "boiler"),  # reduced to nothing
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_lines(docs, min_docs=2, min_doc_frac=0.0).collect()}
+    # 'z last' appears twice in doc 1 but only 2 DISTINCT docs carry it
+    assert out[1].text == "a first\nm middle"  # both z-last copies removed
+    assert out[4].text == "" and out[4].n_lines_removed == 1
