@@ -1,1 +1,1 @@
-from . import agg, dedup, joins, multimodal, similarity  # noqa: F401
+from . import agg, dedup, joins, multimodal, sampling, similarity, skew  # noqa: F401

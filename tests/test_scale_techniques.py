@@ -324,3 +324,53 @@ def test_approx_percentile_within_tolerance(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01, r
+
+
+def test_sampling_is_shuffle_free(spark):
+    """The mixing primitives' scale contract: pure per-row decisions —
+    no Exchange anywhere in hash_sample / stratified_sample(dict) /
+    weighted_mix plans."""
+    from etl_adsbx_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+        weighted_mix,
+    )
+    from etl_adsbx_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for df in (
+        hash_sample(d, 0.5, "doc_id"),
+        stratified_sample(d, {"en": 1.0}, "lang", "doc_id", default=0.25),
+        weighted_mix([(d, 2.5)], "doc_id"),
+    ):
+        plan = _physical_plan(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_incremental_exact_dedup_plan_shape(spark):
+    """Anti-join admission: no cartesian product, and the corpus side
+    reduces through a partial hash aggregate before any exchange (the
+    index-collapse claim in the docstring)."""
+    from etl_adsbx_spark.operators.dedup import incremental_exact_dedup
+    from etl_adsbx_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _physical_plan(
+        incremental_exact_dedup(
+            d.filter(F.col("doc_id") % 10 == 0), d.filter(F.col("doc_id") % 10 != 0)
+        )
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_strip_boilerplate_no_global_sort(spark):
+    """Reassembly must sort lines inside the per-doc agg, never globally:
+    no Sort operator outside the hash aggregates, no cartesian."""
+    from etl_adsbx_spark.operators.dedup import strip_boilerplate_lines
+    from etl_adsbx_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = _physical_plan(strip_boilerplate_lines(d))
+    assert "CartesianProduct" not in plan
+    assert "Sort " not in plan  # array_sort is an expression, not an operator

@@ -171,3 +171,55 @@ def test_star_cc_long_chain_beats_diameter(spark):
     expected.update({1000 + i: 1000 for i in range(50)})
     expected.update({s: s for s in singletons})
     assert got == expected
+
+
+incdoc = st.tuples(
+    st.integers(min_value=0, max_value=30),
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=4),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(incdoc, min_size=0, max_size=6), st.lists(incdoc, min_size=0, max_size=6))
+def test_incremental_exact_dedup_matches_reference(spark, raw_corpus, raw_batch):
+    """Differential: incremental_exact_dedup vs a pure-Python model.
+    Expected admissions = lowest batch id per normalized text not present
+    (normalized) in the corpus. Ids are de-duplicated across/within sides
+    so 'lowest id' is well-defined."""
+    import hashlib
+    import re
+
+    from etl_adsbx_spark.operators.dedup import incremental_exact_dedup
+
+    seen_ids = set()
+
+    def dedup_ids(raw, offset):
+        out = []
+        for i, ws in raw:
+            i = i + offset
+            if i not in seen_ids:
+                seen_ids.add(i)
+                out.append((i, " ".join(ws)))
+        return out
+
+    corpus = dedup_ids(raw_corpus, 0)
+    batch = dedup_ids(raw_batch, 100)
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    corpus_shas = {hashlib.sha256(norm(t).encode()).hexdigest() for _, t in corpus}
+    expected = {}
+    for i, t in sorted(batch):
+        h = hashlib.sha256(norm(t).encode()).hexdigest()
+        if h not in corpus_shas and h not in expected:
+            expected[h] = i
+
+    cdf = spark.createDataFrame(corpus or [(None, None)], "doc_id long, text string").filter(
+        F.col("doc_id").isNotNull()
+    )
+    bdf = spark.createDataFrame(batch or [(None, None)], "doc_id long, text string").filter(
+        F.col("doc_id").isNotNull()
+    )
+    got = {r.doc_id for r in incremental_exact_dedup(bdf, cdf).collect()}
+    assert got == set(expected.values())
