@@ -73,6 +73,7 @@ def prepare_training_data(
     mix_default: float = 1.0,
     token_budget: int = 512,
     files_per_partition: int = 1,
+    stage_counts: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full chain over the ``documents`` table; returns
     ``(final_frame, stage_counts)`` and (if ``out_dir``) writes the hive
@@ -85,29 +86,37 @@ def prepare_training_data(
     weights > 1 are built with ``operators.sampling.weighted_mix`` before
     packing; the stratified rates here down-sample only.)
 
-    The audit frame is built ONCE and persisted; every stage count below is
-    a cheap aggregate over it or its descendants, not a re-execution of
-    the dedup pipeline (plans.corpus module docstring).
+    Stage-count cost: the audit frame is built ONCE and persisted — input
+    and cleaned counts are cheap aggregates over it; the decontaminated and
+    mixed counts each re-run their chain prefix, so 100-TB callers that
+    don't need them should pass ``stage_counts=False`` (the written count
+    comes from parquet footers either way). Observe-metric counts riding
+    the final job were tried and REJECTED: the packing stage's prefix sum
+    references its lazily-checkpointed input twice (rows + partition
+    bases, operators/agg.py), so upstream CollectMetrics nodes execute
+    twice per action and double-count.
     """
-    d = load_table(spark, sf_dir, "documents")
     audit = corpus_audit(spark, sf_dir, quality_min, lang).persist()
+    d = load_table(spark, sf_dir, "documents")
     kept_ids = audit.filter(F.col("drop_reason").isNull()).select("doc_id", "split")
     kept = d.join(kept_ids, "doc_id")
 
-    counts: dict[str, int] = {
-        "input": d.count(),
-        "cleaned": kept.count(),
-    }
+    counts: dict[str, int] = {}
+    if stage_counts:
+        counts["input"] = audit.count()  # audit carries one row per input doc
+        counts["cleaned"] = kept_ids.count()  # cheap: persisted-audit aggregate
 
     if eval_docs is not None:
         kept = decontaminate_against(kept, eval_docs)
-        counts["decontaminated"] = kept.count()
+        if stage_counts:
+            counts["decontaminated"] = kept.count()
 
     if mix_rates is not None:
         kept = stratified_sample(
             kept, mix_rates, "source", "doc_id", default=mix_default
         )
-        counts["mixed"] = kept.count()
+        if stage_counts:
+            counts["mixed"] = kept.count()
 
     from ..functions import text as T
 
@@ -141,6 +150,7 @@ def prepare_training_data(
             files_per_partition=files_per_partition,
             salt_col="doc_id",
         )
+        # parquet footers only — not a recompute
         counts["written"] = spark.read.parquet(out_dir).count()
     audit.unpersist()
     return final, counts

@@ -77,3 +77,9 @@ def test_prepare_training_data_deterministic(spark):
     ra = sorted((r.doc_id, r.start_offset) for r in a.collect())
     rb = sorted((r.doc_id, r.start_offset) for r in b.collect())
     assert ra == rb
+
+
+def test_prepare_training_data_counts_optional(spark):
+    final, counts = prepare_training_data(spark, SF_SMALL, stage_counts=False)
+    assert counts == {}
+    assert final.count() > 0
