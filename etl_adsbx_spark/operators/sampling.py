@@ -87,6 +87,42 @@ def stratified_sample(
     )
 
 
+def quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    strata_cols: list[str] | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows by ``score_col`` within each
+    stratum (the Gopher-style quality gate: "top 30% by quality score per
+    language"). Rows at exactly the threshold are kept, so the realized
+    fraction can exceed ``keep_frac`` under heavy score ties.
+
+    Scale shape: per-stratum thresholds come from ONE
+    ``approx_percentile`` aggregation (map-side partial sketches, result =
+    one row per stratum — broadcast-size by construction), broadcast-joined
+    back as a per-row filter. The tempting alternative — a per-stratum
+    window ``percent_rank`` — shuffles and SORTS the full corpus by the
+    stratum key, and language-like strata are heavily skewed (one stratum
+    ≈ most of the corpus lands in one sort); the sketch agg has no sort
+    and no skew sensitivity. ``relative_error`` is the sketch accuracy
+    knob (1/accuracy); at 0.001 the threshold rank is within ±0.1% of
+    exact, which shifts the kept fraction by at most that much.
+    """
+    strata = list(strata_cols or [])
+    pct = F.lit(1.0 - keep_frac)
+    acc = F.lit(max(100, int(1.0 / relative_error)))
+    thr = df.groupBy(*strata).agg(
+        F.percentile_approx(score_col, pct, acc).alias("_thr")
+    )
+    if strata:
+        out = df.join(F.broadcast(thr), strata)
+    else:
+        out = df.crossJoin(F.broadcast(thr))  # 1-row global threshold
+    return out.where(F.col(score_col) >= F.col("_thr")).drop("_thr")
+
+
 def weighted_mix(
     sources: list[tuple[DataFrame, float]],
     key_col: str,

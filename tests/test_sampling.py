@@ -105,3 +105,41 @@ def test_sample_bucket_range(spark):
     d = _docs(spark).select(sample_bucket("doc_id").alias("b"))
     mn, mx = d.agg(F.min("b"), F.max("b")).first()
     assert 0 <= mn and mx < RESOLUTION
+
+
+def test_quantile_filter_per_stratum_fraction(spark):
+    from etl_adsbx_spark.functions.text import quality_score
+    from etl_adsbx_spark.operators.sampling import quantile_filter
+
+    d = _docs(spark).withColumn("q", quality_score("text"))
+    kept = quantile_filter(d, "q", 0.3, ["lang"])
+    full = {r.lang: r.c for r in d.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    got = {r.lang: r.c for r in kept.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    for lang, n in full.items():
+        frac = got.get(lang, 0) / n
+        # >= keep_frac (ties kept), bounded above (quality scores tie a lot
+        # on short synthetic docs, so allow a generous ceiling)
+        assert 0.25 <= frac <= 0.6, (lang, frac)
+    # every kept row beats every dropped row within its stratum (threshold
+    # filter semantics: kept min >= stratum threshold > dropped max is not
+    # guaranteed for approx sketches at ties, so assert against the kept min)
+    mins = {r.lang: r.m for r in kept.groupBy("lang").agg(F.min("q").alias("m")).collect()}
+    dropped = d.join(kept.select("doc_id"), "doc_id", "left_anti")
+    bad = dropped.join(
+        spark.createDataFrame([(k, v) for k, v in mins.items()], ["lang", "kmin"]),
+        "lang",
+    ).where(F.col("q") > F.col("kmin"))
+    assert bad.count() == 0
+
+
+def test_quantile_filter_global_and_plan_shape(spark):
+    from etl_adsbx_spark.functions.text import quality_score
+    from etl_adsbx_spark.operators.sampling import quantile_filter
+
+    d = _docs(spark).withColumn("q", quality_score("text"))
+    kept = quantile_filter(d, "q", 0.5)
+    n = d.count()
+    assert 0.4 * n <= kept.count() <= 0.75 * n
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # threshold-broadcast, never percent_rank
+    assert "Broadcast" in plan
