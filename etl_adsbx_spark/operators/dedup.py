@@ -146,14 +146,28 @@ def incremental_minhash_dedup(
             .select("band", "bucket")
             .distinct()
         )
+    # One signature pass serves BOTH probes: the corpus-index semi-join and
+    # the intra-batch pair join below reuse `bsig` (re-signaturing the
+    # survivors from raw text would repeat the shingle+minhash pass — the
+    # expensive half of the whole operator).
+    bsig = bsig.localCheckpoint(eager=False)
     collided = (
         bsig.join(index, ["band", "bucket"], "left_semi").select("_id").distinct()
     )
+    surv_sig = bsig.join(collided, "_id", "left_anti")
+    pairs = (
+        surv_sig.alias("a")
+        .join(
+            surv_sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .distinct()
+    )
     survivors = batch.join(
         collided.withColumnRenamed("_id", id_col), id_col, "left_anti"
-    )
-    pairs = minhash_lsh_pairs(
-        survivors, id_col, text_col, shingle_n, num_hashes, bands
     )
     labels = connected_components(pairs, survivors.select(id_col), id_col)
     canonical = labels.where(F.col(id_col) == F.col("cluster_id")).select(id_col)

@@ -164,3 +164,14 @@ def test_strip_boilerplate_lines_preserves_order_and_empties(spark):
     # 'z last' appears twice in doc 1 but only 2 DISTINCT docs carry it
     assert out[1].text == "a first\nm middle"  # both z-last copies removed
     assert out[4].text == "" and out[4].n_lines_removed == 1
+
+
+def test_incremental_minhash_accepts_prebuilt_band_index(spark):
+    """Passing the corpus's (band, bucket) signature index directly — the
+    maintained-index production path — must admit the same set as
+    signaturing the raw corpus."""
+    batch, corpus = _split(_docs(spark))
+    index = band_signatures(corpus).select("band", "bucket")
+    a = {r.doc_id for r in incremental_minhash_dedup(batch, corpus).collect()}
+    b = {r.doc_id for r in incremental_minhash_dedup(batch, index).collect()}
+    assert a == b
