@@ -83,6 +83,66 @@ def doc_fingerprint(col: Column | str = "text", k: int = 8) -> Column:
     return F.md5(F.concat_ws("|", F.slice(hashed, 1, k)))
 
 
+def dup_token_frac(col: Column | str = "text") -> Column:
+    """Within-document repetition signal (Gopher-style quality filter):
+    fraction of tokens that are repeats of an earlier token —
+    `(n_tokens − n_distinct_tokens) / n_tokens`, 0 for empty text.
+    High values flag keyword-stuffed / boilerplate-heavy documents.
+    Pure array expression (split → array_distinct → size); no shuffle."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.round((F.size(t) - F.size(F.array_distinct(t))) / F.size(t), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_frac(col: Column | str = "text") -> Column:
+    """Fraction of non-blank lines that are duplicates of an earlier line
+    within the same document — the C4/Gopher repeated-line signal applied
+    *within* a document (the cross-document variant is
+    operators.dedup.strip_boilerplate_lines). 0 for documents with no
+    non-blank lines."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.transform(F.split(c, "\n"), F.trim), lambda x: x != "")
+    return F.when(
+        F.size(lines) > 0,
+        F.round((F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines), 6),
+    ).otherwise(F.lit(0.0))
+
+
+# PII patterns — deliberately restricted to syntax that Java regex (Spark)
+# and RE2 (DuckDB) interpret identically: no backreferences, no lookaround,
+# explicit [0-9] instead of \d, and no top-level alternation (Java is
+# leftmost-first, RE2 leftmost-longest — alternation order could diverge).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9() \-]{6,}[0-9]"
+
+
+def pii_counts(col: Column | str = "text") -> Column:
+    """Struct of PII-instance counts per document: emails, IPv4 addresses,
+    phone-like digit runs. `regexp_extract_all` → `size` keeps the count
+    JVM-side; the oracle computes `len(regexp_extract_all(...))`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), 0)).alias("n_ip"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)).alias("n_phone"),
+    )
+
+
+def redact_pii(col: Column | str = "text") -> Column:
+    """Replace PII spans with typed placeholder tokens — emails first, then
+    IPv4, then phone-like runs (ordering matters: placeholders contain no
+    digits, so later passes cannot re-match inside earlier redactions).
+    Chained `regexp_replace`, fully codegen; the scale path for scrubbing
+    a training corpus is exactly this expression over the text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_IPV4_RE, "[IP]")
+    return F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+
+
 def split_bucket(id_col: Column | str = "doc_id", buckets: int = 100) -> Column:
     """Deterministic hash bucket in [0, buckets) from the document id:
     first 8 hex chars of md5(id) as an integer, mod buckets. The basis for

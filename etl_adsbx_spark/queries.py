@@ -1065,12 +1065,31 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
           / CAST(length(text) AS DOUBLE) AS punct_ratio_raw,
         length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
-          / CAST(length(text) AS DOUBLE) AS ascii_ratio
+          / CAST(length(text) AS DOUBLE) AS ascii_ratio,
+        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                    x -> x <> '') AS nb_lines
       FROM t
     )
     SELECT doc_id, n_tokens, n_bpe,
       round(stop_ratio_raw, 6) AS stop_ratio,
       round(punct_ratio_raw, 6) AS punct_ratio,
+      round(CASE WHEN len(toks) > 0
+                 THEN (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_tok_frac,
+      round(CASE WHEN len(nb_lines) > 0
+                 THEN (len(nb_lines) - len(list_distinct(nb_lines))) / CAST(len(nb_lines) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_line_frac,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text,
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+      CAST(len(regexp_extract_all(text,
+        '\\+?[0-9][0-9() \\-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+      CAST(length(
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g'),
+          '\\+?[0-9][0-9() \\-]{6,}[0-9]', '[PHONE]', 'g')) AS BIGINT) AS redacted_len,
       round(0.4 * least(length(text) / 500.0, 1.0)
             + 0.4 * least(stop_ratio_raw * 5.0, 1.0)
             + 0.2 * (1.0 - least(punct_ratio_raw * 10.0, 1.0)), 6) AS quality,
@@ -1100,9 +1119,14 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 over the 8 smallest token-md5s — order-insensitive near-identity
     signature), the deterministic hash-based train/val/test split
     (90/5/5, stable under re-runs and data growth — functions.text
-    split_bucket/split_assign), and the dataset-mixing decision
+    split_bucket/split_assign), the dataset-mixing decision
     (operators.sampling: per-language stratified rates, salt-independent
-    of the split buckets) — all built-in expressions."""
+    of the split buckets), the within-document repetition signals
+    (Gopher-style dup-token / dup-line fractions — functions.text
+    dup_token_frac/dup_line_frac), and PII scrubbing (email/IPv4/phone
+    counts + redacted length — functions.text pii_counts/redact_pii;
+    patterns restricted to the Java-regex ∩ RE2 dialect so the oracle
+    computes byte-identical results) — all built-in expressions."""
     from .operators.sampling import RESOLUTION, sample_bucket, stratum_rate
 
     mix_rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5}
@@ -1114,6 +1138,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
         F.round(T.stopword_ratio("text"), 6).alias("stop_ratio"),
         F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        T.dup_token_frac("text").alias("dup_tok_frac"),
+        T.dup_line_frac("text").alias("dup_line_frac"),
+        T.pii_counts("text").getField("n_email").cast("bigint").alias("n_email"),
+        T.pii_counts("text").getField("n_ip").cast("bigint").alias("n_ip"),
+        T.pii_counts("text").getField("n_phone").cast("bigint").alias("n_phone"),
+        F.length(T.redact_pii("text")).cast("bigint").alias("redacted_len"),
         T.quality_score("text").alias("quality"),
         T.lang_id("text").alias("lang_pred"),
         T.doc_fingerprint("text", 8).alias("fingerprint"),

@@ -223,3 +223,90 @@ def test_incremental_exact_dedup_matches_reference(spark, raw_corpus, raw_batch)
     )
     got = {r.doc_id for r in incremental_exact_dedup(bdf, cdf).collect()}
     assert got == set(expected.values())
+
+
+PII_FIXTURES = [
+    # (text, n_email, n_ip, n_phone, dup_tok_frac, dup_line_frac)
+    ("contact alice@example.com or bob.smith@corp.co.uk today", 2, 0, 0, 0.0, 0.0),
+    ("server at 192.168.1.1 and 10.0.0.255 rebooted", 0, 2, 0, 0.0, 0.0),
+    ("call +1 (555) 123-4567 now", 0, 0, 1, 0.0, 0.0),
+    ("hello world\nhello world\nbye", 0, 0, 0, 2.0 / 5.0, 1.0 / 3.0),
+    ("a a b", 0, 0, 0, 1.0 / 3.0, 0.0),
+    ("plain text with no pii at all", 0, 0, 0, 0.0, 0.0),
+    ("x@y.io on 8.8.8.8 dial 555-123-9876", 1, 1, 1, 0.0, 0.0),
+]
+
+
+def test_pii_and_repetition_semantics(spark):
+    """Crafted fixtures pin the PII-count, redaction, and within-doc
+    repetition semantics that the synthetic corpus (no digits, no
+    newlines) cannot exercise through the driver oracle."""
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_) in enumerate(PII_FIXTURES)], "i long, text string"
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            T.pii_counts("text").alias("pii"),
+            T.dup_token_frac("text").alias("dtf"),
+            T.dup_line_frac("text").alias("dlf"),
+            T.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    for i, (text, n_email, n_ip, n_phone, dtf, dlf) in enumerate(PII_FIXTURES):
+        r = rows[i]
+        assert r["pii"]["n_email"] == n_email, text
+        assert r["pii"]["n_ip"] == n_ip, text
+        assert r["pii"]["n_phone"] == n_phone, text
+        assert abs(r["dtf"] - round(dtf, 6)) < 1e-9, text
+        assert abs(r["dlf"] - round(dlf, 6)) < 1e-9, text
+        # redaction removes every matched span; placeholders contain no
+        # digits or '@', so a redacted doc re-scans clean
+        assert ("[EMAIL]" in r["red"]) == (n_email > 0), r["red"]
+        assert ("[IP]" in r["red"]) == (n_ip > 0), r["red"]
+        assert ("[PHONE]" in r["red"]) == (n_phone > 0), r["red"]
+    rescan = (
+        df.select(T.pii_counts(T.redact_pii("text")).alias("pii"))
+        .selectExpr("sum(pii.n_email + pii.n_ip + pii.n_phone) s")
+        .first()["s"]
+    )
+    assert rescan == 0
+
+
+def test_pii_spark_duckdb_parity(spark):
+    """The PII/repetition expressions are part of the text_stats oracle
+    contract; the driver corpus contains no PII, so parity on PII-bearing
+    text is pinned here: Spark (Java regex) and DuckDB (RE2) must produce
+    byte-identical redactions and identical counts."""
+    import duckdb
+
+    texts = [t for t, *_ in PII_FIXTURES]
+    got = (
+        spark.createDataFrame([(t,) for t in texts], "text string")
+        .select(
+            "text",
+            T.pii_counts("text").alias("pii"),
+            T.redact_pii("text").alias("red"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in got:
+        email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        ip_re = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+        phone_re = r"\+?[0-9][0-9() \-]{6,}[0-9]"
+        dd = con.execute(
+            """
+            SELECT len(regexp_extract_all($t, $e)) n_email,
+                   len(regexp_extract_all($t, $i)) n_ip,
+                   len(regexp_extract_all($t, $p)) n_phone,
+                   regexp_replace(regexp_replace(regexp_replace($t,
+                     $e, '[EMAIL]', 'g'), $i, '[IP]', 'g'), $p, '[PHONE]', 'g') red
+            """,
+            {"t": r["text"], "e": email_re, "i": ip_re, "p": phone_re},
+        ).fetchone()
+        assert dd[0] == r["pii"]["n_email"], r["text"]
+        assert dd[1] == r["pii"]["n_ip"], r["text"]
+        assert dd[2] == r["pii"]["n_phone"], r["text"]
+        assert dd[3] == r["red"], r["text"]
