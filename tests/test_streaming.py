@@ -300,3 +300,55 @@ def test_streaming_incremental_dedup_with_durable_index(spark):
     assert len({13, 14} & kept) == 1  # "third document" admitted once
     index = spark.read.parquet(index_dir)
     assert index.distinct().count() == 4
+
+
+def test_streaming_pii_scrub_quality_gate(spark):
+    """The text-cleaning surface composes with Structured Streaming: each
+    micro-batch of documents is PII-redacted and quality-gated with the
+    exact batch expressions (functions.text) inside foreachBatch — the
+    per-tick corpus-ingest shape a training pipeline runs continuously."""
+    import json
+    import os
+    import tempfile
+
+    from etl_adsbx_spark.functions import text as T
+    from etl_adsbx_spark.streaming.windows import run_micro_batches
+
+    batches = [
+        [{"doc_id": "d0", "text": "mail me at eve@example.org " + "the cat sat on the mat " * 8},
+         {"doc_id": "d1", "text": "!!! ??? ###"}],
+        [{"doc_id": "d2", "text": "host 10.1.2.3 " + "a quick brown fox of it and for that " * 8}],
+    ]
+    d = tempfile.mkdtemp()
+    for i, batch in enumerate(batches):
+        with open(os.path.join(d, f"b{i}.json"), "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+
+    out: list[tuple[str, str, float]] = []
+
+    def batch_fn(df, batch_id):
+        rows = (
+            df.select(
+                "doc_id",
+                T.redact_pii("text").alias("clean"),
+                T.quality_score("text").alias("q"),
+            )
+            .filter(F.col("q") >= 0.3)
+            .collect()
+        )
+        out.extend((r["doc_id"], r["clean"], r["q"]) for r in rows)
+
+    q = run_micro_batches(stream, batch_fn, tempfile.mkdtemp(), trigger_once=True)
+    q.awaitTermination(120)
+
+    got = {doc_id: clean for doc_id, clean, _ in out}
+    # the punctuation-soup doc is gated out; the two real docs survive scrubbed
+    assert set(got) == {"d0", "d2"}
+    assert "[EMAIL]" in got["d0"] and "eve@example.org" not in got["d0"]
+    assert "[IP]" in got["d2"] and "10.1.2.3" not in got["d2"]
