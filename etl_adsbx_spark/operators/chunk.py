@@ -1,0 +1,93 @@
+"""[EXT] Document chunking — fixed token-window slicing with overlap.
+
+The loader-side companion of sequence packing (operators.agg.
+global_running_sum): packing lays documents end-to-end and cuts at global
+token offsets; chunking cuts WITHIN each document into retrieval/embedding
+windows (the RAG / context-window preprocessing step every training and
+indexing pipeline runs between cleaning and embedding).
+
+Scale shape: one per-row generator expression (split → sequence of chunk
+starts → explode → slice) — no shuffle, no state, no Python. Output size
+is input size × ~(n_tokens/stride) rows; the explode happens after any
+filters the caller pushes down, and Spark pipelines Generate inside
+whole-stage codegen, so at 100 TB this adds zero exchanges to whatever
+plan consumes the chunks (typically an embedding mapInPandas or a write).
+
+Token contract: tokens are maximal ``\\s+``-separated runs of the ORIGINAL
+(un-lowercased) text; chunk text re-joins tokens with single spaces, so
+intra-document whitespace runs are normalized (the same convention as
+``functions.text.tokens`` — a chunk boundary can never split a token).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens_raw(col: Column | str) -> Column:
+    """Whitespace tokens of the original-case text; empty/blank text → []."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.trim(c), r"\s+"), lambda x: x != ""
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into ``chunk_tokens``-token windows advancing by
+    ``stride = chunk_tokens − overlap``; consecutive chunks share exactly
+    ``overlap`` tokens (except a shorter final chunk).
+
+    Start positions are ``1, 1+stride, …`` while ``start ≤ max(n−overlap,
+    1)``: this emits every window that contributes at least one token
+    beyond the previous window's overlap region and guarantees complete
+    coverage (the last window always reaches token ``n``; proof in the
+    test: coverage end ≥ (n−overlap) − stride + chunk_tokens = n).
+    Documents with no tokens produce ZERO chunks (a blank doc has nothing
+    to embed — callers wanting a sentinel row can left-join back on
+    ``id_col``).
+
+    Returns one row per chunk: (id_col, chunk_idx, chunk_text,
+    n_chunk_tokens), where ``chunk_idx`` is 0-based in token order and
+    ``n_chunk_tokens ∈ [1, chunk_tokens]``.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens): got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = _tokens_raw(text_col)
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.col("_n") - F.lit(overlap), F.lit(1)),
+                    F.lit(stride),
+                )
+            ).alias("chunk_idx", "_start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("_toks"), F.col("_start"), chunk_tokens))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+        )
+    )
+    return out

@@ -1279,32 +1279,68 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_tokens,
              SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
       FROM t
+    ),
+    ck_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    ck_s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM ck_t WHERE len(toks) > 0
+    ),
+    ck AS (
+      SELECT doc_id, toks, n,
+             unnest(range(1, greatest(n - 16, 1) + 1, 48)) AS start
+      FROM ck_s
     )
-    SELECT doc_id, n_tokens,
+    SELECT 'pack' AS mode, doc_id, n_tokens,
            CAST(cum - n_tokens AS BIGINT) AS start_offset,
            CAST((cum - n_tokens) // 512 AS BIGINT) AS first_chunk,
            CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
-           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_chunks
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_chunks,
+           CAST(NULL AS VARCHAR) AS chunk_sha
     FROM c
+    UNION ALL
+    SELECT 'chunk' AS mode, doc_id,
+           CAST(least(64, n - start + 1) AS BIGINT) AS n_tokens,
+           CAST((start - 1) // 48 AS BIGINT) AS start_offset,
+           CAST(NULL AS BIGINT) AS first_chunk,
+           CAST(NULL AS BIGINT) AS last_chunk,
+           CAST(NULL AS BIGINT) AS n_chunks,
+           md5(array_to_string(list_slice(toks, start, least(start + 63, n)), ' ')) AS chunk_sha
+    FROM ck
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] Sequence packing, concat-and-chunk style: documents are laid
-    out contiguously in corpus (doc_id) order and cut into fixed 512-token
-    training chunks; each doc reports its global token offset and the chunk
-    range it spans. The offset is a GLOBAL prefix sum — computed with the
-    two-level distributed rewrite (operators.agg.global_running_sum), NOT a
-    partition-less window, which would collapse 100 TB into one task."""
+    """[EXT] Token-budget slicing, both directions — a tagged union:
+
+    - ``mode='pack'``: sequence packing, concat-and-chunk style — documents
+      laid out contiguously in corpus (doc_id) order and cut into fixed
+      512-token training chunks; each doc reports its global token offset
+      and the chunk range it spans. The offset is a GLOBAL prefix sum —
+      computed with the two-level distributed rewrite
+      (operators.agg.global_running_sum), NOT a partition-less window,
+      which would collapse 100 TB into one task.
+    - ``mode='chunk'``: within-document chunking (operators.chunk) — 64-token
+      windows, 16-token overlap, one row per chunk with the chunk text's
+      md5 (``chunk_sha``) standing in for the text so the driver hash stays
+      narrow; ``start_offset`` carries the chunk ordinal, ``n_tokens`` the
+      chunk's token count. Pure per-row generator — no shuffle.
+    """
     from .functions import text as T
     from .operators.agg import global_running_sum
+    from .operators.chunk import chunk_documents
 
     budget = 512
-    t = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
         "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
     )
     cum = global_running_sum(t, ["doc_id"], "n_tokens", out_col="_cum")
     start = F.col("_cum") - F.col("n_tokens")
-    return cum.select(
+    nullL = F.lit(None).cast("bigint")
+    pack = cum.select(
+        F.lit("pack").alias("mode"),
         "doc_id",
         "n_tokens",
         start.alias("start_offset"),
@@ -1313,7 +1349,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor((F.col("_cum") - 1) / budget) - F.floor(start / budget) + 1
         ).cast("bigint").alias("n_chunks"),
+        F.lit(None).cast("string").alias("chunk_sha"),
     )
+    chunk = chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        F.lit("chunk").alias("mode"),
+        "doc_id",
+        F.col("n_chunk_tokens").alias("n_tokens"),
+        F.col("chunk_idx").alias("start_offset"),
+        nullL.alias("first_chunk"),
+        nullL.alias("last_chunk"),
+        nullL.alias("n_chunks"),
+        F.md5("chunk_text").alias("chunk_sha"),
+    )
+    return pack.unionByName(chunk)
 
 
 # =========================================================================

@@ -1,0 +1,121 @@
+"""Document chunking (operators.chunk): Python-reference properties +
+DuckDB oracle parity over the driver documents table."""
+
+from __future__ import annotations
+
+import re
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import given, settings
+
+from etl_adsbx_spark.operators.chunk import chunk_documents
+from etl_adsbx_spark.testing import compare_query
+
+from .conftest import SF_ORACLE
+
+
+def ref_chunks(text: str, chunk_tokens: int, overlap: int):
+    """Pure-Python reference of the chunking contract."""
+    toks = [t for t in re.split(r"\s+", text.strip()) if t]
+    n = len(toks)
+    if n == 0:
+        return []
+    stride = chunk_tokens - overlap
+    starts = range(1, max(n - overlap, 1) + 1, stride)
+    return [
+        (i, " ".join(toks[s - 1 : s - 1 + chunk_tokens]), min(chunk_tokens, n - s + 1))
+        for i, s in enumerate(starts)
+    ]
+
+
+texts = st.lists(
+    st.text(alphabet="ab \t\n", min_size=0, max_size=40), min_size=1, max_size=10
+)
+params = st.sampled_from([(4, 0), (4, 1), (5, 2), (8, 7), (3, 0)])
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts, params)
+def test_chunks_match_python_reference(spark, batch, cfg):
+    chunk_tokens, overlap = cfg
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(df, chunk_tokens, overlap).collect()
+    }
+    want = {
+        (i, idx): (txt, ntok)
+        for i, t in enumerate(batch)
+        for idx, txt, ntok in ref_chunks(t, chunk_tokens, overlap)
+    }
+    assert got == want
+
+
+def test_chunk_invariants_on_documents(spark):
+    """Coverage + overlap invariants on real driver data: chunks cover every
+    token exactly once modulo the declared overlap, and reassembly with
+    overlap=0 reproduces the token stream."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(200)
+    ct, ov = 16, 4
+    rows = chunk_documents(docs, ct, ov).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        toks = [t for t in re.split(r"\s+", originals[doc_id].strip()) if t]
+        stride = ct - ov
+        # stitched = first chunk + the post-overlap tail of each later chunk
+        stitched = chunks[0].chunk_text.split(" ")
+        for c in chunks[1:]:
+            stitched.extend(c.chunk_text.split(" ")[ov:])
+        # trailing short chunks re-cover already-seen tokens; dedup the tail
+        assert stitched[: len(toks)] == toks
+        for c in chunks:
+            assert 1 <= c.n_chunk_tokens <= ct
+            assert len(c.chunk_text.split(" ")) == c.n_chunk_tokens
+        # every chunk except the first starts exactly stride past its predecessor
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_idx == a.chunk_idx + 1
+    # zero-token docs produce zero chunks
+    empty = spark.createDataFrame([(1, " \t\n"), (2, "")], "doc_id long, text string")
+    assert chunk_documents(empty, ct, ov).count() == 0
+
+
+def test_chunking_oracle_parity(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    compare_query(
+        got,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), st AS (
+          SELECT doc_id, toks, n,
+                 unnest(range(1, greatest(n - 4, 1) + 1, 12)) AS start
+          FROM s
+        )
+        SELECT doc_id,
+          CAST((start - 1) // 12 AS BIGINT) AS chunk_idx,
+          array_to_string(list_slice(toks, start, least(start + 15, n)), ' ') AS chunk_text,
+          CAST(least(16, n - start + 1) AS BIGINT) AS n_chunk_tokens
+        FROM st
+        """,
+        SF_ORACLE,
+    )
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=-1)
