@@ -374,3 +374,50 @@ def test_strip_boilerplate_no_global_sort(spark):
     plan = _physical_plan(strip_boilerplate_lines(d))
     assert "CartesianProduct" not in plan
     assert "Sort " not in plan  # array_sort is an expression, not an operator
+
+
+# --- registry-wide plan lint -------------------------------------------------
+
+#: Queries allowed to contain a BroadcastNestedLoopJoin, each a deliberate
+#: broadcast-tiny pattern (the BNLJ build side is a broadcast of O(1)-O(10)
+#: rows, so the "nested loop" is a constant-factor scan, not O(n·m)):
+BNLJ_ALLOWED = {
+    "ann_topk": "exact brute-force baseline: broadcast query set joined on != (self-match exclusion)",
+    "q22_dormant_customers": "1-row global avg scalar subquery folded in as broadcast crossJoin",
+    "tfidf_top_terms": "1-row n_docs scalar folded in as broadcast crossJoin",
+}
+
+#: Queries allowed an Exchange SinglePartition: every one is a deliberate
+#: driver-size frame (1-row scalar aggregate or one-row-per-partition bases),
+#: never the corpus body.
+SINGLEPART_ALLOWED = {
+    "pack_sequences": "per-partition totals window of global_running_sum (#partitions rows)",
+    "q14_promo_share": "1-row global CASE-in-SUM ratio",
+    "q17_small_qty_revenue": "1-row global scalar aggregate",
+    "q22_dormant_customers": "1-row global avg",
+    "tfidf_top_terms": "1-row n_docs count",
+}
+
+
+def test_registry_plan_lint(spark):
+    """Every registered query's physical plan is lint-clean: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin / Exchange
+    SinglePartition only where the allowlists above document a deliberate
+    broadcast-tiny pattern. This is the blanket guard behind the per-query
+    plan tests: a new query (or a regression in an old one) that
+    accidentally introduces an all-pairs join or collapses the corpus to
+    one task fails here with the offending plan."""
+    import re
+
+    from etl_adsbx_spark.queries import queries
+
+    offenders = []
+    for name, fn in sorted(queries().items()):
+        plan = _physical_plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct (never allowed)"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin not allowlisted"))
+        if re.search(r"Exchange SinglePartition", plan) and name not in SINGLEPART_ALLOWED:
+            offenders.append((name, "Exchange SinglePartition not allowlisted"))
+    assert not offenders, f"plan lint: {offenders}"
