@@ -66,6 +66,46 @@ def session_agg(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair rows sharing ``key`` where
+    ``right_ts ∈ [left_ts − lower, left_ts + upper]`` (the canonical
+    impressions⋈clicks attribution shape; the streaming counterpart of
+    ``operators.joins.bucketed_range_join``).
+
+    Both sides carry the SAME watermark delay, and the join condition's
+    explicit time bounds are what let Structured Streaming evict state:
+    each side buffers only rows inside watermark + interval, so state is
+    bounded regardless of stream length. Execution shuffles both sides on
+    ``key`` (co-partitioned stateful join) — at scale this is one
+    hash-partition exchange per side, and the per-key time-range probe is
+    local to the state store. Outer variants (``how='leftOuter'`` etc.)
+    emit unmatched rows once the watermark passes their join horizon.
+
+    The right side's key and timestamp are prefixed ``r_`` in the output
+    (self-join-safe, and the caller can see both event times).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    for c in (key, right_ts):
+        rw = rw.withColumnRenamed(c, f"r_{c}")
+    cond = (
+        (lw[key] == rw[f"r_{key}"])
+        & (rw[f"r_{right_ts}"] >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+        & (rw[f"r_{right_ts}"] <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def run_micro_batches(
     source: DataFrame, batch_fn, checkpoint: str, trigger_once: bool = True
 ):

@@ -1,0 +1,80 @@
+"""Task-retry fault injection: results must be identical when tasks fail
+and re-execute.
+
+On a 1000-executor cluster task retries are routine (spot preemption, OOM
+kills, fetch failures), and any operator whose output depends on first-
+attempt state — nondeterministic ids feeding self-joins, rand() salts,
+round-robin placement picked up by keyed ties — silently corrupts exactly
+and only under retry, the hardest bug class to see locally. This test runs
+a pipeline in a subprocess Spark (`local[4,2]` — 2 task attempts, the knob
+the shared test session cannot enable) with a mapInPandas stage that
+CRASHES the first attempt of one partition in every job, and asserts
+byte-identical results vs the fault-free run for the retry-sensitive
+operators (keyed dedup, global prefix sum, MinHash-LSH pairs).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import textwrap
+
+SCRIPT = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+    from pyspark import TaskContext
+
+    spark = (
+        SparkSession.builder.master("local[4,2]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def flaky(batches):
+        tc = TaskContext.get()
+        if tc.partitionId() == 1 and tc.attemptNumber() == 0:
+            raise RuntimeError("injected first-attempt failure")
+        yield from batches
+
+    def run(df):
+        from etl_adsbx_spark.operators.agg import global_running_sum
+        from etl_adsbx_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+        from pyspark.sql import functions as F
+
+        dedup = sorted(
+            (r.text_sha, r.doc_id) for r in exact_dedup(df).select("text_sha", "doc_id").collect()
+        )
+        cum = global_running_sum(
+            df.select("doc_id", F.length("text").cast("bigint").alias("n")),
+            ["doc_id"], "n", out_col="cum",
+        )
+        prefix = sorted((r.doc_id, r.cum) for r in cum.collect())
+        pairs = sorted(
+            (r.a_id, r.b_id) for r in minhash_lsh_pairs(df).collect()
+        )
+        return dedup, prefix, pairs
+
+    clean = run(docs)
+    injected = run(docs.repartition(4).mapInPandas(flaky, docs.schema))
+    for name, a, b in zip(("dedup", "prefix", "pairs"), clean, injected):
+        assert a == b, f"{name} diverged under task retry"
+    print("RETRY_DETERMINISM_OK")
+    """
+)
+
+
+def test_results_identical_under_task_retry():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "RETRY_DETERMINISM_OK" in proc.stdout, proc.stdout[-2000:]

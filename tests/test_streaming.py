@@ -352,3 +352,71 @@ def test_streaming_pii_scrub_quality_gate(spark):
     assert set(got) == {"d0", "d2"}
     assert "[EMAIL]" in got["d0"] and "eve@example.org" not in got["d0"]
     assert "[IP]" in got["d2"] and "10.1.2.3" not in got["d2"]
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream interval join (impressions ⋈ clicks): only clicks
+    within [0, +10 minutes] of the same-key impression pair up; state is
+    watermark-bounded on both sides. Also verifies the unified model: the
+    same helper gives identical pairs on the batch frames."""
+    import json
+    import os
+
+    from etl_adsbx_spark.streaming.windows import stream_interval_join
+
+    imps = [
+        {"key": "u1", "ts": "2026-01-15 12:00:00", "imp_id": 1},
+        {"key": "u2", "ts": "2026-01-15 12:00:00", "imp_id": 2},
+        {"key": "u1", "ts": "2026-01-15 13:00:00", "imp_id": 3},
+    ]
+    clicks = [
+        {"key": "u1", "ts": "2026-01-15 12:04:00", "click_id": 10},  # joins imp 1
+        {"key": "u2", "ts": "2026-01-15 12:30:00", "click_id": 11},  # outside window
+        {"key": "u1", "ts": "2026-01-15 13:09:59", "click_id": 12},  # joins imp 3
+        {"key": "u3", "ts": "2026-01-15 12:01:00", "click_id": 13},  # no such key
+    ]
+    dirs = []
+    for rows in (imps, clicks):
+        d = tempfile.mkdtemp()
+        with open(os.path.join(d, "b0.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        dirs.append(d)
+    imp_schema = "key string, ts timestamp, imp_id long"
+    click_schema = "key string, ts timestamp, click_id long"
+    imp_stream = spark.readStream.schema(imp_schema).json(dirs[0])
+    click_stream = spark.readStream.schema(click_schema).json(dirs[1])
+
+    joined = stream_interval_join(
+        imp_stream, click_stream, "key", "ts", "ts", "0 minutes", "10 minutes",
+        watermark="1 hour",
+    )
+    out = []
+
+    def batch_fn(df, _):
+        out.extend(df.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = sorted((r["imp_id"], r["click_id"]) for r in out)
+    assert pairs == [(1, 10), (3, 12)]
+
+    # unified model: the identical helper on batch frames gives the same pairs
+    imp_b = spark.createDataFrame(
+        [(r["key"], dt.datetime.fromisoformat(r["ts"]), r["imp_id"]) for r in imps],
+        imp_schema,
+    )
+    click_b = spark.createDataFrame(
+        [(r["key"], dt.datetime.fromisoformat(r["ts"]), r["click_id"]) for r in clicks],
+        click_schema,
+    )
+    batch_joined = stream_interval_join(
+        imp_b, click_b, "key", "ts", "ts", "0 minutes", "10 minutes", watermark="1 hour"
+    )
+    batch_pairs = sorted((r["imp_id"], r["click_id"]) for r in batch_joined.collect())
+    assert batch_pairs == pairs
