@@ -1,0 +1,139 @@
+"""[EXT] Retrieval plan: chunk → embed → LSH index → search.
+
+The composition a retrieval/RAG pipeline runs over a cleaned corpus,
+assembled entirely from operators this engine verifies individually:
+
+    chunking   (operators.chunk: token windows with overlap)
+      → embed  (Arrow ``mapInPandas`` kernel — pluggable, like the
+                multimodal decode kernel; default is a deterministic
+                hashed bag-of-words embedder, a real if crude model whose
+                cosine similarity tracks token overlap)
+      → index  (the chunk-embedding frame; persist/write_corpus it —
+                at scale this is the table the LSH band signatures are
+                maintained over, exactly like the dedup band index)
+      → search (operators.similarity.lsh_ann_topk multi-table probe, or
+                cosine_topk exact for small corpora)
+
+Scale shape: chunking is a per-row generator (no shuffle); embedding is
+one Arrow-batched pass over chunks (the only Python stage — a real model
+swaps in via ``embed_fn`` without touching the plan); the search is the
+verified bucketed equi-join, never all-pairs. The query side is
+broadcast-size by construction.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.chunk import chunk_documents
+from ..operators.similarity import cosine_topk, lsh_ann_topk
+
+
+def hashed_bow_embed(texts: pd.Series, dim: int = 64) -> np.ndarray:
+    """Default embed kernel: deterministic hashed bag-of-words. Token t
+    adds ±1 (sign from the hash's top bit) to slot crc32(t) % dim; vectors
+    are L2-normalized. Pure content function — stable across runs,
+    machines, partitionings, and batch sizes — so retrieval results are
+    reproducible, and cosine similarity grows with token overlap (the
+    signed-random-projection view of BoW). A real sentence-embedding model
+    has the identical signature: ``Series[str] -> ndarray[n, dim]``.
+    """
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts):
+        for tok in t.split():
+            h = zlib.crc32(tok.encode())
+            out[i, h % dim] += 1.0 if (h >> 31) & 1 else -1.0
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
+def embed_texts(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    embed_fn: Callable[[pd.Series], np.ndarray] | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Attach an ``embedding: array<double>`` column computed by
+    ``embed_fn`` over Arrow batches. Output carries ``id_cols`` +
+    embedding only (the text is dropped — re-join it by id when needed,
+    keeping the shuffled/persisted index frame narrow)."""
+    fn = embed_fn or (lambda s: hashed_bow_embed(s, dim))
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in df.select(*id_cols).dtypes] + ["embedding array<double>"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = fn(pdf[text_col])
+            out = pdf[id_cols].copy()
+            out["embedding"] = list(vecs)
+            yield out
+
+    return df.select(*id_cols, text_col).mapInPandas(run, schema)
+
+
+def chunk_embed_index(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    dim: int = 64,
+    embed_fn: Callable[[pd.Series], np.ndarray] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the retrieval index frame: one row per chunk with a globally
+    unique ``chunk_id`` (content-derived — xxhash64 of (doc, ordinal), the
+    retry-safe key rule), its provenance (doc_id, chunk_idx), and its
+    embedding. Persist or ``sinks.write_corpus`` this frame; incremental
+    ticks append to it exactly like the dedup band index."""
+    chunks = chunk_documents(docs, chunk_tokens, overlap, text_col, id_col)
+    keyed = chunks.withColumn(
+        "chunk_id", F.xxhash64(F.col(id_col).cast("string"), F.col("chunk_idx"))
+    )
+    emb = embed_texts(
+        keyed, "chunk_text", ["chunk_id", id_col, "chunk_idx"], embed_fn, dim
+    )
+    return emb
+
+
+def search_index(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    embed_fn: Callable[[pd.Series], np.ndarray] | None = None,
+    exact: bool = False,
+    nbits: int = 4,
+    n_tables: int = 8,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-k chunks for each query text. ``exact=True`` brute-forces
+    (the ground-truth path for evaluation); the default probes the
+    multi-table LSH buckets — the same OR-amplified equi-join shape whose
+    recall@5 is pinned in BASELINE.md. Returns (query_id, neighbor_id =
+    chunk_id, cosine_sim); join back to the index frame for provenance."""
+    qv = embed_texts(
+        queries.withColumnRenamed(query_id_col, "chunk_id"),
+        query_text_col,
+        ["chunk_id"],
+        embed_fn,
+        dim,
+    )
+    vecs = index.select("chunk_id", "embedding")
+    if exact:
+        out = cosine_topk(vecs, qv, k, id_col="chunk_id", vec_col="embedding")
+    else:
+        out = lsh_ann_topk(
+            vecs, qv, k, nbits=nbits, dim=dim,
+            id_col="chunk_id", vec_col="embedding", n_tables=n_tables,
+        )
+    return out

@@ -1,0 +1,90 @@
+"""Retrieval plan (plans.rag): embed-kernel determinism, index plumbing,
+and end-to-end retrieval quality — a distinctive phrase must retrieve its
+own document's chunk, and the LSH probe must agree with exact search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from etl_adsbx_spark.plans.rag import (
+    chunk_embed_index,
+    hashed_bow_embed,
+    search_index,
+)
+
+DOCS = [
+    (1, "the gross weight of the aurora spacecraft exceeds nine tonnes "
+        "and its heat shield is made of woven carbon " * 3),
+    (2, "a recipe for sourdough bread requires patient fermentation of "
+        "wild yeast over several cold days " * 3),
+    (3, "quarterly revenue in the retail segment grew while logistics "
+        "margins compressed under fuel costs " * 3),
+    (4, "migratory songbirds navigate using stellar cues and magnetic "
+        "field inclination across continents " * 3),
+]
+
+QUERIES = [
+    (101, "aurora spacecraft heat shield carbon"),
+    (102, "sourdough bread wild yeast fermentation"),
+    (103, "retail revenue logistics margins fuel"),
+    (104, "songbirds stellar navigation magnetic field"),
+]
+
+
+def test_embed_kernel_deterministic_and_batch_invariant():
+    s = pd.Series([t for _, t in DOCS])
+    a = hashed_bow_embed(s)
+    b = hashed_bow_embed(s)
+    assert np.array_equal(a, b)
+    # batch-size invariance: embedding a row alone == embedding it in a batch
+    solo = hashed_bow_embed(pd.Series([DOCS[2][1]]))
+    assert np.array_equal(a[2], solo[0])
+    # unit norm for non-empty text; zero vector for empty
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+    assert np.array_equal(hashed_bow_embed(pd.Series([""])), np.zeros((1, 64)))
+
+
+def test_index_plumbing(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = chunk_embed_index(docs, chunk_tokens=16, overlap=4).collect()
+    # chunk ids are content-derived and globally unique
+    ids = [r.chunk_id for r in idx]
+    assert len(ids) == len(set(ids))
+    for r in idx:
+        assert len(r.embedding) == 64
+        n = float(np.linalg.norm(r.embedding))
+        assert abs(n - 1.0) < 1e-9
+    # rebuilding yields identical ids + vectors (retry/restart safety)
+    again = chunk_embed_index(docs, chunk_tokens=16, overlap=4).collect()
+    assert sorted((r.chunk_id, tuple(r.embedding)) for r in idx) == sorted(
+        (r.chunk_id, tuple(r.embedding)) for r in again
+    )
+
+
+def test_end_to_end_retrieval(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id long, query_text string")
+    idx = chunk_embed_index(docs, chunk_tokens=16, overlap=4)
+    idx = idx.localCheckpoint()  # the persisted-index shape; also stabilizes plans
+
+    exact = search_index(idx, queries, k=3, exact=True)
+    prov = {r.chunk_id: r.doc_id for r in idx.collect()}
+    top1 = {}
+    for r in exact.collect():
+        if r.query_id not in top1 or r.cosine_sim > top1[r.query_id][1]:
+            top1[r.query_id] = (prov[r.neighbor_id], r.cosine_sim)
+    # each query's best chunk comes from its own document
+    assert {q: d for q, (d, _) in top1.items()} == {101: 1, 102: 2, 103: 3, 104: 4}
+
+    # the LSH probe's top-1 must appear in the exact top-3 for every query
+    lsh = search_index(idx, queries, k=3, nbits=4, n_tables=8)
+    exact_top3 = {}
+    for r in exact.collect():
+        exact_top3.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh_best = {}
+    for r in lsh.collect():
+        if r.query_id not in lsh_best or r.cosine_sim > lsh_best[r.query_id][1]:
+            lsh_best[r.query_id] = (r.neighbor_id, r.cosine_sim)
+    for q, (nid, _) in lsh_best.items():
+        assert nid in exact_top3[q], (q, nid, exact_top3[q])
