@@ -41,6 +41,40 @@ def parse_envelope(payload: DataFrame, col: str = "value", strict: bool = True) 
     return rows
 
 
+def reconcile_schema(
+    df: DataFrame, target: StructType, on_extra: str = "drop"
+) -> DataFrame:
+    """Project a drifted frame onto a canonical schema: every target column
+    is selected in target order — cast to the target type when present,
+    typed NULL when the generation predates it; columns the target does not
+    declare are dropped (``on_extra='drop'``) or rejected
+    (``on_extra='error'``).
+
+    This is the read-side half of schema evolution for a long-lived corpus:
+    at 100 TB the parquet tree spans YEARS of writer generations (columns
+    added, ints widened), and every consumer wants one contract schema, not
+    whichever footer Spark happened to sample. Pure projection — zero
+    shuffle, and column pruning still reaches the scan because the select
+    is static. Pair with ``spark.read.option('mergeSchema', 'true')`` when
+    one read must span generations (mergeSchema unions the footers;
+    reconcile then pins order, types, and presence).
+    """
+    have = dict(df.dtypes)
+    if on_extra == "error":
+        extra = [c for c in df.columns if c not in {f.name for f in target.fields}]
+        if extra:
+            raise ValueError(f"columns not in target schema: {extra}")
+    elif on_extra != "drop":
+        raise ValueError(f"on_extra must be 'drop' or 'error', got {on_extra!r}")
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in target.fields
+    ]
+    return df.select(*cols)
+
+
 def quarantine(payload: DataFrame, col: str = "value") -> DataFrame:
     """Rows that fail envelope validation, kept for inspection."""
     schema = StructType(

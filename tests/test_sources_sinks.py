@@ -125,3 +125,55 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     got = glob.glob(dst + "/*.parquet")
     assert len(got) == n == 1  # tiny corpus -> single target file
     assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_reconcile_schema_across_generations(spark, tmp_path):
+    """Two writer generations of a corpus (gen2 adds columns, narrows an
+    int); one mergeSchema read + reconcile yields the contract schema for
+    every row, with typed NULLs where the old generation had no column."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_adsbx_spark.sources.files import reconcile_schema
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "first gen doc")], "doc_id long, text string"
+    ).write.parquet(path + "/g=1")
+    spark.createDataFrame(
+        [(2, "second gen doc", "en", 14)],
+        "doc_id long, text string, lang string, n_chars int",
+    ).write.parquet(path + "/g=2")
+
+    target = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    out = reconcile_schema(merged, target)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "text", "lang", "n_chars"]
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint", "text": "string", "lang": "string", "n_chars": "bigint",
+    }
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].lang is None and rows[1].n_chars is None
+    assert rows[2].lang == "en" and rows[2].n_chars == 14
+
+    # a generation with a column the contract does not know
+    g3 = spark.createDataFrame(
+        [(3, "third", "experimental")], "doc_id long, text string, scratch string"
+    )
+    dropped = reconcile_schema(g3, target)
+    assert "scratch" not in dropped.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scratch"):
+        reconcile_schema(g3, target, on_extra="error")
