@@ -375,6 +375,41 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_signature_table(
+    df: DataFrame,
+    out_id: str,
+    nbits: int = 8,
+    dim: int = 64,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (id, table, signature) frame of a multi-table LSH index —
+    ``n_tables`` rows per vector, disjoint plane ranges per table. This is
+    the persistable half of ``lsh_ann_topk``: production maintains it AS
+    the index (append admitted vectors' rows per tick, exactly like the
+    dedup band index) and passes it back via ``corpus_sigs`` so each query
+    batch pays only the bucket equi-join, never a corpus re-signature pass
+    (measured at sf0.1: the per-call signature pass is ~4s of a 4.1s
+    search — BASELINE.md retrieval table)."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_signature(
+                            F.col(vec_col), nbits, dim, plane_offset=t * nbits
+                        ).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("ts"),
+    ).select(out_id, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -384,6 +419,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signature, re-rank within
     bucket. Output schema matches ``cosine_topk``.
@@ -398,29 +434,21 @@ def lsh_ann_topk(
     (table, sig) rows — narrow, no vectors — join on (table, sig),
     distinct candidate pairs, then one re-rank join pulls the vectors.
     Measured at sf0.01 (tests/test_similarity_multimodal.py): single-probe
-    8-bit ≈ 0.04, 8 tables × 4 bits ≈ 0.8 recall@5."""
-    if n_tables > 1:
-        bits_sig = lambda df, name: df.select(  # noqa: E731
-            F.col(id_col).alias(name),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            hyperplane_signature(
-                                F.col(vec_col), nbits, dim, plane_offset=t * nbits
-                            ).alias("sig"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("ts"),
-        ).select(name, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    8-bit ≈ 0.04, 8 tables × 4 bits ≈ 0.8 recall@5.
+
+    ``corpus_sigs``: a persisted ``lsh_signature_table`` frame (columns
+    ``neighbor_id, t, sig`` built with the SAME nbits/n_tables/plane
+    family) — supply it to skip the corpus-side signature pass, the
+    production index shape."""
+    if n_tables > 1 or corpus_sigs is not None:
+        bits_sig = lambda df, name: lsh_signature_table(  # noqa: E731
+            df, name, nbits, dim, n_tables, id_col, vec_col
+        )
         vec = lambda df, name: df.select(  # noqa: E731
             F.col(id_col).alias(name), as_double(vec_col).alias(f"_{name}_v")
         ).withColumn(f"_{name}_n", norm(F.col(f"_{name}_v")))
         cand = (
-            bits_sig(embeddings, "neighbor_id")
+            (corpus_sigs if corpus_sigs is not None else bits_sig(embeddings, "neighbor_id"))
             .join(
                 F.broadcast(bits_sig(queries, "query_id")),
                 ["t", "sig"],

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.chunk import chunk_documents
-from ..operators.similarity import cosine_topk, lsh_ann_topk
+from ..operators.similarity import cosine_topk, lsh_ann_topk, lsh_signature_table
 
 
 def hashed_bow_embed(texts: pd.Series, dim: int = 64) -> np.ndarray:
@@ -104,6 +104,20 @@ def chunk_embed_index(
     return emb
 
 
+def index_signatures(
+    index: DataFrame, nbits: int = 4, n_tables: int = 8, dim: int = 64
+) -> DataFrame:
+    """The persistable LSH signature table of an index frame (one
+    (chunk_id, table, sig) row per table per chunk). Build it ONCE when
+    the index is built, persist/write it alongside, and pass it to
+    ``search_index(..., corpus_sigs=...)``: at sf0.1 this turns a 4.1s
+    probe into the bucket equi-join alone (the corpus signature pass was
+    ~80% of the search — BASELINE.md)."""
+    return lsh_signature_table(
+        index, "neighbor_id", nbits, dim, n_tables, id_col="chunk_id"
+    )
+
+
 def search_index(
     index: DataFrame,
     queries: DataFrame,
@@ -115,19 +129,26 @@ def search_index(
     n_tables: int = 8,
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k chunks for each query text. ``exact=True`` brute-forces
     (the ground-truth path for evaluation); the default probes the
     multi-table LSH buckets — the same OR-amplified equi-join shape whose
-    recall@5 is pinned in BASELINE.md. Returns (query_id, neighbor_id =
-    chunk_id, cosine_sim); join back to the index frame for provenance."""
+    recall@5 is pinned in BASELINE.md. Pass a persisted
+    ``index_signatures`` frame as ``corpus_sigs`` to skip the corpus
+    signature pass per query batch (the maintained-index shape). Returns
+    (query_id, neighbor_id = chunk_id, cosine_sim); join back to the
+    index frame for provenance."""
     qv = embed_texts(
         queries.withColumnRenamed(query_id_col, "chunk_id"),
         query_text_col,
         ["chunk_id"],
         embed_fn,
         dim,
-    )
+    # a token-less query embeds to the zero vector (hashed_bow_embed);
+    # cosine against it is 0/0 = NaN, which would rank nondeterministically —
+    # drop such queries (they match nothing meaningfully)
+    ).filter(F.exists("embedding", lambda x: x != 0))
     vecs = index.select("chunk_id", "embedding")
     if exact:
         out = cosine_topk(vecs, qv, k, id_col="chunk_id", vec_col="embedding")
@@ -135,5 +156,6 @@ def search_index(
         out = lsh_ann_topk(
             vecs, qv, k, nbits=nbits, dim=dim,
             id_col="chunk_id", vec_col="embedding", n_tables=n_tables,
+            corpus_sigs=corpus_sigs,
         )
     return out

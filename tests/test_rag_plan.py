@@ -88,3 +88,41 @@ def test_end_to_end_retrieval(spark):
             lsh_best[r.query_id] = (r.neighbor_id, r.cosine_sim)
     for q, (nid, _) in lsh_best.items():
         assert nid in exact_top3[q], (q, nid, exact_top3[q])
+
+
+def test_empty_query_dropped_not_nan(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = chunk_embed_index(docs, chunk_tokens=16, overlap=4)
+    queries = spark.createDataFrame(
+        [(200, "   "), (201, "sourdough yeast")], "query_id long, query_text string"
+    )
+    out = search_index(idx, queries, k=2, exact=True).collect()
+    qids = {r.query_id for r in out}
+    assert 200 not in qids          # zero-vector query silently matches nothing
+    assert 201 in qids
+    assert all(r.cosine_sim == r.cosine_sim for r in out)  # no NaNs
+
+
+def test_persisted_signature_search_matches_recompute(spark):
+    """The maintained-index shape: searching with a persisted
+    index_signatures frame returns exactly what the recompute path returns
+    (same plane family), so production can append signatures per tick and
+    never re-signature the corpus."""
+    from etl_adsbx_spark.plans.rag import index_signatures
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id long, query_text string")
+    idx = chunk_embed_index(docs, chunk_tokens=16, overlap=4).localCheckpoint()
+    sigs = index_signatures(idx, nbits=4, n_tables=8).localCheckpoint()
+    recompute = sorted(
+        map(tuple, search_index(idx, queries, k=3, nbits=4, n_tables=8).collect())
+    )
+    persisted = sorted(
+        map(
+            tuple,
+            search_index(
+                idx, queries, k=3, nbits=4, n_tables=8, corpus_sigs=sigs
+            ).collect(),
+        )
+    )
+    assert recompute == persisted and len(persisted) > 0
