@@ -186,7 +186,13 @@ def bucketed_range_join_ns(
     nanosecond timestamps (events.ts is TIMESTAMP(NANOS) — see tables.py):
     right_ns ∈ [left_ns - lower_ns, left_ns + upper_ns]. Same plan shape:
     explode left into covering buckets, equi-join, refine."""
-    # integer DIV, not `/`: epoch-nanos (~1.8e18) exceed double's 2^53 exact range
+    # integer DIV, not `/`: epoch-nanos (~1.8e18) exceed double's 2^53 exact range.
+    # DIV truncates toward zero (floor only for non-negatives), which is still
+    # correct for pre-1970 negative nanos: coverage needs only MONOTONICITY —
+    # l-lo <= r <= l+hi implies trunc-bucket(l-lo) <= trunc-bucket(r) <=
+    # trunc-bucket(l+hi), and the sequence covers every bucket in between
+    # (buckets near zero are merely 2x-wide, costing a few extra candidates
+    # that the exact refine filter below removes).
     lbuck = left.withColumn(
         "_bucket",
         F.explode(

@@ -91,6 +91,73 @@ def write_corpus(
     w.parquet(path)
 
 
+def _footer_summary(path: str) -> dict[str, dict[str, int]]:
+    """Per hive-partition-directory {n_files, n_rows, n_bytes} from parquet
+    footers — never scans row data (~KB of metadata per file)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts: dict[str, dict[str, int]] = {}
+    for root, _dirs, files in os.walk(path):
+        pfiles = [f for f in files if f.endswith(".parquet")]
+        if not pfiles:
+            continue
+        rel = os.path.relpath(root, path)
+        ent = parts.setdefault(
+            rel if rel != "." else "", {"n_files": 0, "n_rows": 0, "n_bytes": 0}
+        )
+        for f in pfiles:
+            fp = os.path.join(root, f)
+            ent["n_files"] += 1
+            ent["n_rows"] += pq.ParquetFile(fp).metadata.num_rows
+            ent["n_bytes"] += os.path.getsize(fp)
+    return parts
+
+
+def write_manifest(path: str) -> dict:
+    """Write a ``_MANIFEST.json`` sidecar summarizing a parquet tree from
+    its footers: per hive-partition directory {n_files, n_rows, n_bytes}
+    plus totals. The ops half of a long-lived corpus: downstream
+    consumers reconcile row counts without scanning data, incremental
+    ingest records what each tick appended, and ``verify_manifest``
+    detects partial writes / lost files later. At real scale generate it
+    inside the same job that lists files for the write commit (the numbers
+    come from metadata either way). Returns the manifest dict."""
+    import json as _json
+    import os
+
+    parts = _footer_summary(path)
+    manifest = {
+        "partitions": parts,
+        "total_files": sum(p["n_files"] for p in parts.values()),
+        "total_rows": sum(p["n_rows"] for p in parts.values()),
+        "total_bytes": sum(p["n_bytes"] for p in parts.values()),
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_manifest(path: str) -> dict:
+    """Recompute the footer summary and compare to ``_MANIFEST.json``;
+    raises AssertionError naming the first diverging partition (missing
+    files, truncated rows, size drift). Returns the stored manifest on
+    success."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        stored = _json.load(fh)
+    parts = _footer_summary(path)
+    for part, want in stored["partitions"].items():
+        got = parts.get(part)
+        assert got == want, f"partition {part!r}: manifest={want} actual={got}"
+    extra = set(parts) - set(stored["partitions"])
+    assert not extra, f"partitions not in manifest: {sorted(extra)}"
+    return stored
+
+
 def compact_parquet(
     spark,
     src: str,

@@ -177,3 +177,30 @@ def test_reconcile_schema_across_generations(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="scratch"):
         reconcile_schema(g3, target, on_extra="error")
+
+
+def test_corpus_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    import os
+
+    from etl_adsbx_spark.sinks import verify_manifest, write_corpus, write_manifest
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "train" if i % 2 else "val") for i in range(20)],
+        "doc_id long, text string, split string",
+    )
+    path = str(tmp_path / "corpus")
+    write_corpus(docs, path, partition_by=["split"], files_per_partition=2,
+                 salt_col="doc_id")
+    m = write_manifest(path)
+    assert m["total_rows"] == 20
+    assert set(m["partitions"]) == {"split=train", "split=val"}
+    assert m["partitions"]["split=train"]["n_rows"] == 10
+    # intact tree verifies; a lost file is named in the failure
+    assert verify_manifest(path)["total_rows"] == 20
+    victim_dir = os.path.join(path, "split=val")
+    victim = next(f for f in os.listdir(victim_dir) if f.endswith(".parquet"))
+    os.remove(os.path.join(victim_dir, victim))
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="split=val"):
+        verify_manifest(path)
