@@ -126,3 +126,29 @@ def test_persisted_signature_search_matches_recompute(spark):
         )
     )
     assert recompute == persisted and len(persisted) > 0
+
+
+def test_incremental_index_append(spark):
+    """The per-tick index maintenance shape: a new document's chunks are
+    embedded and signatured ALONE, appended (union) to the existing
+    signature table, and the very next search retrieves them — the old
+    corpus is never re-embedded or re-signatured."""
+    from etl_adsbx_spark.plans.rag import index_signatures
+
+    old_docs = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    new_doc = spark.createDataFrame(DOCS[3:], "doc_id long, text string")
+    old_idx = chunk_embed_index(old_docs, chunk_tokens=16, overlap=4).localCheckpoint()
+    old_sigs = index_signatures(old_idx, nbits=4, n_tables=8).localCheckpoint()
+    # tick: embed + signature ONLY the new doc, append both frames
+    new_idx = chunk_embed_index(new_doc, chunk_tokens=16, overlap=4).localCheckpoint()
+    idx = old_idx.unionByName(new_idx)
+    sigs = old_sigs.unionByName(index_signatures(new_idx, nbits=4, n_tables=8))
+
+    queries = spark.createDataFrame(
+        [(104, "songbirds stellar navigation magnetic field")],
+        "query_id long, query_text string",
+    )
+    hits = search_index(idx, queries, k=3, nbits=4, n_tables=8, corpus_sigs=sigs)
+    prov = {r.chunk_id: r.doc_id for r in idx.collect()}
+    best = max(hits.collect(), key=lambda r: r.cosine_sim)
+    assert prov[best.neighbor_id] == 4
