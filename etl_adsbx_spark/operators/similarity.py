@@ -493,3 +493,155 @@ def lsh_ann_topk(
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return topk_per_group(scored, ["query_id"], F.struct("cosine_sim", "neighbor_id"), k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    eps: float = 0.05,
+    n_clusters: int | None = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "kmeans",
+    keep: str = "priority",
+    sample_mod: int | None = None,
+    target_cluster_size: int = 256,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then inside
+    each cluster drop documents whose cosine similarity to another cluster
+    member is >= 1 - ``eps``. Near-duplicate *meaning* (paraphrases,
+    templated rewrites) that exact/MinHash dedup cannot see.
+
+    Output is an audit frame — one row per input vector:
+    ``(vec_id, cluster_id, cent_sim, keep)`` where ``cent_sim`` is the
+    cosine to the assigned centroid and ``keep`` is the survival decision.
+    Callers filter ``keep`` for the deduped corpus; the full frame is the
+    "why was this dropped" view (same contract as ``plans.corpus``).
+
+    Survivor rules (both deterministic):
+
+    - ``keep="priority"`` (default, one-pass): a vector is dropped iff it
+      has an eps-neighbor in its cluster with a strictly smaller
+      ``(cent_sim, id)`` key — the paper's "keep the member farthest from
+      the centroid" rule, decided in parallel from the pair list (one
+      aggregation over pairs + one anti-join; no iteration). On chains
+      a→b→c where sim(a,c) < 1-eps this drops {b, c} while the paper's
+      sequential greedy would re-keep c; the parallel rule is the
+      scale-correct trade and errs toward dropping near-dups, never
+      toward keeping them.
+    - ``keep="component"``: exactly one survivor per eps-connected
+      component (``connected_components`` over the pair graph, min-id
+      canonical) — the rule ``dedup_clusters`` already uses for MinHash
+      graphs, reused verbatim.
+
+    100-TB shape: k-means fits on a deterministic md5 sample
+    (``sample_mod``), assignment is the same broadcast-argmax join IVF
+    search uses, and the only corpus-scale shuffle is the intra-cluster
+    self-equi-join on ``cluster_id`` — candidate pairs ~ n·C/2 where C is
+    the mean cluster size, so ``n_clusters`` MUST grow with n:
+    ``n_clusters=None`` auto-sizes to ceil(n / target_cluster_size) (one
+    count job at plan time), the same fixed-bucket-goes-quadratic lesson
+    ``embedding_neardup_pairs`` measured at sf1 (BASELINE.md). Caveat at
+    extreme k: broadcast-argmax assignment does n·k similarity
+    evaluations; past ~10^5 centroids route through a two-level quantizer
+    (assign to sqrt(k) coarse cells, then argmax within the cell's
+    centroids) — plan shape unchanged, documented not implemented.
+    """
+    if keep not in ("priority", "component"):
+        raise ValueError(f"unknown keep {keep!r}: use 'priority' or 'component'")
+    if n_clusters is None:
+        import math
+
+        n = embeddings.count()
+        n_clusters = max(1, math.ceil(n / target_cluster_size))
+    base = embeddings.select(
+        F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    if centroids == "kmeans":
+        cents = kmeans_centroids(base, n_clusters, sample_mod=sample_mod)
+    elif centroids == "lowid":
+        cents = (
+            base.orderBy("_bid")
+            .limit(n_clusters)
+            .select(
+                F.col("_bid").alias("_cent_id"),
+                F.col("_v").alias("_cv"),
+                F.col("_n").alias("_cn"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown centroids {centroids!r}: use 'lowid' or 'kmeans'")
+    assigned = ivf_assign(
+        base.withColumnRenamed("_bid", id_col), cents, id_col, "_id"
+    )
+    # cent_sim via one broadcast re-join on the winning centroid id —
+    # ivf_assign (shared with the green ann_topk path) returns only the
+    # argmax id, and a k-row join is cheaper than changing its contract
+    audited = assigned.join(F.broadcast(cents), F.col("_cid") == F.col("_cent_id")).select(
+        "_id",
+        "_v",
+        "_n",
+        "_cid",
+        F.round(
+            dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6
+        ).alias("cent_sim"),
+    )
+    a = audited.select(
+        F.col("_id").alias("a_id"),
+        F.col("_cid").alias("_acid"),
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+        F.col("cent_sim").alias("_acs"),
+    )
+    b = audited.select(
+        F.col("_id").alias("b_id"),
+        F.col("_cid").alias("_bcid"),
+        F.col("_v").alias("_bv"),
+        F.col("_n").alias("_bn"),
+        F.col("cent_sim").alias("_bcs"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("_acid") == F.col("_bcid")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .withColumn(
+            "_sim",
+            F.round(dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6),
+        )
+        .filter(F.col("_sim") >= F.round(F.lit(1.0 - eps), 6))
+        .select("a_id", "b_id", "_acs", "_bcs")
+    )
+    out_cols = [
+        F.col("_id").alias(id_col),
+        F.col("_cid").alias("cluster_id"),
+        "cent_sim",
+    ]
+    if keep == "priority":
+        # per pair the loser is the larger (cent_sim, id) key; a vector
+        # survives iff it loses no pair — one projection + distinct + anti-join
+        losers = pairs.select(
+            F.when(
+                F.struct(F.col("_acs").alias("cs"), F.col("a_id").alias("i"))
+                > F.struct(F.col("_bcs").alias("cs"), F.col("b_id").alias("i")),
+                F.col("a_id"),
+            )
+            .otherwise(F.col("b_id"))
+            .alias("_loser")
+        ).distinct()
+        return audited.join(
+            losers, F.col("_id") == F.col("_loser"), "left"
+        ).select(*out_cols, F.col("_loser").isNull().alias("keep"))
+    from .dedup import connected_components
+
+    cc = connected_components(
+        pairs.select("a_id", "b_id"),
+        audited.select(F.col("_id").alias("doc_id")),
+        id_col="doc_id",
+    )
+    return audited.join(
+        cc, F.col("_id") == F.col("doc_id"), "left"
+    ).select(
+        *out_cols,
+        (F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))).alias("keep"),
+    )

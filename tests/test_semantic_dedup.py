@@ -1,0 +1,140 @@
+"""SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+full Python-reference replay of both survivor rules on the driver
+embeddings table plus injected exact/near duplicates, determinism under
+repartition, and plan hygiene."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_adsbx_spark.operators.similarity import semantic_dedup
+from etl_adsbx_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+EPS = 0.05
+N_CLUSTERS = 4
+
+
+def _with_injected_dups(spark):
+    """Driver embeddings (500 vecs) + 10 exact copies under ids 1000+i.
+    An exact copy has cosine 1.0 to its source and the identical argmax
+    centroid assignment, so every copy is guaranteed an eps-pair."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    dups = (
+        emb.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    return emb.unionByName(dups)
+
+
+def _python_reference(rows, eps, keep):
+    """Replay the survivor rule from the operator's own (cluster_id,
+    cent_sim) assignment: brute-force intra-cluster cosine pairs in
+    Python, then apply the documented drop rule."""
+    import math
+    from collections import defaultdict
+
+    vecs = {r["vec_id"]: r["_vec"] for r in rows}
+    clus = {r["vec_id"]: r["cluster_id"] for r in rows}
+    cs = {r["vec_id"]: r["cent_sim"] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    by_cluster = defaultdict(list)
+    for i in vecs:
+        by_cluster[clus[i]].append(i)
+    thr = round(1.0 - eps, 6)
+    pairs = []
+    for members in by_cluster.values():
+        members.sort()
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                if cos(vecs[a], vecs[b]) >= thr:
+                    pairs.append((a, b))
+    if keep == "priority":
+        dropped = set()
+        for a, b in pairs:
+            loser = a if (cs[a], a) > (cs[b], b) else b
+            dropped.add(loser)
+        return {i: i not in dropped for i in vecs}
+    # component: union-find, min-id canonical survives
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = defaultdict(lambda: None)
+    for i in vecs:
+        r = find(i)
+        if comp_min[r] is None or i < comp_min[r]:
+            comp_min[r] = i
+    return {i: comp_min[find(i)] == i for i in vecs}
+
+
+@pytest.mark.parametrize("keep", ["priority", "component"])
+def test_semantic_dedup_matches_python_reference(spark, keep):
+    emb = _with_injected_dups(spark)
+    out = semantic_dedup(
+        emb, eps=EPS, n_clusters=N_CLUSTERS, keep=keep, centroids="kmeans"
+    )
+    # pull the double-cast vector alongside the audit columns so the
+    # reference computes cosine in the same precision the operator did
+    joined = out.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_vec")),
+        "vec_id",
+    )
+    rows = [r.asDict() for r in joined.collect()]
+    n_in = emb.count()
+    assert len(rows) == n_in, "audit frame must cover every input vector"
+    ref = _python_reference(rows, EPS, keep)
+    got = {r["vec_id"]: r["keep"] for r in rows}
+    assert got == ref
+    # the 10 injected exact copies all have a cosine-1.0 partner: in any
+    # component at most one member survives, and an exact pair can never
+    # both survive the priority rule either
+    for i in range(10):
+        assert not (got[i] and got[1000 + i]), f"exact pair ({i},{1000+i}) both kept"
+
+
+def test_semantic_dedup_deterministic_under_repartition(spark):
+    emb = _with_injected_dups(spark)
+    a = semantic_dedup(emb, eps=EPS, n_clusters=N_CLUSTERS).orderBy("vec_id").collect()
+    b = (
+        semantic_dedup(emb.repartition(7), eps=EPS, n_clusters=N_CLUSTERS)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_semantic_dedup_auto_cluster_count_and_plan(spark):
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    out = semantic_dedup(emb, eps=EPS, n_clusters=None, target_cluster_size=64)
+    # 500 vecs / 64 target => 8 clusters requested; k-means may drop
+    # degenerate ones but more than one must survive on i.i.d. data
+    n_clusters = out.select("cluster_id").distinct().count()
+    assert 1 < n_clusters <= 8
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert out.count() == 500
+
+
+def test_semantic_dedup_rejects_unknown_modes(spark):
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, keep="greedy")
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, centroids="random")
