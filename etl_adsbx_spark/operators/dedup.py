@@ -78,11 +78,87 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return last_wins(hashed, ["text_sha"], F.col(id_col) * -1)
 
 
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """Bit positions for ``key``: ``num_hashes`` independent draws of
+    pmod(xxhash64(key, seed_i), num_bits) — the standard seeded-hash
+    family, pure codegen expressions."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)
+    ]
+
+
+def bloom_index(
+    df: DataFrame,
+    key_col: str = "text_sha",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as a ONE-ROW DataFrame
+    ``(num_bits, num_hashes, words: map<bigint,bigint>)`` — word w holds
+    the OR of bit (pos mod 64) for every pos with pos div 64 = w. Pure
+    SQL expressions end to end (explode positions → bit_or per word →
+    map_from_entries), so the index is *persistable*: production writes it
+    next to the corpus like ``lsh_signature_table`` and each ingest tick
+    reads the one-row table instead of re-aggregating the corpus.
+
+    Why: ``incremental_exact_dedup``'s anti-join probes the full DISTINCT
+    hash index every tick — a corpus-sized table at 100 TB. The Bloom
+    bitmap is the compact summary (1.2 GB at 10^10 keys / 1% FP vs ~640 GB
+    of raw sha256 keys): definitely-new batch rows admit MAP-SIDE with no
+    join at all; only ``might contain`` rows (true dups + the FP tail) pay
+    the exact verify join. False negatives are impossible by construction,
+    so admission semantics are exactly the anti-join path's
+    (tests/test_incremental_dedup.py pins frame equality).
+
+    Sizing: FP rate ≈ (1 − e^(−kn/m))^k; the 2^20-bit default holds ~10^5
+    keys at <1%. The one-row map form is broadcast-bound (~100 MB of map
+    entries ≈ 10^8 bits); past that, shard words into segment rows joined
+    on pmod(word, n_segments) — same expressions, equi-join instead of a
+    1-row broadcast. Spark's own runtime bloom join
+    (tests/test_scale_techniques.py) covers the *intra-query* case; this
+    index is the *cross-tick* one the optimizer cannot maintain for us.
+    """
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), num_bits, num_hashes)))
+    words = (
+        df.select(pos.alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("bigint").alias("_word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("_pos") % 64).cast("int")
+            ).alias("_bit"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+    )
+    return words.agg(
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(num_hashes).alias("num_hashes"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_word", "_bits")))
+        ).alias("words"),
+    )
+
+
+def bloom_maybe_contains(
+    key: Column, words: Column, num_bits: int, num_hashes: int
+) -> Column:
+    """True iff every hash position of ``key`` is set in the bitmap —
+    i.e. the key is *possibly* in the indexed set (false positives at the
+    sized rate, never false negatives)."""
+    maybe = F.lit(True)
+    for p in _bloom_positions(key, num_bits, num_hashes):
+        word = F.element_at(words, (p / 64).cast("bigint"))
+        bit = F.call_function("shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int"))
+        maybe = maybe & word.isNotNull() & (word.bitwiseAND(bit) != 0)
+    return maybe
+
+
 def incremental_exact_dedup(
     batch: DataFrame,
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Admit only the batch documents whose normalized text has never been
     seen: not in the corpus, and first (lowest ``id_col``) within the
@@ -100,6 +176,14 @@ def incremental_exact_dedup(
     incremental tick, so the per-tick cost is one scan of the batch plus
     an equi-join shuffle keyed on the hash — never a rescan of the corpus
     text. Returns the admitted batch rows + ``text_sha``.
+
+    ``bloom``: a ``bloom_index`` frame built over the corpus hashes.
+    When supplied, batch rows the filter rules out admit map-side with NO
+    corpus join (the dominant case — most ingested text is new); only
+    might-contain rows (true dups + the sized FP tail) pay the exact
+    anti-join verify, and the verify result is what admits them, so the
+    output is frame-identical to the plain path — the Bloom filter only
+    ever *removes* work, never changes a decision.
     """
     b = batch.withColumn("text_sha", F.sha2(normalized_text(text_col), 256))
     if "text_sha" in corpus.columns:
@@ -108,7 +192,18 @@ def incremental_exact_dedup(
         seen = corpus.select(
             F.sha2(normalized_text(text_col), 256).alias("text_sha")
         ).distinct()
-    fresh = b.join(seen, "text_sha", "left_anti")
+    if bloom is None:
+        fresh = b.join(seen, "text_sha", "left_anti")
+    else:
+        # one first() on the persisted 1-row index frame: metadata-cheap,
+        # and it keeps num_bits/num_hashes out of every caller's signature
+        nb, nh = bloom.select("num_bits", "num_hashes").first()
+        flagged = b.crossJoin(F.broadcast(bloom.select("words"))).withColumn(
+            "_maybe", bloom_maybe_contains(F.col("text_sha"), F.col("words"), nb, nh)
+        )
+        definite_new = flagged.filter(~F.col("_maybe")).drop("words", "_maybe")
+        maybes = flagged.filter(F.col("_maybe")).drop("words", "_maybe")
+        fresh = definite_new.unionByName(maybes.join(seen, "text_sha", "left_anti"))
     return last_wins(fresh, ["text_sha"], F.col(id_col) * -1)
 
 

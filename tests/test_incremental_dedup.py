@@ -175,3 +175,61 @@ def test_incremental_minhash_accepts_prebuilt_band_index(spark):
     a = {r.doc_id for r in incremental_minhash_dedup(batch, corpus).collect()}
     b = {r.doc_id for r in incremental_minhash_dedup(batch, index).collect()}
     assert a == b
+
+
+def test_bloom_index_no_false_negatives_and_bounded_fp(spark):
+    """Every indexed key must probe True; absent keys probe True at no
+    more than a loose multiple of the sized FP rate."""
+    from etl_adsbx_spark.operators.dedup import bloom_index, bloom_maybe_contains
+
+    keys = spark.range(0, 2000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("text_sha")
+    )
+    bloom = bloom_index(keys, num_bits=1 << 16, num_hashes=5)
+    nb, nh = bloom.select("num_bits", "num_hashes").first()
+    assert (nb, nh) == (1 << 16, 5)
+    probe = lambda df: df.crossJoin(F.broadcast(bloom.select("words"))).withColumn(  # noqa: E731
+        "_maybe", bloom_maybe_contains(F.col("text_sha"), F.col("words"), nb, nh)
+    )
+    present = probe(keys)
+    assert present.filter(~F.col("_maybe")).count() == 0, "false negative"
+    absent = probe(
+        spark.range(2000, 12000).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("text_sha")
+        )
+    )
+    fp = absent.filter(F.col("_maybe")).count() / 10000
+    # sized rate ~ (1 - e^(-5*2000/65536))^5 ~ 5e-5; allow wide slack
+    assert fp < 0.01, f"false-positive rate {fp} out of bounds"
+
+
+def test_incremental_exact_bloom_path_frame_identical(spark):
+    """The bloom= fast path must admit exactly the rows the plain
+    anti-join path admits (the filter only skips work, never decides)."""
+    from etl_adsbx_spark.operators.dedup import bloom_index
+
+    batch, corpus = _split(_docs(spark))
+    bloom = bloom_index(
+        exact_dedup(corpus).select("text_sha"), num_bits=1 << 18, num_hashes=5
+    ).localCheckpoint()
+    plain = incremental_exact_dedup(batch, corpus)
+    fast = incremental_exact_dedup(batch, corpus, bloom=bloom)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_incremental_exact_bloom_admits_map_side_when_definitely_new(spark):
+    """A batch disjoint from the corpus (and below the FP odds) must admit
+    every doc, and a batch of pure corpus copies must admit none."""
+    from etl_adsbx_spark.operators.dedup import bloom_index
+
+    _, corpus = _split(_docs(spark))
+    bloom = bloom_index(
+        exact_dedup(corpus).select("text_sha"), num_bits=1 << 18, num_hashes=5
+    ).localCheckpoint()
+    dup_batch = corpus.limit(20)
+    assert incremental_exact_dedup(dup_batch, corpus, bloom=bloom).count() == 0
+    new_batch = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("definitely new text "), F.col("id")).alias("text"),
+    )
+    assert incremental_exact_dedup(new_batch, corpus, bloom=bloom).count() == 50
