@@ -98,3 +98,29 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def shuffle_key(seed: int, *id_cols: Column | str) -> Column:
+    """Pseudorandom-but-deterministic order key: xxhash64(seed, ids).
+    Content-derived, so it survives task retries and input repartitioning
+    (the rand()-salt hazard operators/skew.py documents)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in id_cols]
+    return F.xxhash64(F.lit(seed), *cols)
+
+
+def deterministic_shuffle(
+    df: DataFrame, seed: int = 0, id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Global pseudorandom shuffle of training examples — the "randomize
+    document order before sharding" step every pretraining run needs, as a
+    deterministic total order: sort by (xxhash64(seed, ids), ids).
+
+    Spark executes orderBy as a range-partition sort (sampled boundaries,
+    then per-partition sorts) — fully distributed, no single-task stage,
+    one shuffle. A new ``seed`` is a fresh independent permutation (epoch
+    reshuffle); the same seed reproduces the byte-identical order on any
+    cluster size or input partitioning, which is what makes training runs
+    resumable and debuggable. The id tiebreak makes the order total even
+    on the ~2^-64 hash-collision pairs."""
+    key = shuffle_key(seed, *id_cols)
+    return df.orderBy(key, *[F.col(c) for c in id_cols])

@@ -74,6 +74,7 @@ def prepare_training_data(
     token_budget: int = 512,
     files_per_partition: int = 1,
     stage_counts: bool = True,
+    shuffle_seed: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full chain over the ``documents`` table; returns
     ``(final_frame, stage_counts)`` and (if ``out_dir``) writes the hive
@@ -141,14 +142,26 @@ def prepare_training_data(
         F.floor(start / token_budget).cast("bigint").alias("first_chunk"),
         F.floor((F.col("_cum") - 1) / token_budget).cast("bigint").alias("last_chunk"),
     )
+    if shuffle_seed is not None:
+        # training-order randomization: a deterministic hash order column
+        # the writer clusters by. Files become unbiased random shards
+        # (slot = hash of the order key) with rows hash-ordered inside, so
+        # a loader reading shards in name order and rows in `_order` gets
+        # a reproducible pseudorandom document order with NO global sort
+        # in the write path — epoch reshuffles are just a new seed. For a
+        # literal single global permutation use
+        # operators.layout.deterministic_shuffle before a coalesced write.
+        from ..operators.layout import shuffle_key
+
+        final = final.withColumn("_order", shuffle_key(shuffle_seed, "doc_id"))
     if out_dir is not None:
         write_corpus(
             final,
             out_dir,
             partition_by=["split"],
-            sort_by=["doc_id"],
+            sort_by=["_order"] if shuffle_seed is not None else ["doc_id"],
             files_per_partition=files_per_partition,
-            salt_col="doc_id",
+            salt_col="_order" if shuffle_seed is not None else "doc_id",
         )
         # parquet footers only — not a recompute
         counts["written"] = spark.read.parquet(out_dir).count()

@@ -71,9 +71,18 @@ def write_corpus(
       single hot partition value still spreads over ``files_per_partition``
       tasks. Pick ``files_per_partition`` ≈ partition bytes / desired file
       size. With the default 1, each hive partition is exactly one file.
-    - ``sort_by`` applies ``sortWithinPartitions`` after the shuffle, so
-      parquet row-group min/max stats actually prune on those columns for
-      readers filtering inside a partition.
+    - ``sort_by`` applies ``sortWithinPartitions(partition_by…, sort_by…)``
+      after the shuffle, so parquet row-group min/max stats actually prune
+      on those columns for readers filtering inside a partition. The
+      partition columns MUST lead the sort: a dynamic-partition write whose
+      input is not already ordered by the partition columns gets an
+      implicit writer-side sort on exactly those columns (one open file per
+      task), and that sort is NOT stable — it permutes rows within equal
+      partition keys and silently destroys any secondary clustering
+      (observed: hash-order clustering scrambled whenever one task carried
+      several partition values). Leading with the partition columns makes
+      the writer's required ordering a satisfied prefix, so it skips its
+      own sort and the secondary order survives to the row groups.
     - ``max_records_per_file`` caps runaway files via the DataSource
       option of the same name (rows, not bytes — estimate from the
       corpus's average row width).
@@ -84,7 +93,7 @@ def write_corpus(
         *[F.col(c) for c in partition_by], F.col("_slot")
     )
     if sort_by:
-        out = out.sortWithinPartitions(*sort_by)
+        out = out.sortWithinPartitions(*partition_by, *sort_by)
     w = out.drop("_slot").write.mode(mode).partitionBy(*partition_by)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))

@@ -118,3 +118,18 @@ def test_zorder_write_shrinks_footer_ranges_on_both_dims(spark, tmp_path):
 def test_interleave_rejects_too_many_bits(spark):
     with pytest.raises(ValueError):
         interleave_bits([F.lit(0)] * 8, 8)
+
+
+def test_deterministic_shuffle_is_a_stable_permutation(spark):
+    from etl_adsbx_spark.operators.layout import deterministic_shuffle
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    ids_sorted = [r.doc_id for r in d.orderBy("doc_id").collect()]
+    s0 = [r.doc_id for r in deterministic_shuffle(d, seed=0).collect()]
+    assert sorted(s0) == ids_sorted, "must be a permutation"
+    assert s0 != ids_sorted, "must actually reorder"
+    # invariant to input partitioning; sensitive to the seed
+    s0b = [r.doc_id for r in deterministic_shuffle(d.repartition(7), seed=0).collect()]
+    assert s0 == s0b
+    s1 = [r.doc_id for r in deterministic_shuffle(d, seed=1).collect()]
+    assert sorted(s1) == ids_sorted and s1 != s0

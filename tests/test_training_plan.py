@@ -83,3 +83,42 @@ def test_prepare_training_data_counts_optional(spark):
     final, counts = prepare_training_data(spark, SF_SMALL, stage_counts=False)
     assert counts == {}
     assert final.count() > 0
+
+
+def test_prepare_training_data_shuffle_seed(spark, tmp_path):
+    """shuffle_seed writes hash-ordered shards: same row multiset as the
+    unshuffled corpus, `_order` ascending within every file, and the
+    shard order reproducible across writes with the same seed."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_adsbx_spark.plans.training import prepare_training_data
+
+    out1 = str(tmp_path / "c1")
+    out2 = str(tmp_path / "c2")
+    final, _ = prepare_training_data(
+        spark, SF_SMALL, out_dir=out1, stage_counts=False, shuffle_seed=7,
+        files_per_partition=2,
+    )
+    assert "_order" in final.columns
+    prepare_training_data(
+        spark, SF_SMALL, out_dir=out2, stage_counts=False, shuffle_seed=7,
+        files_per_partition=2,
+    )
+    files1 = sorted(glob.glob(out1 + "/split=*/*.parquet"))
+    assert files1
+    all_rows = []
+    for f in files1:
+        t = pq.read_table(f, columns=["doc_id", "_order"])
+        orders = t.column("_order").to_pylist()
+        assert orders == sorted(orders), f"rows not _order-clustered in {f}"
+        all_rows += t.column("doc_id").to_pylist()
+    plain, _ = prepare_training_data(spark, SF_SMALL, stage_counts=False)
+    assert sorted(all_rows) == sorted(r.doc_id for r in plain.select("doc_id").collect())
+    # same seed -> same shard contents
+    files2 = sorted(glob.glob(out2 + "/split=*/*.parquet"))
+    ids = lambda fs: [  # noqa: E731
+        pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist() for f in fs
+    ]
+    assert ids(files1) == ids(files2)
