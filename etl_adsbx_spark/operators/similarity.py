@@ -505,6 +505,7 @@ def semantic_dedup(
     keep: str = "priority",
     sample_mod: int | None = None,
     target_cluster_size: int = 256,
+    assign: str = "flat",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then inside
@@ -543,12 +544,15 @@ def semantic_dedup(
     count job at plan time), the same fixed-bucket-goes-quadratic lesson
     ``embedding_neardup_pairs`` measured at sf1 (BASELINE.md). Caveat at
     extreme k: broadcast-argmax assignment does n·k similarity
-    evaluations; past ~10^5 centroids route through a two-level quantizer
-    (assign to sqrt(k) coarse cells, then argmax within the cell's
-    centroids) — plan shape unchanged, documented not implemented.
+    evaluations; past ~10^5 centroids pass ``assign="two_level"`` to
+    route through ``ivf_assign_two_level`` (~2n·√k terms, approximate at
+    cell boundaries — which only perturbs WHICH cluster a borderline
+    vector dedups within, never the rule's determinism).
     """
     if keep not in ("priority", "component"):
         raise ValueError(f"unknown keep {keep!r}: use 'priority' or 'component'")
+    if assign not in ("flat", "two_level"):
+        raise ValueError(f"unknown assign {assign!r}: use 'flat' or 'two_level'")
     if n_clusters is None:
         import math
 
@@ -571,7 +575,8 @@ def semantic_dedup(
         )
     else:
         raise ValueError(f"unknown centroids {centroids!r}: use 'lowid' or 'kmeans'")
-    assigned = ivf_assign(
+    assign_fn = ivf_assign if assign == "flat" else ivf_assign_two_level
+    assigned = assign_fn(
         base.withColumnRenamed("_bid", id_col), cents, id_col, "_id"
     )
     # cent_sim via one broadcast re-join on the winning centroid id —
@@ -644,4 +649,130 @@ def semantic_dedup(
     ).select(
         *out_cols,
         (F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))).alias("keep"),
+    )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop training vectors
+    whose cosine to ANY eval vector is >= ``threshold`` — the semantic
+    complement of the word-n-gram ``decontaminate`` (paraphrased eval
+    items share no 5-grams but sit on top of each other in embedding
+    space). Returns the surviving ``train`` rows.
+
+    Scale shape mirrors the n-gram path's broadcast asymmetry: the eval
+    set is small, so its signature table broadcasts into the candidate
+    equi-join on (table, sig) — the train corpus NEVER shuffles; only
+    bucket-collision candidates (plus the exact-verify join to fetch
+    their vectors) leave the scan. Multi-table OR-amplification
+    (``n_tables``) sets recall exactly as in ``lsh_ann_topk``; at
+    threshold 0.95 true contaminants are near-colinear, so per-table
+    collision probability (1−θ/π)^nbits is high and a few tables reach
+    ~1 recall. ``exact=True`` swaps the blocked candidate set for the
+    full broadcast cross product (train × eval — eval still broadcast,
+    train still never shuffles): the oracle-style reference path, O(n·m)
+    similarity terms, for eval sets small enough to afford it.
+    """
+    ev = eval_set.select(
+        F.col(id_col).alias("_eid"), as_double(vec_col).alias("_ev")
+    ).withColumn("_en", norm(F.col("_ev")))
+    tv = train.select(
+        F.col(id_col).alias("_tid"), as_double(vec_col).alias("_tv")
+    ).withColumn("_tn", norm(F.col("_tv")))
+    if exact:
+        cand = tv.join(F.broadcast(ev))
+    else:
+        cand = (
+            lsh_signature_table(train, "_tid", nbits, dim, n_tables, id_col, vec_col)
+            .join(
+                F.broadcast(
+                    lsh_signature_table(
+                        eval_set, "_eid", nbits, dim, n_tables, id_col, vec_col
+                    )
+                ),
+                ["t", "sig"],
+            )
+            .select("_tid", "_eid")
+            .distinct()
+            .join(tv, "_tid")
+            .join(F.broadcast(ev), "_eid")
+        )
+    contaminated = (
+        cand.withColumn(
+            "_sim",
+            F.round(dot(F.col("_tv"), F.col("_ev")) / (F.col("_tn") * F.col("_en")), 6),
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select("_tid")
+        .distinct()
+    )
+    return train.join(
+        contaminated.withColumnRenamed("_tid", id_col), id_col, "left_anti"
+    )
+
+
+def ivf_assign_two_level(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    out_id: str,
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Two-level nearest-centroid assignment — the extreme-k scale path
+    for ``ivf_assign``. Flat broadcast-argmax evaluates n·k similarity
+    terms; past ~10^5 centroids (SemDeDup-scale clustering) that term
+    count, not the data scan, dominates. Route through a coarse layer:
+    fit ``n_coarse`` (default √k) cells over the CENTROID table itself
+    (k rows — driver-cheap), label every centroid with its cell, assign
+    each vector to a cell (n·√k terms), then argmax only over that
+    cell's centroids (equi-join on the cell id, ~n·k/√k expected terms)
+    — ~2n√k total, same output contract (out_id, _v, _n, _cid).
+
+    APPROXIMATE by construction: a vector whose true nearest centroid
+    lives just across a cell boundary gets its best in-cell centroid
+    instead (the standard IVF-on-IVF trade; raise ``n_coarse`` probes to
+    tighten). Deterministic end to end — every stage reuses the same
+    deterministic k-means + rounded-argmax machinery, so retries and
+    repartitioning cannot flip an assignment (tests pin this). The
+    ``centroids.count()`` here is one job over a k-row frame.
+    """
+    import math
+
+    k = centroids.count()
+    if n_coarse is None:
+        n_coarse = max(1, int(math.sqrt(k)))
+    cbase = centroids.select(
+        F.col("_cent_id").alias("_bid"),
+        F.col("_cv").alias("_v"),
+        F.col("_cn").alias("_n"),
+    )
+    coarse = kmeans_centroids(cbase, n_coarse)
+    cent_cell = ivf_assign(cbase.withColumnRenamed("_bid", "_fine_id"), coarse, "_fine_id", "_fine_id")
+    fine = cent_cell.select(
+        F.col("_fine_id"),
+        F.col("_v").alias("_cv"),
+        F.col("_n").alias("_cn"),
+        F.col("_cid").alias("_cell"),
+    )
+    vcell = ivf_assign(vectors, coarse, id_col, out_id)
+    sim = F.round(dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6)
+    return (
+        vcell.join(F.broadcast(fine), F.col("_cid") == F.col("_cell"))
+        .groupBy(out_id)
+        .agg(
+            F.first("_v").alias("_v"),
+            F.first("_n").alias("_n"),
+            F.max_by(
+                F.col("_fine_id"), F.struct(sim.alias("s"), F.col("_fine_id"))
+            ).alias("_cid"),
+        )
     )

@@ -138,3 +138,95 @@ def test_semantic_dedup_rejects_unknown_modes(spark):
         semantic_dedup(emb, keep="greedy")
     with pytest.raises(ValueError):
         semantic_dedup(emb, centroids="random")
+
+
+def test_embedding_decontaminate_drops_planted_contaminants(spark):
+    """Eval = 20 train vectors verbatim (cos 1.0): every planted source
+    must be dropped on both paths; the LSH path must agree with exact on
+    this near-colinear regime, and survivors must verify clean."""
+    from etl_adsbx_spark.operators.similarity import embedding_decontaminate
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    eval_set = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    planted = {r.vec_id for r in emb.filter(F.col("vec_id") % 25 == 0).collect()}
+    kept_exact = embedding_decontaminate(emb, eval_set, exact=True)
+    kept_lsh = embedding_decontaminate(emb, eval_set, n_tables=4)
+    ids_exact = {r.vec_id for r in kept_exact.select("vec_id").collect()}
+    ids_lsh = {r.vec_id for r in kept_lsh.select("vec_id").collect()}
+    assert planted & ids_exact == set(), "exact path kept a planted contaminant"
+    assert planted & ids_lsh == set(), "LSH path missed an exact-copy contaminant"
+    # exact path is the reference: LSH may only over-keep (recall < 1),
+    # never over-drop (precision is 1 by exact verify)
+    assert ids_exact <= ids_lsh
+    # brute-force survivor check: nothing kept by exact is >= threshold
+    import math
+
+    ev = {r.vec_id: r.embedding for r in eval_set.collect()}
+    tv = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        return d / math.sqrt(
+            sum(float(x) ** 2 for x in a) * sum(float(y) ** 2 for y in b)
+        )
+
+    for t in ids_exact:
+        assert all(round(cos(tv[t], e), 6) < 0.95 for e in ev.values())
+
+
+def test_ivf_assign_two_level_valid_deterministic_and_agrees(spark):
+    """Two-level assignment: every _cid is a real centroid, the result is
+    identical under input repartitioning, and agreement with flat argmax
+    stays above a floor even on i.i.d. random vectors (the worst case —
+    near-uniform similarities put many vectors on cell boundaries;
+    measured 0.742 at k=16/√k cells on the driver table)."""
+    from etl_adsbx_spark.functions.vector import as_double, norm
+    from etl_adsbx_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("_bid"), as_double("embedding").alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    cents = kmeans_centroids(base, 16).localCheckpoint()
+    cent_ids = {r._cent_id for r in cents.select("_cent_id").collect()}
+    v = base.withColumnRenamed("_bid", "vec_id")
+    two = ivf_assign_two_level(v, cents, "vec_id", "vid")
+    rows = {r.vid: r._cid for r in two.select("vid", "_cid").collect()}
+    assert len(rows) == 500
+    assert set(rows.values()) <= cent_ids
+    rows_re = {
+        r.vid: r._cid
+        for r in ivf_assign_two_level(v.repartition(7), cents, "vec_id", "vid")
+        .select("vid", "_cid")
+        .collect()
+    }
+    assert rows == rows_re
+    flat = {
+        r.vid: r._cid
+        for r in ivf_assign(v, cents, "vec_id", "vid").select("vid", "_cid").collect()
+    }
+    agree = sum(flat[i] == rows[i] for i in flat) / len(flat)
+    assert agree >= 0.6, f"two-level agreement {agree} below floor"
+
+
+def test_semantic_dedup_two_level_assign_mode(spark):
+    emb = _with_injected_dups(spark)
+    out = semantic_dedup(
+        emb, eps=EPS, n_clusters=8, keep="priority", assign="two_level"
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 510
+    # exact copies land in the same cluster under ANY deterministic
+    # assignment (identical vector -> identical argmax), so they still
+    # can never both survive
+    for i in range(10):
+        assert rows[i].cluster_id == rows[1000 + i].cluster_id
+        assert not (rows[i].keep and rows[1000 + i].keep)
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, assign="three_level")
