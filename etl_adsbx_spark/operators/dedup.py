@@ -112,14 +112,36 @@ def bloom_index(
 
     Sizing: FP rate ≈ (1 − e^(−kn/m))^k; the 2^20-bit default holds ~10^5
     keys at <1%. The one-row map form is broadcast-bound (~100 MB of map
-    entries ≈ 10^8 bits); past that, shard words into segment rows joined
-    on pmod(word, n_segments) — same expressions, equi-join instead of a
-    1-row broadcast. Spark's own runtime bloom join
+    entries ≈ 10^8 bits); past that use ``bloom_word_table`` — the same
+    bitmap kept as (word, bits) ROWS probed by equi-join, no broadcast
+    bound at all. Spark's own runtime bloom join
     (tests/test_scale_techniques.py) covers the *intra-query* case; this
     index is the *cross-tick* one the optimizer cannot maintain for us.
     """
+    return bloom_word_table(df, key_col, num_bits, num_hashes).agg(
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(num_hashes).alias("num_hashes"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_word", "_bits")))
+        ).alias("words"),
+    )
+
+
+def bloom_word_table(
+    df: DataFrame,
+    key_col: str = "text_sha",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """The DISTRIBUTED form of ``bloom_index``: the bitmap as (word, bits)
+    rows — at most num_bits/64 of them, each carrying the sizing as
+    literal columns so a persisted table is self-describing. This is the
+    scale path past the one-row map's broadcast bound: a 2^34-bit filter
+    (10^9 keys at 1% FP) is 268M 16-byte rows ≈ 4 GB spread across the
+    cluster, probed with a plain equi-join on the word id
+    (``bloom_probe``) — nothing is ever collected or broadcast."""
     pos = F.explode(F.array(*_bloom_positions(F.col(key_col), num_bits, num_hashes)))
-    words = (
+    return (
         df.select(pos.alias("_pos"))
         .select(
             (F.col("_pos") / 64).cast("bigint").alias("_word"),
@@ -129,14 +151,50 @@ def bloom_index(
         )
         .groupBy("_word")
         .agg(F.bit_or("_bit").alias("_bits"))
+        .select(
+            "_word",
+            "_bits",
+            F.lit(num_bits).alias("num_bits"),
+            F.lit(num_hashes).alias("num_hashes"),
+        )
     )
-    return words.agg(
-        F.lit(num_bits).alias("num_bits"),
-        F.lit(num_hashes).alias("num_hashes"),
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("_word", "_bits")))
-        ).alias("words"),
+
+
+def bloom_probe(
+    batch: DataFrame, bloom_words: DataFrame, key_col: str = "text_sha",
+    out_col: str = "_maybe",
+) -> DataFrame:
+    """Probe a ``bloom_word_table`` with every DISTINCT ``key_col`` of the
+    batch and join the verdict back: batch + a boolean ``out_col`` (true =
+    possibly in the indexed set; false = definitely new). Fully
+    distributed: distinct keys explode to num_hashes (key, word, bit)
+    rows, LEFT-join the word table on the word id (a missing word means
+    no indexed key ever touched it — definite miss), and ``bool_and`` per
+    key folds the hits. At bench scale AQE turns the word join into a
+    broadcast on its own; at 10^9-key filters it stays a shuffle
+    equi-join — either way the plan shape is declared once here."""
+    nb, nh = bloom_words.select("num_bits", "num_hashes").first()
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), nb, nh)))
+    verdicts = (
+        batch.select(key_col).distinct()
+        .select(key_col, pos.alias("_pos"))
+        .select(
+            key_col,
+            (F.col("_pos") / 64).cast("bigint").alias("_word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("_pos") % 64).cast("int")
+            ).alias("_probe_bit"),
+        )
+        .join(bloom_words.select("_word", "_bits"), "_word", "left")
+        .groupBy(key_col)
+        .agg(
+            F.bool_and(
+                F.col("_bits").isNotNull()
+                & (F.col("_bits").bitwiseAND(F.col("_probe_bit")) != 0)
+            ).alias(out_col)
+        )
     )
+    return batch.join(verdicts, key_col)
 
 
 def bloom_maybe_contains(
@@ -195,14 +253,20 @@ def incremental_exact_dedup(
     if bloom is None:
         fresh = b.join(seen, "text_sha", "left_anti")
     else:
-        # one first() on the persisted 1-row index frame: metadata-cheap,
-        # and it keeps num_bits/num_hashes out of every caller's signature
-        nb, nh = bloom.select("num_bits", "num_hashes").first()
-        flagged = b.crossJoin(F.broadcast(bloom.select("words"))).withColumn(
-            "_maybe", bloom_maybe_contains(F.col("text_sha"), F.col("words"), nb, nh)
-        )
-        definite_new = flagged.filter(~F.col("_maybe")).drop("words", "_maybe")
-        maybes = flagged.filter(F.col("_maybe")).drop("words", "_maybe")
+        if "words" in bloom.columns:
+            # one-row map form: broadcast the bitmap, probe per-row.
+            # The first() on the persisted 1-row frame is metadata-cheap
+            # and keeps num_bits/num_hashes out of every caller's signature
+            nb, nh = bloom.select("num_bits", "num_hashes").first()
+            flagged = b.crossJoin(F.broadcast(bloom.select("words"))).withColumn(
+                "_maybe",
+                bloom_maybe_contains(F.col("text_sha"), F.col("words"), nb, nh),
+            ).drop("words")
+        else:
+            # word-table form (bloom_word_table): equi-join probe
+            flagged = bloom_probe(b, bloom, "text_sha")
+        definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+        maybes = flagged.filter(F.col("_maybe")).drop("_maybe")
         fresh = definite_new.unionByName(maybes.join(seen, "text_sha", "left_anti"))
     return last_wins(fresh, ["text_sha"], F.col(id_col) * -1)
 

@@ -233,3 +233,47 @@ def test_incremental_exact_bloom_admits_map_side_when_definitely_new(spark):
         F.concat(F.lit("definitely new text "), F.col("id")).alias("text"),
     )
     assert incremental_exact_dedup(new_batch, corpus, bloom=bloom).count() == 50
+
+
+def test_bloom_word_table_probe_matches_map_form(spark):
+    """The distributed (word, bits) form and the one-row map form are the
+    same bitmap: identical maybe-verdicts on present and absent keys, and
+    identical admission results through incremental_exact_dedup."""
+    from etl_adsbx_spark.operators.dedup import (
+        bloom_index,
+        bloom_maybe_contains,
+        bloom_probe,
+        bloom_word_table,
+    )
+
+    keys = spark.range(0, 1500).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("text_sha")
+    )
+    probe_keys = spark.range(1000, 4000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("text_sha")
+    )
+    kw = dict(num_bits=1 << 16, num_hashes=5)
+    words = bloom_word_table(keys, **kw).localCheckpoint()
+    bmap = bloom_index(keys, **kw).localCheckpoint()
+    via_table = {
+        r.text_sha: r._maybe for r in bloom_probe(probe_keys, words).collect()
+    }
+    nb, nh = bmap.select("num_bits", "num_hashes").first()
+    via_map = {
+        r.text_sha: r._maybe
+        for r in probe_keys.crossJoin(F.broadcast(bmap.select("words")))
+        .withColumn(
+            "_maybe", bloom_maybe_contains(F.col("text_sha"), F.col("words"), nb, nh)
+        )
+        .collect()
+    }
+    assert via_table == via_map
+    assert sum(via_table.values()) >= 500  # the 500 present keys all probe True
+
+    batch, corpus = _split(_docs(spark))
+    cw = bloom_word_table(
+        exact_dedup(corpus).select("text_sha"), num_bits=1 << 18
+    ).localCheckpoint()
+    plain = incremental_exact_dedup(batch, corpus)
+    fast = incremental_exact_dedup(batch, corpus, bloom=cw)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, fast.collect()))
