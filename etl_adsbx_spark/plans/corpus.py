@@ -125,3 +125,57 @@ def corpus_audit(
         )
     )
     return audit
+
+
+def corpus_report(
+    docs: DataFrame,
+    by: tuple[str, ...] = ("split",),
+    text_col: str = "text",
+    quantiles: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """The dataset-card frame: one row per ``by`` stratum with the
+    numbers every corpus release publishes — document and token counts,
+    token-length quantiles, mean quality, language/PII/repetition rates.
+    Input is any frame carrying ``text_col`` plus the ``by`` columns
+    (typically ``clean_corpus`` joined back to the raw text, or the raw
+    documents table grouped by source).
+
+    100-TB shape: ONE pass — every signal is a per-row codegen expression
+    (functions.text) feeding a single hash-agg on the stratum key;
+    quantiles use ``approx_percentile`` (t-digest-style mergeable sketch,
+    map-side partials) rather than ``percentile`` (which collects per-key
+    value arrays). No window, no second scan, no driver loop.
+    """
+    qcol = F.array(*[F.lit(q) for q in quantiles])
+    # pii struct materialized once per row, then field-referenced — three
+    # pii_counts() calls would re-run all three regex scans each
+    per_row = docs.select(
+        *by,
+        T.token_count(text_col).alias("_tok"),
+        T.quality_score(text_col).alias("_q"),
+        (T.lang_id(text_col) == F.lit("en")).cast("int").alias("_en"),
+        T.pii_counts(text_col).alias("_piic"),
+        (T.dup_line_frac(text_col) > 0.3).cast("int").alias("_repet"),
+    ).withColumn(
+        "_pii",
+        (F.col("_piic.n_email") + F.col("_piic.n_ip") + F.col("_piic.n_phone") > 0).cast(
+            "int"
+        ),
+    )
+    return (
+        per_row.groupBy(*by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.round(F.avg("_tok"), 2).alias("mean_tokens"),
+            F.expr("approx_percentile(_tok, array(" + ",".join(map(str, quantiles)) + "))").alias(
+                "token_quantiles"
+            ),
+            F.round(F.avg("_q"), 4).alias("mean_quality"),
+            F.round(F.avg("_en"), 4).alias("frac_en"),
+            F.round(F.avg("_pii"), 4).alias("frac_pii"),
+            F.round(F.avg("_repet"), 4).alias("frac_repetitive"),
+        )
+        .withColumn("quantile_probs", qcol)
+        .orderBy(*by)
+    )

@@ -69,3 +69,37 @@ def test_no_duplicate_texts_among_kept(spark):
     n_kept = kept.count()
     n_distinct = kept.join(d, "doc_id").select("sha").distinct().count()
     assert n_kept == n_distinct
+
+
+def test_corpus_report_dataset_card(spark):
+    """One row per stratum; counts reconcile with direct aggregation;
+    crafted PII/repetition docs move the rate columns; single-pass plan
+    (no window, one aggregate over one scan)."""
+    from etl_adsbx_spark.plans.corpus import corpus_report
+
+    d = load_table(spark, SF, "documents")
+    rep = corpus_report(d, by=("lang",))
+    rows = {r.lang: r for r in rep.collect()}
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    assert set(rows) == langs
+    assert sum(r.n_docs for r in rows.values()) == d.count()
+    for r in rows.values():
+        assert r.n_tokens > 0 and 0.0 <= r.frac_pii <= 1.0
+        assert len(r.token_quantiles) == 4
+        qs = list(r.token_quantiles)
+        assert qs == sorted(qs), "quantiles must be monotone"
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "CartesianProduct" not in plan
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "a", "contact me at joe@example.com for the files"),
+            (2, "a", "same line\nsame line\nsame line\nsame line"),
+            (3, "a", "perfectly ordinary clean text with no issues at all"),
+        ],
+        ["doc_id", "split", "text"],
+    )
+    r = corpus_report(crafted, by=("split",)).collect()[0]
+    assert r.n_docs == 3
+    assert abs(r.frac_pii - 1 / 3) < 1e-4  # column rounds to 4 dp
+    assert r.frac_repetitive >= 0.333  # doc 2 is all-duplicate lines; 4-dp rounding
