@@ -195,3 +195,45 @@ def compact_parquet(
     n_files = max(1, round(total / target_file_bytes))
     spark.read.parquet(src).coalesce(n_files).write.mode(mode).parquet(dst)
     return n_files
+
+
+def write_corpus_atomic(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    **write_kwargs,
+) -> dict:
+    """All-or-nothing corpus publish: write to a staging sibling, verify
+    the manifest against the freshly-written footers, then RENAME into
+    place — readers either see the previous complete corpus or the new
+    complete corpus, never a partial tree. A crashed writer leaves only
+    an orphaned ``.__staging__`` directory (safe to delete); the final
+    path flips in one metadata operation. Returns the manifest.
+
+    Scope honesty: the commit step is ``os.rename``, atomic on a POSIX
+    filesystem (and on HDFS via the equivalent NameNode op). Object
+    stores (S3/GCS) have NO atomic directory rename — there, keep the
+    staging write + manifest verify but flip a pointer instead of the
+    directory: publish ``_MANIFEST.json`` (or a catalog entry) that names
+    the staging path as current, which is exactly the commit protocol of
+    table formats like Iceberg/Delta. The Spark-side plan is identical
+    either way; only the final metadata flip differs.
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".__staging__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # leftover from a crashed writer
+    write_corpus(df, staging, partition_by, **write_kwargs)
+    manifest = write_manifest(staging)
+    verify_manifest(staging)
+    prev = path.rstrip("/") + ".__prev__"
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
+    if os.path.exists(path):
+        os.rename(path, prev)
+    os.rename(staging, path)
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
+    return manifest

@@ -204,3 +204,31 @@ def test_corpus_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
 
     with _pytest.raises(AssertionError, match="split=val"):
         verify_manifest(path)
+
+
+def test_write_corpus_atomic_publish_and_crash_recovery(spark, tmp_path):
+    """Atomic publish: the final path appears complete with a verified
+    manifest; a leftover staging dir from a 'crashed' writer is replaced;
+    re-publishing swaps the tree without leaving partials."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.sinks import verify_manifest, write_corpus_atomic
+    from etl_adsbx_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 2).cast("string").alias("half")
+    )
+    out = str(tmp_path / "corpus")
+    # simulate a crashed earlier attempt
+    os.makedirs(out + ".__staging__/garbage", exist_ok=True)
+    m1 = write_corpus_atomic(d, out, partition_by=["half"])
+    assert not os.path.exists(out + ".__staging__")
+    assert verify_manifest(out)["total_rows"] == d.count()
+    assert m1["total_rows"] == d.count()
+    # second publish with fewer rows atomically replaces the first
+    m2 = write_corpus_atomic(d.filter(F.col("doc_id") < 100), out, partition_by=["half"])
+    assert verify_manifest(out)["total_rows"] == m2["total_rows"]
+    assert not os.path.exists(out + ".__prev__")
+    assert spark.read.parquet(out).count() == m2["total_rows"]
