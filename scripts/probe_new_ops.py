@@ -42,6 +42,12 @@ def probes(spark, sf_dir):
             emb, eps=0.05, n_clusters=None, target_cluster_size=256, sample_mod=4
         ).count()
 
+    def semantic_twolevel():
+        semantic_dedup(
+            emb, eps=0.05, n_clusters=None, target_cluster_size=256, sample_mod=4,
+            assign="two_level",
+        ).count()
+
     def bloom_build():
         bloom_index(exact_dedup(corpus).select("text_sha"), num_bits=1 << 22).count()
 
@@ -60,6 +66,7 @@ def probes(spark, sf_dir):
 
     return {
         "semantic_dedup": semantic,
+        "semantic_dedup_twolevel": semantic_twolevel,
         "bloom_index_build": bloom_build,
         "incr_admit_antijoin": admit_plain,
         "incr_admit_bloom": admit_bloom,
