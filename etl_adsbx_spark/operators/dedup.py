@@ -871,3 +871,38 @@ def simhash_docs(
         F.col(id_col), F.transform(toks, token_hash32).alias("_th")
     )
     return hashed.select(F.col(id_col), simhash32(F.col("_th")).alias("simhash"))
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR-merge Bloom word tables built with the SAME num_bits/num_hashes
+    — union the (word, bits) rows and ``bit_or`` per word. This is the
+    maintenance op of an incremental ingest: each tick builds a tiny
+    filter over its admitted keys (``bloom_word_table`` on the batch) and
+    merges it into the persisted corpus filter — one shuffle over
+    filter-sized frames, never a corpus rescan. Merging is exact (a
+    Bloom bitmap is a pure OR of its members' bitmaps), so
+    merge(build(A), build(B)) ≡ build(A ∪ B) bit for bit; sizing
+    mismatches raise rather than silently corrupt the filter."""
+    import functools
+
+    first_meta = blooms[0].select("num_bits", "num_hashes").first()
+    for b in blooms[1:]:
+        meta = b.select("num_bits", "num_hashes").first()
+        if tuple(meta) != tuple(first_meta):
+            raise ValueError(
+                f"bloom sizing mismatch: {tuple(first_meta)} vs {tuple(meta)}"
+            )
+    nb, nh = first_meta
+    unioned = functools.reduce(
+        lambda a, b: a.unionByName(b), [b.select("_word", "_bits") for b in blooms]
+    )
+    return (
+        unioned.groupBy("_word")
+        .agg(F.bit_or("_bits").alias("_bits"))
+        .select(
+            "_word",
+            "_bits",
+            F.lit(int(nb)).alias("num_bits"),
+            F.lit(int(nh)).alias("num_hashes"),
+        )
+    )

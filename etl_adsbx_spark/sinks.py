@@ -237,3 +237,20 @@ def write_corpus_atomic(
     if os.path.exists(prev):
         shutil.rmtree(prev)
     return manifest
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Run-to-run corpus delta: one row per id present in exactly one
+    side, tagged ``change`` = 'added' | 'removed'. The release-review
+    tool for a re-published corpus (what did the new dedup threshold /
+    quality gate actually change?). Two anti-joins on the id — each a
+    single equi-join shuffle, no collects; at 100 TB both sides prune to
+    the id column at the scan."""
+    o = old.select(F.col(id_col))
+    n = new.select(F.col(id_col))
+    return (
+        n.join(o, id_col, "left_anti").withColumn("change", F.lit("added"))
+        .unionByName(
+            o.join(n, id_col, "left_anti").withColumn("change", F.lit("removed"))
+        )
+    )

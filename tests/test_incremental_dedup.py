@@ -277,3 +277,31 @@ def test_bloom_word_table_probe_matches_map_form(spark):
     plain = incremental_exact_dedup(batch, corpus)
     fast = incremental_exact_dedup(batch, corpus, bloom=cw)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_bloom_merge_equals_build_of_union(spark):
+    """merge(build(A), build(B)) must be bit-identical to build(A ∪ B),
+    and sizing mismatches must raise."""
+    import pytest as _pytest
+
+    from etl_adsbx_spark.operators.dedup import bloom_merge, bloom_word_table
+
+    def keys(lo, hi):
+        return spark.range(lo, hi).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("text_sha")
+        )
+
+    kw = dict(num_bits=1 << 16, num_hashes=5)
+    merged = bloom_merge(
+        bloom_word_table(keys(0, 800), **kw), bloom_word_table(keys(500, 1300), **kw)
+    )
+    direct = bloom_word_table(keys(0, 1300), **kw)
+    as_map = lambda df: {  # noqa: E731
+        r._word: r._bits for r in df.select("_word", "_bits").collect()
+    }
+    assert as_map(merged) == as_map(direct)
+    with _pytest.raises(ValueError):
+        bloom_merge(
+            bloom_word_table(keys(0, 10), **kw),
+            bloom_word_table(keys(0, 10), num_bits=1 << 15, num_hashes=5),
+        )

@@ -232,3 +232,15 @@ def test_write_corpus_atomic_publish_and_crash_recovery(spark, tmp_path):
     assert verify_manifest(out)["total_rows"] == m2["total_rows"]
     assert not os.path.exists(out + ".__prev__")
     assert spark.read.parquet(out).count() == m2["total_rows"]
+
+
+def test_corpus_diff_tags_added_and_removed(spark):
+    from etl_adsbx_spark.sinks import corpus_diff
+
+    old = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    new = spark.range(50, 120).withColumnRenamed("id", "doc_id")
+    got = {(r.doc_id, r.change) for r in corpus_diff(old, new).collect()}
+    want = {(i, "added") for i in range(100, 120)} | {
+        (i, "removed") for i in range(0, 50)
+    }
+    assert got == want
