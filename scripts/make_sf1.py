@@ -43,8 +43,14 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1")
-REPLICAS = 10
+# Defaults build sf1 (10 replicas); SPARK_GRAFT_REPLICAS=100 with
+# SPARK_GRAFT_SF_DST=testdata_sf10 builds the third decade of the scaling
+# curve from the same construction.
+DST = os.environ.get(
+    "SPARK_GRAFT_SF_DST",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1"),
+)
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 
 # per-domain offsets, each > the domain's sf0.1 max (checked below)
 OFF = {
@@ -101,7 +107,12 @@ def roll_embeddings(table: pa.Table, r: int) -> pa.Table:
     if r == 0:
         return table
     vecs = np.array(table.column("embedding").to_pylist(), dtype=np.float32)
-    rolled = np.roll(vecs, r, axis=1)
+    rolled = np.roll(vecs, r % vecs.shape[1], axis=1)
+    # roll wraps at dim (=64): past one full wrap, negate so replica r and
+    # replica r-64 do not become exact duplicate vectors (negation flips
+    # every cosine's sign -- fully decorrelated, same geometry)
+    if (r // vecs.shape[1]) % 2 == 1:
+        rolled = -rolled
     emb_type = table.schema.field("embedding").type
     arr = pa.array([row for row in rolled.tolist()], emb_type)
     return table.set_column(
@@ -117,17 +128,20 @@ def main() -> None:
             mx = pc.max(src.column(col)).as_py()
             if mx >= OFF[domain]:
                 sys.exit(f"{t}.{col} max {mx} >= offset {OFF[domain]}")
-        parts = []
-        for r in range(REPLICAS):
-            rep = shifted(src, shifts, r)
-            if t == "documents":
-                rep = salt_documents(rep, r)
-            if t == "embeddings":
-                rep = roll_embeddings(rep, r)
-            parts.append(rep)
-        out = pa.concat_tables(parts).cast(src.schema)
-        pq.write_table(out, f"{DST}/{t}.parquet")
-        print(f"{t}: {src.num_rows} -> {out.num_rows}")
+        # stream one replica per row-group batch: at 100 replicas the
+        # concat-then-write form would hold the whole 100x table in memory
+        n_out = 0
+        with pq.ParquetWriter(f"{DST}/{t}.parquet", src.schema) as w:
+            for r in range(REPLICAS):
+                rep = shifted(src, shifts, r)
+                if t == "documents":
+                    rep = salt_documents(rep, r)
+                if t == "embeddings":
+                    rep = roll_embeddings(rep, r)
+                rep = rep.cast(src.schema)
+                w.write_table(rep)
+                n_out += rep.num_rows
+        print(f"{t}: {src.num_rows} -> {n_out}")
     for t in ("region", "nation"):
         pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
         print(f"{t}: copied")

@@ -9,7 +9,10 @@ hiding in the plan and needs fixing before the 100-TB story holds.
 Results are appended to BASELINE.md by hand -- run on an otherwise idle
 box, output is one JSON line.
 
-Usage: python scripts/scale_probe.py [sf1_dir]
+Usage: python scripts/scale_probe.py [sf1_dir] [base_dir]
+Env: SPARK_GRAFT_PROBE="a,b" restricts to a query subset; base_dir
+defaults to /root/testdata/sf0.1 (pass testdata_sf1 when probing sf10 so
+each ratio stays a 10x step).
 """
 
 from __future__ import annotations
@@ -85,14 +88,16 @@ N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, "testdata_sf1")
-    sf01_dir = "/root/testdata/sf0.1"
+    sf01_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark("etl-adsbx-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
     qs = {**qs, **SPECIAL}
+    only = os.environ.get("SPARK_GRAFT_PROBE")
+    probe = [q for q in PROBE if q in set(only.split(","))] if only else PROBE
 
     # warm codegen/JVM at the smallest SF
-    for name in PROBE:
+    for name in probe:
         qs[name](spark, "/root/testdata/sf0.001").count()
 
     def timed(name: str, sf_dir: str) -> float:
@@ -104,7 +109,7 @@ def main() -> None:
         return round(statistics.median(samples), 3)
 
     out: dict[str, dict[str, float]] = {}
-    for name in PROBE:
+    for name in probe:
         t01 = timed(name, sf01_dir)
         t1 = timed(name, sf1_dir)
         out[name] = {
