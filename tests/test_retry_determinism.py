@@ -10,7 +10,9 @@ a pipeline in a subprocess Spark (`local[4,2]` — 2 task attempts, the knob
 the shared test session cannot enable) with a mapInPandas stage that
 CRASHES the first attempt of one partition in every job, and asserts
 byte-identical results vs the fault-free run for the retry-sensitive
-operators (keyed dedup, global prefix sum, MinHash-LSH pairs).
+operators (keyed dedup, global prefix sum, MinHash-LSH pairs, SemDeDup
+semantic dedup — whose k-means fit runs several jobs per call, each of
+which sees its own injected crash).
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ SCRIPT = textwrap.dedent(
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
     def flaky(batches):
         tc = TaskContext.get()
@@ -60,9 +63,19 @@ SCRIPT = textwrap.dedent(
         )
         return dedup, prefix, pairs
 
-    clean = run(docs)
-    injected = run(docs.repartition(4).mapInPandas(flaky, docs.schema))
-    for name, a, b in zip(("dedup", "prefix", "pairs"), clean, injected):
+    def run_sem(edf):
+        from etl_adsbx_spark.operators.similarity import semantic_dedup
+
+        return sorted(
+            (r.vec_id, r.cluster_id, r.keep)
+            for r in semantic_dedup(edf, eps=0.05, n_clusters=4).collect()
+        )
+
+    clean = run(docs) + (run_sem(emb),)
+    injected = run(docs.repartition(4).mapInPandas(flaky, docs.schema)) + (
+        run_sem(emb.repartition(4).mapInPandas(flaky, emb.schema)),
+    )
+    for name, a, b in zip(("dedup", "prefix", "pairs", "semantic"), clean, injected):
         assert a == b, f"{name} diverged under task retry"
     print("RETRY_DETERMINISM_OK")
     """
