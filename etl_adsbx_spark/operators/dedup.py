@@ -172,8 +172,15 @@ def bloom_probe(
     no indexed key ever touched it — definite miss), and ``bool_and`` per
     key folds the hits. At bench scale AQE turns the word join into a
     broadcast on its own; at 10^9-key filters it stays a shuffle
-    equi-join — either way the plan shape is declared once here."""
-    nb, nh = bloom_words.select("num_bits", "num_hashes").first()
+    equi-join — either way the plan shape is declared once here.
+
+    An EMPTY filter (first tick of an ingest, nothing indexed yet) has no
+    metadata row to read: every key is definitely new by definition, so
+    the verdict is a constant False with no probe at all."""
+    meta = bloom_words.select("num_bits", "num_hashes").first()
+    if meta is None:
+        return batch.withColumn(out_col, F.lit(False))
+    nb, nh = meta
     pos = F.explode(F.array(*_bloom_positions(F.col(key_col), nb, nh)))
     verdicts = (
         batch.select(key_col).distinct()
@@ -882,17 +889,21 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     filter-sized frames, never a corpus rescan. Merging is exact (a
     Bloom bitmap is a pure OR of its members' bitmaps), so
     merge(build(A), build(B)) ≡ build(A ∪ B) bit for bit; sizing
-    mismatches raise rather than silently corrupt the filter."""
+    mismatches raise rather than silently corrupt the filter. EMPTY
+    inputs (a first-tick filter over nothing) carry no metadata row and
+    merge as identity; if every input is empty the merge is the empty
+    filter."""
     import functools
 
-    first_meta = blooms[0].select("num_bits", "num_hashes").first()
-    for b in blooms[1:]:
-        meta = b.select("num_bits", "num_hashes").first()
-        if tuple(meta) != tuple(first_meta):
+    metas = [m for b in blooms if (m := b.select("num_bits", "num_hashes").first())]
+    for meta in metas[1:]:
+        if tuple(meta) != tuple(metas[0]):
             raise ValueError(
-                f"bloom sizing mismatch: {tuple(first_meta)} vs {tuple(meta)}"
+                f"bloom sizing mismatch: {tuple(metas[0])} vs {tuple(meta)}"
             )
-    nb, nh = first_meta
+    if not metas:
+        return blooms[0]
+    nb, nh = metas[0]
     unioned = functools.reduce(
         lambda a, b: a.unionByName(b), [b.select("_word", "_bits") for b in blooms]
     )

@@ -420,3 +420,84 @@ def test_stream_stream_interval_join(spark):
     )
     batch_pairs = sorted((r["imp_id"], r["click_id"]) for r in batch_joined.collect())
     assert batch_pairs == pairs
+
+
+def test_streaming_dedup_with_durable_bloom_index(spark):
+    """[EXT] The durable-index ingest with the Bloom fast path maintained
+    across ticks: each micro-batch reads the persisted word-table filter,
+    admits via incremental_exact_dedup(bloom=...), then OR-merges the
+    admitted hashes' filter back to disk (bloom_merge) — the per-tick
+    index-maintenance loop at production shape. Admission semantics must
+    equal the plain durable-index test's (the filter only skips work)."""
+    import json
+    import os
+
+    from etl_adsbx_spark.operators.dedup import (
+        bloom_merge,
+        bloom_word_table,
+        incremental_exact_dedup,
+    )
+
+    batches = [
+        [{"doc_id": 10, "text": "the quick brown fox"},
+         {"doc_id": 11, "text": "second document"}],
+        [{"doc_id": 12, "text": "THE  quick  brown fox"},
+         {"doc_id": 13, "text": "third document"}],
+        [{"doc_id": 14, "text": "third  DOCUMENT "},
+         {"doc_id": 15, "text": "fourth document"}],
+    ]
+    src = tempfile.mkdtemp()
+    for i, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+    index_dir = os.path.join(tempfile.mkdtemp(), "sha_index")
+    bloom_dir = os.path.join(tempfile.mkdtemp(), "bloom_words")
+    corpus_dir = os.path.join(tempfile.mkdtemp(), "corpus")
+    KW = dict(num_bits=1 << 16, num_hashes=5)
+
+    def ingest(batch_df, _epoch):
+        s = batch_df.sparkSession
+        if os.path.isdir(index_dir):
+            index = s.read.parquet(index_dir)
+            bloom = s.read.parquet(bloom_dir)
+        else:
+            index = s.createDataFrame([], "text_sha string")
+            bloom = bloom_word_table(index, **KW)
+        admitted = incremental_exact_dedup(batch_df, index, bloom=bloom).localCheckpoint()
+        admitted.write.mode("append").parquet(corpus_dir)
+        admitted.select("text_sha").write.mode("append").parquet(index_dir)
+        merged = bloom_merge(
+            bloom, bloom_word_table(admitted.select("text_sha"), **KW)
+        ).localCheckpoint()  # materialize BEFORE overwriting its own input dir
+        merged.write.mode("overwrite").parquet(bloom_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert len(kept) == 4
+    assert {11, 15} <= kept
+    assert len({10, 12} & kept) == 1
+    assert len({13, 14} & kept) == 1
+    # the persisted filter equals a from-scratch build over the final index
+    final = {
+        r._word: r._bits
+        for r in spark.read.parquet(bloom_dir).select("_word", "_bits").collect()
+    }
+    direct = {
+        r._word: r._bits
+        for r in bloom_word_table(spark.read.parquet(index_dir).distinct(), **KW)
+        .select("_word", "_bits")
+        .collect()
+    }
+    assert final == direct
