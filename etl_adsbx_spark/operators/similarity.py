@@ -176,6 +176,62 @@ def kmeans_centroids(
     return cents
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "kmeans",
+    sample_mod: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable halves of IVF search: ``(centroid_table,
+    corpus_assignments)`` — the exact analogue of ``lsh_signature_table``
+    for the IVF path. Production fits ONCE, writes both frames as parquet
+    next to the corpus, appends admitted vectors' assignments per tick
+    (``ivf_append`` — one broadcast-argmax pass over the new vectors
+    only), and passes them back via ``ivf_ann_topk(index=...)`` so a
+    query batch pays only its own assignment plus the list equi-join —
+    never a corpus re-quantization. Centroids stay frozen between refits
+    (standard IVF practice; recall drifts as the distribution moves, the
+    refit cadence is an ops decision)."""
+    base = embeddings.select(
+        F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    if centroids == "kmeans":
+        cents = kmeans_centroids(base, n_centroids, sample_mod=sample_mod)
+    elif centroids == "lowid":
+        cents = (
+            base.orderBy("_bid")
+            .limit(n_centroids)
+            .select(
+                F.col("_bid").alias("_cent_id"),
+                F.col("_v").alias("_cv"),
+                F.col("_n").alias("_cn"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown centroids {centroids!r}: use 'lowid' or 'kmeans'")
+    assign = ivf_assign(
+        base.withColumnRenamed("_bid", id_col), cents, id_col, "neighbor_id"
+    )
+    return cents, assign
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment rows for newly-admitted vectors against the FROZEN
+    centroid table — union onto the persisted assignments (or write
+    mode=append) to grow the index incrementally."""
+    base = new_vectors.select(
+        F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    return ivf_assign(base.withColumnRenamed("_bid", id_col), cents, id_col, "neighbor_id")
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -185,6 +241,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     centroids: str = "lowid",
     nprobe: int = 1,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists, search only the query's own list

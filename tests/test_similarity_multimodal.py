@@ -222,3 +222,40 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(pairs, nodes, id_col="doc_id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 8, 9: 8, 10: 10}
+
+
+def test_ivf_index_parity_and_incremental_append(spark):
+    """ivf_ann_topk(index=persisted) must return exactly the recompute
+    path's results; appending new vectors' assignments (frozen centroids)
+    makes them retrievable without re-quantizing the corpus."""
+    from etl_adsbx_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_append,
+        ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents, assign = ivf_index(emb, n_centroids=8, centroids="lowid")
+    cents, assign = cents.localCheckpoint(), assign.localCheckpoint()
+    direct = ivf_ann_topk(emb, queries, centroids="lowid", n_centroids=8)
+    via_index = ivf_ann_topk(emb, queries, index=(cents, assign))
+    key = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cosine_sim) for r in df.collect()
+    )
+    assert key(direct) == key(via_index)
+    # append: clone 3 corpus vectors under new ids -> identical vectors
+    # land in the same inverted list and score cosine 1.0 for themselves
+    clones = emb.filter(F.col("vec_id").isin(5, 6, 7)).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    grown = assign.unionByName(ivf_append(clones, cents))
+    probe = ivf_ann_topk(
+        emb.unionByName(clones),
+        emb.filter(F.col("vec_id").isin(5, 6, 7)),
+        index=(cents, grown),
+        k=1,
+    )
+    top1 = {r.query_id: (r.neighbor_id, r.cosine_sim) for r in probe.collect()}
+    for q in (5, 6, 7):
+        assert top1[q] == (q + 9000, 1.0), top1
