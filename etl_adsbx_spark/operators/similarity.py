@@ -833,3 +833,63 @@ def ivf_assign_two_level(
             ).alias("_cid"),
         )
     )
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    index: tuple[DataFrame, DataFrame],
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup admission of a new batch against a maintained
+    corpus — the embedding-space member of the incremental family
+    (``incremental_exact_dedup``, ``incremental_minhash_dedup``): a batch
+    vector is admitted iff (a) no corpus vector in its cluster sits
+    within cosine 1−``eps`` (first-seen-wins — the corpus copy already
+    shipped) and (b) it survives the intra-batch priority rule among the
+    remaining batch vectors of its cluster (lowest id wins within an
+    eps-pair; centroid distance is not used here because batch vectors
+    are peers, not corpus members). Returns the admitted batch rows.
+
+    ``index`` is the persisted ``ivf_index`` pair; admitted vectors join
+    the corpus via ``ivf_append`` + union, exactly like the exact path
+    appends hashes and the LSH path appends band signatures. Scale shape:
+    one broadcast-argmax assignment over the BATCH only, one equi-join on
+    the cluster id against corpus assignments (the corpus never
+    re-quantizes), one intra-batch cluster self-join — all batch-sized
+    except the corpus probe, which prunes to (id, cluster) at the scan.
+    """
+    cents, corpus_assign = index
+    b = ivf_append(batch, cents, id_col, vec_col).select(
+        F.col("neighbor_id").alias("_id"), "_v", "_n", "_cid"
+    )
+    corp = corpus_assign.select(
+        F.col("_cid").alias("_ccid"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn")
+    )
+    sim_c = F.round(dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6)
+    thr = F.round(F.lit(1.0 - eps), 6)
+    collided = (
+        b.join(corp, F.col("_cid") == F.col("_ccid"))
+        .where(sim_c >= thr)
+        .select("_id")
+        .distinct()
+    )
+    surv = b.join(collided, "_id", "left_anti")
+    a2, b2 = surv.alias("a"), surv.alias("b")
+    sim_b = F.round(
+        dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")), 6
+    )
+    losers = (
+        a2.join(
+            b2,
+            (F.col("a._cid") == F.col("b._cid")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .where(sim_b >= thr)
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+    )
+    admitted_ids = surv.join(losers, "_id", "left_anti").select(
+        F.col("_id").alias(id_col)
+    )
+    return batch.join(admitted_ids, id_col, "left_semi")

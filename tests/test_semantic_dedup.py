@@ -230,3 +230,47 @@ def test_semantic_dedup_two_level_assign_mode(spark):
         assert not (rows[i].keep and rows[1000 + i].keep)
     with pytest.raises(ValueError):
         semantic_dedup(emb, assign="three_level")
+
+
+def test_incremental_semantic_dedup_admission(spark):
+    """Batch vectors duplicating corpus vectors are rejected; intra-batch
+    eps-pairs keep the lowest id; novel vectors are admitted; and the
+    admitted set joined back via ivf_append leaves the next identical
+    batch fully rejected."""
+    from etl_adsbx_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        ivf_append,
+        ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    novel = emb.filter(F.col("vec_id") >= 400)  # i.i.d. -> no eps-neighbors
+    cents, assign = ivf_index(corpus, n_centroids=8)
+    cents, assign = cents.localCheckpoint(), assign.localCheckpoint()
+    batch = (
+        corpus.filter(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 7000).alias("vec_id"), "embedding")  # corpus dups
+        .unionByName(
+            novel.filter(F.col("vec_id") < 410)
+            .select((F.col("vec_id") + 8000).alias("vec_id"), "embedding")
+        )
+        .unionByName(  # intra-batch dup pair of one novel vector
+            novel.filter(F.col("vec_id") == 405)
+            .select((F.col("vec_id") + 9000).alias("vec_id"), "embedding")
+        )
+    )
+    admitted = incremental_semantic_dedup(batch, (cents, assign), eps=0.05)
+    ids = {r.vec_id for r in admitted.select("vec_id").collect()}
+    assert not ids & {7000 + i for i in range(5)}, "corpus duplicate admitted"
+    assert {8000 + 400 + i for i in range(10)} <= ids, "novel vectors rejected"
+    assert 9405 not in ids, "intra-batch higher-id dup admitted"
+    # grow the index with the admitted rows: the same batch re-offered is
+    # now fully rejected (everything is a corpus duplicate)
+    grown = assign.unionByName(ivf_append(admitted, cents))
+    again = incremental_semantic_dedup(
+        batch.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"),
+        (cents, grown.localCheckpoint()),
+        eps=0.05,
+    )
+    assert again.count() == 0
