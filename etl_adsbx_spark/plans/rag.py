@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.chunk import chunk_documents
-from ..operators.similarity import cosine_topk, lsh_ann_topk, lsh_signature_table
+from ..operators.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    ivf_index,
+    lsh_ann_topk,
+    lsh_signature_table,
+)
 
 
 def hashed_bow_embed(texts: pd.Series, dim: int = 64) -> np.ndarray:
@@ -118,6 +124,19 @@ def index_signatures(
     )
 
 
+def index_ivf(
+    index: DataFrame, n_centroids: int = 8, sample_mod: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable IVF pair (centroids, chunk assignments) of an index
+    frame — the inverted-list alternative to ``index_signatures`` (same
+    persist-once/append-per-tick contract via ``similarity.ivf_append``;
+    measured ~3× probe speedup over refit-per-search, BASELINE.md)."""
+    return ivf_index(
+        index, n_centroids, id_col="chunk_id", vec_col="embedding",
+        centroids="kmeans", sample_mod=sample_mod,
+    )
+
+
 def search_index(
     index: DataFrame,
     queries: DataFrame,
@@ -130,13 +149,16 @@ def search_index(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     corpus_sigs: DataFrame | None = None,
+    ivf: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Top-k chunks for each query text. ``exact=True`` brute-forces
     (the ground-truth path for evaluation); the default probes the
     multi-table LSH buckets — the same OR-amplified equi-join shape whose
     recall@5 is pinned in BASELINE.md. Pass a persisted
     ``index_signatures`` frame as ``corpus_sigs`` to skip the corpus
-    signature pass per query batch (the maintained-index shape). Returns
+    signature pass per query batch (the maintained-index shape), or a
+    persisted ``index_ivf`` pair as ``ivf`` to probe inverted lists
+    instead of LSH buckets. Returns
     (query_id, neighbor_id = chunk_id, cosine_sim); join back to the
     index frame for provenance."""
     qv = embed_texts(
@@ -152,6 +174,12 @@ def search_index(
     vecs = index.select("chunk_id", "embedding")
     if exact:
         out = cosine_topk(vecs, qv, k, id_col="chunk_id", vec_col="embedding")
+    elif ivf is not None:
+        # inverted-list probe over the persisted ``index_ivf`` pair; the
+        # query side pays one broadcast-argmax assignment, the corpus none
+        out = ivf_ann_topk(
+            vecs, qv, k, id_col="chunk_id", vec_col="embedding", index=ivf
+        )
     else:
         out = lsh_ann_topk(
             vecs, qv, k, nbits=nbits, dim=dim,

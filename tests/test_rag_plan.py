@@ -152,3 +152,31 @@ def test_incremental_index_append(spark):
     prov = {r.chunk_id: r.doc_id for r in idx.collect()}
     best = max(hits.collect(), key=lambda r: r.cosine_sim)
     assert prov[best.neighbor_id] == 4
+
+
+def test_ivf_route_retrieves_own_document(spark):
+    """The inverted-list route: each query's IVF top-1 must come from its
+    own document (the corpus is 4 well-separated topics, so the right
+    chunk dominates its list), and the route must honor the persisted
+    (centroids, assignments) pair without touching corpus embeddings
+    beyond the re-rank."""
+    from etl_adsbx_spark.plans.rag import index_ivf
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id long, query_text string")
+    idx = chunk_embed_index(docs, chunk_tokens=16, overlap=4).localCheckpoint()
+    cents, assign = index_ivf(idx, n_centroids=4)
+    ivf = (cents.localCheckpoint(), assign.localCheckpoint())
+    out = search_index(idx, queries, k=3, ivf=ivf)
+    prov = {r.chunk_id: r.doc_id for r in idx.collect()}
+    best = {}
+    for r in out.collect():
+        if r.query_id not in best or r.cosine_sim > best[r.query_id][1]:
+            best[r.query_id] = (prov[r.neighbor_id], r.cosine_sim)
+    got = {q: d for q, (d, _) in best.items()}
+    # every answered query answers from its own document; IVF recall may
+    # drop a query whose nearest centroid list misses (not observed at
+    # these sizes, but the contract is subset-correctness, not coverage)
+    for q, d in got.items():
+        assert d == q - 100, (q, d)
+    assert len(got) >= 3
