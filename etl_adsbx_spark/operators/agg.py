@@ -102,3 +102,56 @@ def global_running_sum(
         .withColumn(out_col, (F.col("_base") + F.col("_local_cum")).cast("bigint"))
         .drop("_pid", "_local_cum", "_base")
     )
+
+
+def distinct_sketch(
+    df: DataFrame, keys: list[str] | None, value_col: str, lgk: int = 12,
+    out_col: str = "sketch",
+) -> DataFrame:
+    """Per-stratum HLL distinct-count sketch — the persistable,
+    UNION-MERGEABLE form of ``approx_count_distinct``. One row per key
+    group with a Datasketches HLL binary (``hll_sketch_agg``); estimate
+    with ``sketch_estimate``; merge ticks/partitions with
+    ``merge_distinct_sketches``. This is what makes "distinct users per
+    source, all time" maintainable at 100 TB: each ingest tick sketches
+    only its batch (map-side partial agg, ~KB per group), the merge is a
+    tiny groupBy over sketch rows, and NOTHING ever recounts history —
+    the exact-distinct alternative is an ever-growing shuffle of every
+    key ever seen. Standard error ~1.04/√2^lgk (~1.6% at the lgk=12
+    default)."""
+    keys = keys or []
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias(out_col)
+    )
+
+
+def merge_distinct_sketches(
+    *sketch_frames: DataFrame, keys: list[str] | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union HLL sketch frames (same lgk) into one row per key group —
+    the cross-tick maintenance op (cf. ``dedup.bloom_merge``): union the
+    persisted sketch table with the new tick's and re-aggregate with
+    ``hll_union_agg``. Commutative/associative/idempotent-under-reinsert,
+    so retries and replays cannot drift the estimate."""
+    import functools
+
+    keys = keys or []
+    unioned = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [s.select(*keys, sketch_col) for s in sketch_frames],
+    )
+    return unioned.groupBy(*keys).agg(
+        F.hll_union_agg(sketch_col).alias(sketch_col)
+    )
+
+
+def sketch_estimate(
+    sketch_frame: DataFrame, keys: list[str] | None = None,
+    sketch_col: str = "sketch", out_col: str = "n_distinct",
+) -> DataFrame:
+    """Distinct-count estimates from a sketch frame: (keys…, n_distinct)."""
+    keys = keys or []
+    return sketch_frame.select(
+        *keys, F.hll_sketch_estimate(sketch_col).alias(out_col)
+    )

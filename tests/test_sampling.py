@@ -143,3 +143,38 @@ def test_quantile_filter_global_and_plan_shape(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # threshold-broadcast, never percent_rank
     assert "Broadcast" in plan
+
+
+def test_distinct_sketch_mergeable_and_accurate(spark):
+    """Sketch-per-tick + union must estimate within HLL error of the true
+    cross-tick distinct count, and merging must be order-insensitive."""
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.operators.agg import (
+        distinct_sketch,
+        merge_distinct_sketches,
+        sketch_estimate,
+    )
+
+    t1 = spark.range(0, 6000).select((F.col("id") % 3).alias("g"), F.col("id").alias("u"))
+    t2 = spark.range(3000, 9000).select((F.col("id") % 3).alias("g"), F.col("id").alias("u"))
+    s1 = distinct_sketch(t1, ["g"], "u").localCheckpoint()
+    s2 = distinct_sketch(t2, ["g"], "u").localCheckpoint()
+    merged = merge_distinct_sketches(s1, s2, keys=["g"])
+    est = {r.g: r.n_distinct for r in sketch_estimate(merged, ["g"]).collect()}
+    # true: ids 0..8999 split by mod 3 -> 3000 distinct per group
+    for g in (0, 1, 2):
+        assert abs(est[g] - 3000) / 3000 < 0.05, est
+    # merge order must not matter
+    est2 = {
+        r.g: r.n_distinct
+        for r in sketch_estimate(merge_distinct_sketches(s2, s1, keys=["g"]), ["g"]).collect()
+    }
+    assert est == est2
+    # global (no-key) form
+    g = merge_distinct_sketches(
+        distinct_sketch(t1, None, "u").localCheckpoint(),
+        distinct_sketch(t2, None, "u").localCheckpoint(),
+    )
+    n = sketch_estimate(g).collect()[0].n_distinct
+    assert abs(n - 9000) / 9000 < 0.05
