@@ -91,3 +91,97 @@ def chunk_documents(
         )
     )
     return out
+
+
+def chunk_documents_cdc(
+    df: DataFrame,
+    target_tokens: int = 32,
+    min_tokens: int = 8,
+    max_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: cut after token t whenever
+    ``xxhash64(t) % target_tokens == 0`` (subject to [min_tokens,
+    max_tokens] bounds) — boundaries are a function of CONTENT, not
+    position, so inserting or deleting text early in a document shifts
+    only the chunks up to the next surviving cut point; everything after
+    realigns byte-for-byte. That is the property fixed windows lack and
+    the reason dedup-oriented storage (and chunk-level corpus dedup —
+    re-crawled pages with an edited header) chunks this way: unchanged
+    tails keep their chunk hashes, so ``exact_dedup`` over chunk_text
+    deduplicates them across document versions.
+
+    Mean chunk length ≈ ``target_tokens`` (each eligible token cuts with
+    probability 1/target); ``max_tokens`` forces a cut through hashless
+    runs, ``min_tokens`` suppresses pathological short chunks (the final
+    chunk may still be shorter). Boundary selection is inherently
+    sequential WITHIN a document (eligibility depends on the previous
+    boundary) — expressed as one ``F.aggregate`` fold over the token
+    array, still a pure per-row codegen expression: no shuffle, no
+    Python, same scale shape as ``chunk_documents``. Output schema is
+    identical: (id_col, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if not 1 <= min_tokens <= target_tokens <= max_tokens:
+        raise ValueError(
+            f"need 1 <= min_tokens <= target_tokens <= max_tokens: got "
+            f"{min_tokens}, {target_tokens}, {max_tokens}"
+        )
+    toks = _tokens_raw(text_col)
+    # fold token indices into the boundary list: state = array of cut
+    # positions (0-based prefix lengths), starting [0]; token i appends a
+    # cut at i iff the run since the last cut reaches min_tokens and
+    # (its hash selects a cut or the run hit max_tokens)
+    is_cut = F.transform(
+        F.col("_toks"), lambda t: F.pmod(F.xxhash64(t), F.lit(target_tokens)) == 0
+    )
+    bounds = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.size("_toks")),
+            is_cut,
+            lambda i, c: F.struct(i.alias("i"), c.alias("c")),
+        ),
+        F.array(F.lit(0)),
+        lambda acc, x: F.when(
+            (x["i"] - F.element_at(acc, -1) >= min_tokens)
+            & (x["c"] | (x["i"] - F.element_at(acc, -1) >= max_tokens)),
+            F.concat(acc, F.array(x["i"])),
+        ).otherwise(acc),
+    )
+    closed = F.when(
+        F.element_at(F.col("_bounds"), -1) < F.col("_n"),
+        F.concat(F.col("_bounds"), F.array(F.col("_n"))),
+    ).otherwise(F.col("_bounds"))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") > 0)
+        .withColumn("_bounds", bounds)
+        .withColumn("_bounds", closed)
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("_bounds")),
+                    lambda j: F.struct(
+                        (F.element_at(F.col("_bounds"), (j - 1).cast("int")) + 1).alias(
+                            "start"
+                        ),
+                        (
+                            F.element_at(F.col("_bounds"), j.cast("int"))
+                            - F.element_at(F.col("_bounds"), (j - 1).cast("int"))
+                        ).alias("len"),
+                    ),
+                )
+            ).alias("chunk_idx", "_sl"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_sl.start"), F.col("_sl.len"))
+            ).alias("chunk_text"),
+            F.col("_sl.len").cast("bigint").alias("n_chunk_tokens"),
+        )
+    )

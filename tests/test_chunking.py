@@ -119,3 +119,90 @@ def test_chunking_rejects_bad_overlap(spark):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=-1)
+
+
+def _cdc_python_reference(tokens, target, mn, mx, hashes):
+    """Same boundary fold in Python, using the Spark-computed per-token
+    cut flags (hashes) so the reference checks the ALGORITHM, not xxhash."""
+    bounds = [0]
+    for i in range(1, len(tokens) + 1):
+        run = i - bounds[-1]
+        if run >= mn and (hashes[i - 1] or run >= mx):
+            bounds.append(i)
+    if bounds[-1] < len(tokens):
+        bounds.append(len(tokens))
+    return [
+        (j - 1, " ".join(tokens[bounds[j - 1]:bounds[j]]), bounds[j] - bounds[j - 1])
+        for j in range(1, len(bounds))
+    ]
+
+
+def test_cdc_chunking_matches_python_reference_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.operators.chunk import chunk_documents_cdc
+    from etl_adsbx_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    target, mn, mx = 8, 3, 20
+    out = chunk_documents_cdc(d, target, mn, mx)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens) for r in out.collect())
+    )
+    # per-token cut flags computed with the operator's own hash family
+    flags = {
+        r.doc_id: (r.toks, r.cuts)
+        for r in d.select(
+            "doc_id",
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "").alias("toks"),
+            F.transform(
+                F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != ""),
+                lambda t: F.pmod(F.xxhash64(t), F.lit(target)) == 0,
+            ).alias("cuts"),
+        ).collect()
+    }
+    want = sorted(
+        (doc, idx, text, n)
+        for doc, (toks, cuts) in flags.items()
+        if toks
+        for idx, text, n in _cdc_python_reference(toks, target, mn, mx, cuts)
+    )
+    assert rows == want
+    # coverage: chunks re-concatenate to the token stream; size bounds hold
+    # for all but each doc's final chunk
+    by_doc = {}
+    for doc, idx, text, n in rows:
+        by_doc.setdefault(doc, []).append((idx, text, n))
+    for doc, chunks in by_doc.items():
+        chunks.sort()
+        assert " ".join(t for _, t, _ in chunks) == " ".join(flags[doc][0])
+        for _, _, n in chunks[:-1]:
+            assert mn <= n <= mx
+        assert chunks[-1][2] <= mx
+
+
+def test_cdc_chunking_is_edit_resistant_unlike_fixed_windows(spark):
+    """Insert a token at the front of a long document: CDC chunks after
+    the first surviving boundary are IDENTICAL; fixed windows shift every
+    chunk. This is the property that makes chunk-level dedup across
+    re-crawled page versions work."""
+    from etl_adsbx_spark.operators.chunk import chunk_documents, chunk_documents_cdc
+
+    base = " ".join(f"tok{i % 97}x{i % 13}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED " + base)], "doc_id long, text string"
+    )
+    cdc = chunk_documents_cdc(docs, 8, 3, 20)
+    texts = {
+        did: {r.chunk_text for r in cdc.filter(cdc.doc_id == did).collect()}
+        for did in (1, 2)
+    }
+    shared_cdc = len(texts[1] & texts[2]) / len(texts[1])
+    assert shared_cdc > 0.9, f"CDC shared fraction {shared_cdc}"
+    fixed = chunk_documents(docs, 8, 0)
+    ftexts = {
+        did: {r.chunk_text for r in fixed.filter(fixed.doc_id == did).collect()}
+        for did in (1, 2)
+    }
+    shared_fixed = len(ftexts[1] & ftexts[2]) / len(ftexts[1])
+    assert shared_fixed < shared_cdc, (shared_fixed, shared_cdc)
