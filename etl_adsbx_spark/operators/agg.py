@@ -155,3 +155,73 @@ def sketch_estimate(
     return sketch_frame.select(
         *keys, F.hll_sketch_estimate(sketch_col).alias(out_col)
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_groups: int = 64,
+) -> DataFrame:
+    """Bin packing WITHOUT splitting documents — the complement of the
+    concat-and-chunk packing (`global_running_sum` offsets): each output
+    bin holds whole documents totaling ≤ ``budget`` tokens, for training
+    setups that refuse cross-document attention / truncation. Returns the
+    input columns + (bin_id: bigint, bin_fill: bigint, oversize: bool);
+    oversize docs (> budget alone) get a dedicated bin, flagged.
+
+    Global first-fit-decreasing is inherently sequential, so the
+    distributed form shards docs into ``n_groups`` deterministic hash
+    groups and runs exact FFD per group in an Arrow ``applyInPandas``
+    stage — one shuffle on the group key, Python touching only (id, size)
+    pairs, never text. Packing quality: FFD's 11/9·OPT+1 bound applies
+    PER GROUP; with hundreds of docs per group the partition-induced loss
+    is a fraction of a bin per group (the tests measure fill ≥ 0.7 on
+    driver data). Size ``n_groups`` so a group's (id, size) rows fit one
+    task comfortably — 10^6 docs/group is a few tens of MB. bin_id =
+    group·2^32 + local bin index: globally unique, deterministic under
+    retries/repartitioning (content-derived group, sorted FFD order)."""
+    import pandas as pd
+
+    meta = df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(size_col).cast("bigint").alias("_sz"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("_grp"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["_grp"].iloc[0]) << 32
+        pdf = pdf.sort_values(["_sz", "_pid"], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per local bin
+        out_bin, out_fill = [], []
+        for sz in pdf["_sz"]:
+            if sz > budget:
+                bins.append(0)  # dedicated, already full
+                out_bin.append(g + len(bins) - 1)
+                continue
+            for bi in range(len(bins)):
+                if bins[bi] >= sz:
+                    bins[bi] -= sz
+                    out_bin.append(g + bi)
+                    break
+            else:
+                bins.append(budget - sz)
+                out_bin.append(g + len(bins) - 1)
+        fill = {}
+        for b, sz in zip(out_bin, pdf["_sz"]):
+            fill[b] = fill.get(b, 0) + int(sz)
+        out_fill = [fill[b] for b in out_bin]
+        return pd.DataFrame(
+            {
+                "_pid": pdf["_pid"].values,
+                "bin_id": out_bin,
+                "bin_fill": out_fill,
+                "oversize": (pdf["_sz"] > budget).values,
+            }
+        )
+
+    packed = meta.groupBy("_grp").applyInPandas(
+        ffd, f"_pid {dict(meta.dtypes)['_pid']}, bin_id long, bin_fill long, oversize boolean"
+    )
+    return df.join(packed.withColumnRenamed("_pid", id_col), id_col)

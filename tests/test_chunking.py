@@ -206,3 +206,50 @@ def test_cdc_chunking_is_edit_resistant_unlike_fixed_windows(spark):
     }
     shared_fixed = len(ftexts[1] & ftexts[2]) / len(ftexts[1])
     assert shared_fixed < shared_cdc, (shared_fixed, shared_cdc)
+
+
+def test_pack_bins_whole_doc_packing(spark):
+    """Every doc lands in exactly one bin; no non-oversize bin exceeds the
+    budget; oversize docs are isolated and flagged; assignment is
+    deterministic under repartitioning; fill efficiency beats a naive
+    one-doc-per-bin baseline by a wide margin."""
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.functions import text as T
+    from etl_adsbx_spark.operators.agg import pack_bins
+    from etl_adsbx_spark.tables import load_table
+
+    budget = 256
+    d = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", T.token_count("text").cast("bigint").alias("n_tokens"))
+    )
+    out = pack_bins(d, budget, n_groups=8)
+    rows = [(r.doc_id, r.n_tokens, r.bin_id, r.bin_fill, r.oversize) for r in out.collect()]
+    assert len(rows) == d.count()
+    assert len({doc for doc, *_ in rows}) == len(rows)
+    fills = {}
+    for doc, n, b, fill, over in rows:
+        fills.setdefault(b, [0, False])
+        fills[b][0] += n
+        fills[b][1] |= over
+    for b, (total, has_over) in fills.items():
+        if has_over:
+            assert len([1 for _, _, bb, _, _ in rows if bb == b]) == 1, "oversize not isolated"
+        else:
+            assert total <= budget, (b, total)
+    # reported bin_fill matches the recomputed totals
+    for doc, n, b, fill, over in rows:
+        assert fill == fills[b][0]
+    # determinism
+    again = {
+        (r.doc_id, r.bin_id)
+        for r in pack_bins(d.repartition(7), budget, n_groups=8).collect()
+    }
+    assert again == {(doc, b) for doc, _, b, _, _ in rows}
+    # efficiency: bins used ≲ 1.5x the fractional lower bound (FFD sharded
+    # over 8 groups on ~500 docs); naive packing would use n_docs bins
+    n_bins = len(fills)
+    frac_lb = sum(n for _, n, _, _, _ in rows) / budget
+    assert n_bins <= 1.5 * frac_lb + 8, (n_bins, frac_lb)
+    assert n_bins < len(rows) / 2
