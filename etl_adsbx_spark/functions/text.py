@@ -168,3 +168,74 @@ def split_assign(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def fit_unigram_lm(
+    corpus: DataFrame, vocab_size: int = 50_000, text_col: str = "text"
+) -> DataFrame:
+    """Fit the unigram language model of a corpus: the ``vocab_size`` most
+    frequent lowercase tokens with add-one-smoothed log-probabilities,
+    plus the OOV logprob every out-of-vocabulary token scores (the mass
+    of the smoothing floor). This is the cheap half of the CCNet-style
+    LM quality filter: documents whose tokens the corpus distribution
+    finds likely score high; gibberish, boilerplate-soup, and
+    wrong-language text score low. One explode + one hash-agg + one
+    ordered ``limit`` over token counts — the fit is a single pass.
+
+    Returns ``(token, logprob)`` rows plus one ``(NULL, oov_logprob)``
+    row; feed to ``score_unigram_lm``. A real deployment fits on a
+    held-out reference corpus (e.g. a trusted wiki slice) rather than
+    the corpus being filtered — same frame either way."""
+    toks = F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    counts = corpus.select(toks).groupBy("token").count()
+    top = counts.orderBy(F.col("count").desc(), "token").limit(vocab_size)
+    # add-one smoothing over the retained vocab; a single total via the
+    # 1-row broadcast crossJoin pattern (same shape as the tfidf n_docs)
+    tot = top.agg(
+        F.sum("count").alias("_tot"), F.count("*").alias("_v")
+    )
+    fitted = top.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.log((F.col("count") + 1) / (F.col("_tot") + F.col("_v") + 1)).alias("logprob"),
+    )
+    oov = tot.select(
+        F.lit(None).cast("string").alias("token"),
+        F.log(1 / (F.col("_tot") + F.col("_v") + 1)).alias("logprob"),
+    )
+    return fitted.unionByName(oov)
+
+
+def score_unigram_lm(
+    docs: DataFrame, lm: DataFrame, text_col: str = "text", out_col: str = "lm_score"
+) -> DataFrame:
+    """Mean per-token log-probability of each document under a fitted
+    unigram LM — higher = more fluent under the reference distribution
+    (compose with ``sampling.quantile_filter`` for the per-stratum LM
+    gate). Entirely MAP-SIDE: the vocabulary collapses to a one-row
+    ``map<token,logprob>`` broadcast (50k entries ≈ a few MB) and the
+    score is an ``F.aggregate`` fold over the token array with an
+    ``element_at`` lookup per token — per-doc scoring never shuffles,
+    which is the difference between this and the naive explode→join→
+    re-aggregate shape whose shuffle is TOKEN-count-sized at 100 TB.
+    Empty documents score the OOV logprob."""
+    vocab = lm.where(F.col("token").isNotNull()).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("token", "logprob")))
+        ).alias("_vocab")
+    )
+    oov = lm.where(F.col("token").isNull()).select(F.col("logprob").alias("_oov"))
+    toks = tokens(F.lower(F.col(text_col)))
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(F.col("_vocab"), t), F.col("_oov")),
+    )
+    return (
+        docs.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(oov))
+        .withColumn(
+            out_col,
+            F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.col("_oov")),
+        )
+        .drop("_vocab", "_oov")
+    )

@@ -310,3 +310,39 @@ def test_pii_spark_duckdb_parity(spark):
         assert dd[1] == r["pii"]["n_ip"], r["text"]
         assert dd[2] == r["pii"]["n_phone"], r["text"]
         assert dd[3] == r["red"], r["text"]
+
+
+def test_unigram_lm_fit_and_score(spark):
+    """Common-token documents outscore rare/gibberish ones; OOV floor is
+    applied; empty text takes the OOV score; scoring is deterministic and
+    its plan is join-free after the two 1-row broadcasts."""
+    from etl_adsbx_spark.functions.text import fit_unigram_lm, score_unigram_lm
+    from etl_adsbx_spark.tables import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lm = fit_unigram_lm(corpus, vocab_size=2000).localCheckpoint()
+    assert lm.where(F.col("token").isNull()).count() == 1
+    # take the corpus's two most frequent tokens vs pure gibberish
+    common = [
+        r.token
+        for r in lm.where(F.col("token").isNotNull())
+        .orderBy(F.col("logprob").desc())
+        .limit(2)
+        .collect()
+    ]
+    docs = spark.createDataFrame(
+        [
+            (1, f"{common[0]} {common[1]} {common[0]}"),
+            (2, "zqxjkv wmbfgh pltrnd qqqqq"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lm_score for r in score_unigram_lm(docs, lm).collect()}
+    oov = lm.where(F.col("token").isNull()).collect()[0].logprob
+    assert out[1] > out[2], out
+    assert abs(out[2] - oov) < 1e-9  # all-OOV doc scores exactly the floor
+    assert abs(out[3] - oov) < 1e-9  # empty doc takes the floor
+    # determinism
+    again = {r.doc_id: r.lm_score for r in score_unigram_lm(docs, lm).collect()}
+    assert out == again
