@@ -1,0 +1,180 @@
+"""BPE tokenizer fitting + encoding vs an independent pure-Python
+reference; driver-fit vs distributed-fit equality; roundtrip and
+compression properties."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from etl_adsbx_spark.functions.bpe import (
+    EOW,
+    bpe_decode_tokens,
+    bpe_encode,
+    fit_bpe,
+    word_freq,
+)
+
+CORPUS = [
+    "the lower the tower the slower the mower",
+    "low lower lowest slow slower slowest",
+    "new newer newest few fewer fewest",
+    "the newer tower is lower than the older tower",
+    "widest wildest mildest",
+    "a",
+    "",
+    "low low low lower lower lowest",
+]
+
+
+def _docs(spark, texts=CORPUS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+# --- independent reference implementation (naive, recount-per-round) ---
+
+def ref_word_freq(texts):
+    c = Counter()
+    for t in texts:
+        c.update(t.lower().split())
+    return dict(c)
+
+
+def ref_fit(texts, num_merges, min_freq=2):
+    wf = {w: n for w, n in ref_word_freq(texts).items()}
+    vocab = {w: tuple(list(w) + [EOW]) for w in wf}
+    merges = []
+    for rank in range(num_merges):
+        counts = Counter()
+        for w, syms in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] += wf[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_freq:
+            break
+        merges.append((rank, a, b, n))
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges
+
+
+def ref_encode(word, merges):
+    ranks = {(a, b): r for r, a, b, _ in merges}
+    syms = list(word) + [EOW]
+    while len(syms) >= 2:
+        ranked = [
+            (ranks[p], i)
+            for i, p in enumerate(zip(syms, syms[1:]))
+            if p in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        a, b = syms[i], syms[i + 1]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_word_freq_matches_reference(spark):
+    got = {
+        r["word"]: r["freq"] for r in word_freq(_docs(spark)).collect()
+    }
+    assert got == ref_word_freq(CORPUS)
+
+
+def test_driver_fit_matches_reference(spark):
+    got = [
+        (r["rank"], r["a"], r["b"], r["freq"])
+        for r in fit_bpe(_docs(spark), num_merges=30).orderBy("rank").collect()
+    ]
+    assert got == ref_fit(CORPUS, 30)
+    assert len(got) > 5  # the corpus supports a nontrivial merge list
+
+
+def test_distributed_fit_identical_to_driver_fit(spark):
+    d = _docs(spark)
+    driver = fit_bpe(d, num_merges=12, driver_fit=True).orderBy("rank").collect()
+    dist = fit_bpe(d, num_merges=12, driver_fit=False).orderBy("rank").collect()
+    assert [tuple(r) for r in driver] == [tuple(r) for r in dist]
+
+
+def test_distributed_fit_invariant_under_repartition(spark):
+    d = _docs(spark)
+    a = fit_bpe(d, num_merges=10, driver_fit=False).orderBy("rank").collect()
+    b = (
+        fit_bpe(d.repartition(7), num_merges=10, driver_fit=False)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_encode_matches_reference_and_roundtrips(spark):
+    d = _docs(spark)
+    merges_df = fit_bpe(d, num_merges=20)
+    merges = [
+        (r["rank"], r["a"], r["b"], r["freq"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    enc = bpe_encode(d, merges_df).withColumn(
+        "decoded", bpe_decode_tokens("bpe_tokens")
+    )
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    assert set(rows) == set(range(len(CORPUS)))
+    for i, text in enumerate(CORPUS):
+        expect = []
+        for w in text.lower().split():
+            expect.extend(ref_encode(w, merges))
+        assert list(rows[i]["bpe_tokens"]) == expect, f"doc {i}"
+        assert rows[i]["n_bpe_tokens"] == len(expect)
+        # roundtrip: decode reconstructs the normalized text
+        assert rows[i]["decoded"] == " ".join(text.lower().split())
+
+
+def test_more_merges_compress_more(spark):
+    d = _docs(spark)
+    n_by_merges = {}
+    for m in (0, 5, 25):
+        enc = bpe_encode(d, fit_bpe(d, num_merges=m))
+        n_by_merges[m] = enc.agg(F.sum("n_bpe_tokens")).first()[0]
+    # 0 merges = chars + one EOW per word
+    n_chars = sum(len(w) + 1 for t in CORPUS for w in t.lower().split())
+    assert n_by_merges[0] == n_chars
+    assert n_by_merges[5] < n_by_merges[0]
+    assert n_by_merges[25] < n_by_merges[5]
+
+
+def test_unseen_words_fall_back_to_learned_subwords(spark):
+    train = _docs(spark)
+    merges = fit_bpe(train, num_merges=25)
+    novel = _docs(spark, ["lowish slowness zzz"])
+    row = bpe_encode(novel, merges).first()
+    toks = list(row["bpe_tokens"])
+    # every token is a learned symbol or a raw char/EOW; decode restores text
+    assert "".join(toks).replace(EOW, " ").strip() == "lowish slowness zzz"
+    # "zzz" has no trained merges -> encodes as chars + EOW
+    assert toks[-4:] == ["z", "z", "z", EOW]
