@@ -917,3 +917,66 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
             F.lit(int(nh)).alias("num_hashes"),
         )
     )
+
+
+def lsh_candidate_prob(jaccard: float, num_hashes: int, bands: int) -> float:
+    """Probability MinHash-LSH surfaces a pair with the given Jaccard
+    similarity as a candidate: 1 − (1 − s^r)^b with r = num_hashes/bands
+    rows per band — the standard S-curve (Mining of Massive Datasets
+    §3.4). Exact for ideal minhashes; the universal-hash family here is
+    close enough that tests/test_lsh_plan.py measures the curve on the
+    real ``minhash_lsh_pairs`` within binomial noise."""
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    r = num_hashes // bands
+    return 1.0 - (1.0 - jaccard**r) ** bands
+
+
+def plan_lsh(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_fp_prob: float = 0.05,
+    fp_at: float | None = None,
+    max_hashes: int = 256,
+) -> dict:
+    """Choose (num_hashes, bands) for a MinHash-LSH dedup at a Jaccard
+    ``threshold``: the CHEAPEST config (fewest hashes, then fewest bands
+    — bands drive the candidate-join row count) whose S-curve catches
+    pairs at the threshold with ≥ ``target_recall`` while flagging
+    clearly-dissimilar pairs (similarity ``fp_at``, default threshold/2)
+    with ≤ ``max_fp_prob``. Pure math — run it BEFORE the corpus-sized
+    job; the returned dict records the predicted probabilities so the
+    choice is auditable next to the measured calibration.
+
+    Raises if no config within ``max_hashes`` satisfies both targets
+    (e.g. threshold too low for the budget) — explicit, not silent
+    best-effort."""
+    fp_at = threshold / 2 if fp_at is None else fp_at
+    best = None
+    for num_hashes in range(4, max_hashes + 1):
+        for bands in range(1, num_hashes + 1):
+            if num_hashes % bands:
+                continue
+            recall = lsh_candidate_prob(threshold, num_hashes, bands)
+            fp = lsh_candidate_prob(fp_at, num_hashes, bands)
+            if recall >= target_recall and fp <= max_fp_prob:
+                cand = (num_hashes, bands)
+                if best is None or cand < best[:2]:
+                    best = (num_hashes, bands, recall, fp)
+        if best is not None and best[0] == num_hashes:
+            break  # minimal num_hashes found; inner loop already minimized bands
+    if best is None:
+        raise ValueError(
+            f"no (num_hashes<=max_hashes={max_hashes}, bands) reaches "
+            f"recall>={target_recall} at s={threshold} with fp<={max_fp_prob} at s={fp_at}"
+        )
+    num_hashes, bands, recall, fp = best
+    return {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "rows_per_band": num_hashes // bands,
+        "predicted_recall_at_threshold": recall,
+        "predicted_fp_prob_at_low_sim": fp,
+        "threshold": threshold,
+        "fp_at": fp_at,
+    }

@@ -161,3 +161,53 @@ def weighted_mix(
         out = expanded if out is None else out.unionByName(expanded)
     assert out is not None, "weighted_mix needs at least one source"
     return out
+
+
+def sample_rank(key: Column | str, salt: str = "sample") -> Column:
+    """Total-order sampling rank: first 15 hex chars of md5(salt ':' key)
+    as a bigint (60 bits — collisions are ~n²/2^60, and the (rank, key)
+    composite below is a total order regardless). Ordering by this rank
+    IS a uniform random permutation, frozen by the salt."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), k.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    strata_cols: list[str] | None = None,
+    salt: str = "sample",
+    shards: int | None = None,
+) -> DataFrame:
+    """EXACTLY min(k, stratum size) rows per stratum, uniformly without
+    replacement, deterministic (the k lowest ``sample_rank`` values per
+    stratum, ties broken by key). ``hash_sample`` keeps a *fraction* —
+    right for rate-based mixing; this is the eval-set / human-review /
+    few-shot-pool primitive where the contract is a count.
+
+    Scale shape — the naive per-stratum window sorts each stratum in ONE
+    task (language-like strata put most of the corpus in one sort), so
+    selection is two-phase: phase 1 takes a local top-k within
+    (stratum, rank-derived shard) — ``shards`` separate window groups
+    per stratum, so a hot stratum's sort spreads across the cluster and
+    each group sorts ~n/shards rows; phase 2 re-ranks the surviving
+    shards·k candidates per stratum — a frame of k·shards·n_strata rows,
+    tiny by construction. Both phases are rank+filter windows (codegen);
+    the result is provably identical to the single-phase top-k because
+    a stratum's k lowest ranks survive *their* shard's local top-k."""
+    strata = list(strata_cols or [])
+    shards = shards or df.sparkSession.sparkContext.defaultParallelism
+    from .agg import topk_per_group
+
+    ranked = df.withColumn("_rank", sample_rank(key_col, salt)).withColumn(
+        "_shard", F.pmod(F.col("_rank"), F.lit(shards))
+    )
+    order = F.struct(F.col("_rank"), F.col(key_col).cast("string"))
+    local = topk_per_group(ranked, [*strata, "_shard"], order, k, desc=False)
+    out = topk_per_group(local, strata, order, k, desc=False)
+    return out.drop("_rank", "_shard")

@@ -75,3 +75,47 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     return l.join(s, [on, "_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 20
+) -> DataFrame:
+    """Join/agg-planning diagnostic: the ``top_n`` heaviest key groups
+    with their row counts and share of the table, plus distribution
+    columns every row carries (total rows, distinct keys, mean rows/key,
+    p50/p99/p999/max of the per-key count). Read it before keying a
+    shuffle: ``max_frac`` ≫ 1/parallelism means the hot keys need
+    ``salted_agg``/``salted_join`` (or AQE skew-join, if the stage
+    qualifies).
+
+    Shape: one hash-agg to per-key counts (map-side partials), then the
+    quantiles/top-n run over the COUNTS table (distinct-key-sized, not
+    corpus-sized): a percentile sketch agg to one row, a rank+filter
+    top-n, and a 1-row broadcast crossJoin to attach the distribution —
+    no global sort, nothing driver-side."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    dist = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        (F.sum("n_rows") / F.count("*")).alias("mean_rows_per_key"),
+        F.percentile_approx("n_rows", F.array(F.lit(0.5), F.lit(0.99), F.lit(0.999)), 10000).alias("_q"),
+        F.max("n_rows").alias("max_rows_per_key"),
+    ).select(
+        "total_rows",
+        "n_keys",
+        "mean_rows_per_key",
+        F.col("_q")[0].alias("p50_rows_per_key"),
+        F.col("_q")[1].alias("p99_rows_per_key"),
+        F.col("_q")[2].alias("p999_rows_per_key"),
+        "max_rows_per_key",
+    )
+    from .agg import topk_per_group
+
+    order = F.struct(F.col("n_rows"), *[F.col(c).cast("string") for c in key_cols])
+    top = topk_per_group(counts, [], order, top_n, desc=True)
+    return (
+        top.crossJoin(F.broadcast(dist))
+        .withColumn("frac", F.col("n_rows") / F.col("total_rows"))
+        .withColumn("max_frac", F.col("max_rows_per_key") / F.col("total_rows"))
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+    )

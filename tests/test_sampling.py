@@ -178,3 +178,63 @@ def test_distinct_sketch_mergeable_and_accurate(spark):
     )
     n = sketch_estimate(g).collect()[0].n_distinct
     assert abs(n - 9000) / 9000 < 0.05
+
+
+def test_exact_k_sample_per_stratum(spark):
+    from etl_adsbx_spark.operators.sampling import exact_k_sample, sample_rank
+
+    d = _docs(spark)
+    out = exact_k_sample(d, 7, "doc_id", strata_cols=["lang"])
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    truth = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {k: min(7, v) for k, v in truth.items()}
+    # selection = the k lowest (rank, key) per stratum — brute-force check
+    ranked = d.select("doc_id", "lang", sample_rank("doc_id").alias("r")).collect()
+    expect: dict[str, list] = {}
+    for row in sorted(ranked, key=lambda x: (x["r"], str(x["doc_id"]))):
+        expect.setdefault(row["lang"], [])
+        if len(expect[row["lang"]]) < 7:
+            expect[row["lang"]].append(row["doc_id"])
+    got = {
+        r["lang"]: r["ids"]
+        for r in out.groupBy("lang").agg(F.collect_set("doc_id").alias("ids")).collect()
+    }
+    assert {k: set(v) for k, v in got.items()} == {k: set(v) for k, v in expect.items()}
+
+
+def test_exact_k_sample_invariant_under_partitioning_and_shards(spark):
+    from etl_adsbx_spark.operators.sampling import exact_k_sample
+
+    d = _docs(spark)
+    a = {r["doc_id"] for r in exact_k_sample(d, 9, "doc_id", ["source"]).collect()}
+    b = {
+        r["doc_id"]
+        for r in exact_k_sample(d.repartition(13), 9, "doc_id", ["source"], shards=3).collect()
+    }
+    assert a == b
+
+
+def test_exact_k_sample_global(spark):
+    from etl_adsbx_spark.operators.sampling import exact_k_sample
+
+    d = _docs(spark)
+    out = exact_k_sample(d, 5, "doc_id")
+    assert out.count() == 5
+    assert out.columns == d.columns  # sample keeps the input schema
+
+
+def test_skew_report_flags_hot_key(spark):
+    from etl_adsbx_spark.operators.skew import skew_report
+
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    rep = skew_report(df, ["k"], top_n=5).collect()
+    assert rep[0]["k"] == "hot" and rep[0]["n_rows"] == 900
+    assert abs(rep[0]["frac"] - 0.9) < 1e-9
+    by_k = {r["k"]: r for r in rep}
+    assert by_k["cold"]["n_rows"] == 100
+    r0 = rep[0]
+    assert r0["total_rows"] == 1000 and r0["n_keys"] == 2
+    assert r0["max_rows_per_key"] == 900
+    assert abs(r0["max_frac"] - 0.9) < 1e-9
+    assert r0["mean_rows_per_key"] == 500.0
