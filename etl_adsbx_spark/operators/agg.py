@@ -225,3 +225,154 @@ def pack_bins(
         ffd, f"_pid {dict(meta.dtypes)['_pid']}, bin_id long, bin_fill long, oversize boolean"
     )
     return df.join(packed.withColumnRenamed("_pid", id_col), id_col)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Count-min sketch as a pure-SQL counter table — the frequency
+# companion to the HLL distinct sketches above and the Bloom admission
+# index in operators/dedup.py. Same design rule as bloom_word_table: the
+# sketch IS a DataFrame ((row, pos, n) cells), so it is persistable,
+# probed with an equi-join, and MERGED BY SUMMING — per-tick sketches of
+# bounded size fold into a maintained all-time sketch without ever
+# recounting history (the exact alternative is an unboundedly growing
+# key-count table). One-sided error: estimates never undercount; they
+# overcount by <= eps*N with prob >= 1-delta at width=ceil(e/eps),
+# depth=ceil(ln(1/delta)) (Cormode & Muthukrishnan 2005).
+# ---------------------------------------------------------------------------
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch over ``df[key_col]`` (optionally weighted
+    by ``weight_col``, e.g. pre-aggregated term counts) as a
+    (row, pos, n, width, depth) DataFrame of <= width*depth cells. Each
+    key occurrence explodes to ``depth`` (row, pmod(xxhash64(key, row),
+    width)) cells summed with map-side partials — corpus-sized work is
+    the one explode+agg pass; the sketch itself is KB-scale."""
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(r)), F.lit(width)).alias("pos"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(cells.alias("_c"), w.alias("_w"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.pos").alias("pos"))
+        .agg(F.sum("_w").alias("n"))
+        .select(
+            "row", "pos", "n",
+            F.lit(width).alias("width"), F.lit(depth).alias("depth"),
+        )
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum-merge count-min sketches built with the SAME (width, depth):
+    union the cell rows and sum per (row, pos). Exact:
+    merge(build(A), build(B)) == build(A ++ B) cell for cell, because a
+    CMS is a linear sketch. Sizing mismatches raise. Empty sketches
+    (no cells — a first tick over nothing) merge as identity."""
+    import functools
+
+    metas = [m for s in sketches if (m := s.select("width", "depth").first())]
+    for meta in metas[1:]:
+        if tuple(meta) != tuple(metas[0]):
+            raise ValueError(f"cms sizing mismatch: {tuple(metas[0])} vs {tuple(meta)}")
+    if not metas:
+        return sketches[0]
+    wd, dp = metas[0]
+    unioned = functools.reduce(
+        lambda a, b: a.unionByName(b), [s.select("row", "pos", "n") for s in sketches]
+    )
+    return (
+        unioned.groupBy("row", "pos")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            "row", "pos", "n",
+            F.lit(int(wd)).alias("width"), F.lit(int(dp)).alias("depth"),
+        )
+    )
+
+
+def cms_probe(
+    keys: DataFrame, cms: DataFrame, key_col: str, out_col: str = "est_n"
+) -> DataFrame:
+    """Estimate each key's count: min over the sketch's ``depth`` rows of
+    the cell the key hashes to. Distributed: keys explode to depth
+    (row, pos) probes, LEFT-join the cell table (a missing cell means
+    nothing ever hashed there — exact 0), ``min`` per key folds the
+    estimate. The cell table is broadcast-size by construction (<=
+    width*depth rows), so AQE broadcasts the join. Probing an EMPTY
+    sketch (first tick) estimates 0 for every key."""
+    meta = cms.select("width", "depth").first()
+    if meta is None:
+        return keys.withColumn(out_col, F.lit(0).cast("bigint"))
+    wd, dp = meta
+    probes = keys.select(key_col).distinct().select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(F.xxhash64(F.col(key_col), F.lit(r)), F.lit(wd)).alias("pos"),
+                    )
+                    for r in range(dp)
+                ]
+            )
+        ).alias("_p"),
+    ).select(key_col, "_p.row", "_p.pos")
+    ests = (
+        probes.join(cms.select("row", "pos", "n"), ["row", "pos"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias(out_col))
+    )
+    return keys.join(ests, key_col)
+
+
+def maintained_topk(
+    tick_counts: DataFrame,
+    cms: DataFrame | None,
+    candidates: DataFrame | None,
+    key_col: str,
+    k: int,
+    candidate_cap: int = 1000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One maintenance step of all-time approximate heavy hitters with
+    BOUNDED state: fold a tick's exact per-key counts (``tick_counts``:
+    key_col, n) into the running CMS, union the tick's top
+    ``candidate_cap`` keys into the candidate set, re-estimate every
+    candidate against the merged sketch, and keep the ``candidate_cap``
+    best. Returns (topk, new_cms, new_candidates) — persist the last two
+    for the next tick. A true all-time top-k key is only missed if it
+    never once entered a tick's local top-``candidate_cap`` (the standard
+    CMS+heap regime: cap >= ~10x k makes that vanishingly rare under
+    Zipf). State: width*depth cells + candidate_cap keys, independent of
+    history length."""
+    wd_dp = (
+        (cms.select("width", "depth").first() or (2048, 5)) if cms is not None else (2048, 5)
+    )
+    tick_cms = cms_table(tick_counts, key_col, int(wd_dp[0]), int(wd_dp[1]), weight_col="n")
+    new_cms = cms_merge(cms, tick_cms) if cms is not None else tick_cms
+    tick_top = topk_per_group(
+        tick_counts, [], F.struct(F.col("n"), F.col(key_col).cast("string")), candidate_cap, desc=True
+    ).select(key_col)
+    cand = (
+        tick_top if candidates is None
+        else candidates.select(key_col).unionByName(tick_top).distinct()
+    )
+    est = cms_probe(cand, new_cms, key_col)
+    order = F.struct(F.col("est_n"), F.col(key_col).cast("string"))
+    new_cand = topk_per_group(est, [], order, candidate_cap, desc=True)
+    topk = topk_per_group(new_cand, [], order, k, desc=True)
+    return topk, new_cms, new_cand.select(key_col)
