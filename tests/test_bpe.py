@@ -178,3 +178,29 @@ def test_unseen_words_fall_back_to_learned_subwords(spark):
     assert "".join(toks).replace(EOW, " ").strip() == "lowish slowness zzz"
     # "zzz" has no trained merges -> encodes as chars + EOW
     assert toks[-4:] == ["z", "z", "z", EOW]
+
+
+def test_incremental_fit_loop_matches_naive_reference_property():
+    """_fit_merges_local maintains pair counts incrementally (only
+    rewritten words update the counter); the test reference recounts from
+    scratch each round. Hypothesis drives random corpora at the two
+    implementations — no Spark in the loop, so examples are cheap."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_adsbx_spark.functions.bpe import _fit_merges_local
+
+    word = st.text(alphabet="abcz", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(corpus, st.integers(min_value=1, max_value=12))
+    def check(texts, n_merges):
+        wf = sorted(ref_word_freq(texts).items())
+        got = _fit_merges_local(wf, n_merges, min_freq=2)
+        assert got == ref_fit(texts, n_merges)
+
+    check()
