@@ -1,1 +1,1 @@
-from . import bpe, classify, scalar, text, vector  # noqa: F401
+from . import bpe, classify, scalar, signals, text, vector  # noqa: F401

@@ -239,3 +239,26 @@ def score_unigram_lm(
         )
         .drop("_vocab", "_oov")
     )
+
+
+def dedup_paragraphs(
+    col: Column | str = "text", sep: str = "\n\n"
+) -> Column:
+    """Within-document repeated-paragraph removal: split on ``sep``, keep
+    each paragraph's FIRST occurrence (``array_distinct`` preserves
+    first-occurrence order), re-join. The in-row counterpart of
+    ``operators.dedup.strip_boilerplate_lines`` (which removes lines
+    repeated ACROSS documents); templated pages repeat nav/footer blocks
+    within one page too. Pure expression — no shuffle, no state."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, sep, -1)), sep)
+
+
+def n_paragraphs_removed(
+    col: Column | str = "text", sep: str = "\n\n"
+) -> Column:
+    """Companion count for ``dedup_paragraphs``: how many paragraphs the
+    removal dropped. ``sep`` is a Java regex in both functions."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, sep, -1)
+    return F.size(parts) - F.size(F.array_distinct(parts))

@@ -211,3 +211,34 @@ def exact_k_sample(
     local = topk_per_group(ranked, [*strata, "_shard"], order, k, desc=False)
     out = topk_per_group(local, strata, order, k, desc=False)
     return out.drop("_rank", "_shard")
+
+
+def select_to_budget(
+    df: DataFrame,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained data selection: keep the highest-``score_col``
+    rows whose cumulative ``cost_col`` (tokens, bytes) stays within
+    ``budget`` — "the best N-token corpus this quality signal can buy",
+    the greedy knapsack every budgeted training run solves. Selection is
+    by strict quality order ((score desc, tiebreak) is a total order, so
+    the kept set is unique and deterministic); the first row whose cost
+    crosses the budget is dropped along with everything below it —
+    partial documents are never taken.
+
+    Scale shape: the cumulative cost is ``agg.global_running_sum`` over
+    (-score, tiebreak) order — a range shuffle + per-partition local
+    sums + a broadcast of per-partition bases — NOT a single-task
+    ``Window.orderBy``; the budget predicate is then a per-row filter.
+    Adding budget headroom admits strictly more rows (monotone), and the
+    kept set is invariant to partitioning (tests pin both)."""
+    from .agg import global_running_sum
+
+    neg = df.withColumn("_neg_score", -F.col(score_col).cast("double")).withColumn(
+        "_tb", F.col(tiebreak_col).cast("string")
+    )
+    cum = global_running_sum(neg, ["_neg_score", "_tb"], cost_col, out_col="_cum_cost")
+    return cum.where(F.col("_cum_cost") <= budget).drop("_neg_score", "_tb", "_cum_cost")

@@ -1,0 +1,110 @@
+"""Token-budget corpus selection, compression-ratio signal, within-doc
+paragraph dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_adsbx_spark.functions.signals import with_compression_ratio
+from etl_adsbx_spark.functions.text import dedup_paragraphs, n_paragraphs_removed
+from etl_adsbx_spark.operators.sampling import select_to_budget
+
+
+def _scored(spark, rows=None):
+    rows = rows or [
+        # (doc_id, quality, n_tokens)
+        (1, 0.9, 100),
+        (2, 0.8, 200),
+        (3, 0.7, 150),
+        (4, 0.7, 50),  # ties with 3 on score -> doc_id order decides
+        (5, 0.2, 400),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, quality double, n_tokens bigint")
+
+
+def test_select_to_budget_greedy_whole_docs(spark):
+    d = _scored(spark)
+    # greedy order: 1(100), 2(300), 3(450), 4(500), 5(900)
+    kept = {r["doc_id"] for r in select_to_budget(d, "quality", "n_tokens", 500).collect()}
+    assert kept == {1, 2, 3, 4}
+    # 449: doc 3 crosses the budget -> dropped, and so is everything below
+    # it (no partial docs, no skip-ahead to the smaller doc 4)
+    kept = {r["doc_id"] for r in select_to_budget(d, "quality", "n_tokens", 449).collect()}
+    assert kept == {1, 2}
+    # tie on score: doc 3 precedes doc 4 by the doc_id tiebreak
+    kept = {r["doc_id"] for r in select_to_budget(d, "quality", "n_tokens", 450).collect()}
+    assert kept == {1, 2, 3}
+
+
+def test_select_to_budget_monotone_and_partition_invariant(spark):
+    d = _scored(spark)
+    prev: set = set()
+    for budget in (0, 100, 300, 450, 500, 900, 10_000):
+        kept = {
+            r["doc_id"] for r in select_to_budget(d, "quality", "n_tokens", budget).collect()
+        }
+        assert prev <= kept, (budget, prev, kept)
+        prev = kept
+    assert prev == {1, 2, 3, 4, 5}  # large budget keeps everything
+    a = {r["doc_id"] for r in select_to_budget(d, "quality", "n_tokens", 500).collect()}
+    b = {
+        r["doc_id"]
+        for r in select_to_budget(d.repartition(7), "quality", "n_tokens", 500).collect()
+    }
+    assert a == b
+
+
+def test_select_to_budget_keeps_schema(spark):
+    d = _scored(spark)
+    out = select_to_budget(d, "quality", "n_tokens", 500)
+    assert out.columns == d.columns
+
+
+def test_compression_ratio_bands(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 20),  # prose
+            (2, "spam " * 400),  # heavy repetition
+            (3, "k9#xQ!m2@Zr8$wL5^vB3&nT7*pD1(jF4)hG6-sA0_eC"),  # char soup
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    r = {
+        row["doc_id"]: row["compression_ratio"]
+        for row in with_compression_ratio(docs).collect()
+    }
+    assert r[2] < r[1] < r[3], r  # repetition < prose < incompressible
+    assert r[2] < 0.1
+    assert r[3] > 0.8
+    assert r[4] == 1.0 and r[5] == 1.0
+
+
+def test_compression_ratio_passthrough_and_plan(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en")], "doc_id bigint, text string, lang string"
+    )
+    out = with_compression_ratio(docs)
+    assert out.columns == ["doc_id", "text", "lang", "compression_ratio"]
+    row = out.first()
+    assert (row["doc_id"], row["text"], row["lang"]) == (1, "hello world", "en")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side kernel, no shuffle
+
+
+def test_dedup_paragraphs_first_occurrence_order(spark):
+    text = "intro\n\nbody one\n\nnav menu\n\nbody two\n\nnav menu\n\nintro"
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = df.select(
+        dedup_paragraphs("text").alias("t"),
+        n_paragraphs_removed("text").alias("n"),
+    ).first()
+    assert row["t"] == "intro\n\nbody one\n\nnav menu\n\nbody two"
+    assert row["n"] == 2
+    # idempotent; clean docs untouched
+    clean = spark.createDataFrame([(1, "a\n\nb")], "doc_id bigint, text string")
+    r2 = clean.select(
+        dedup_paragraphs("text").alias("t"), n_paragraphs_removed("text").alias("n")
+    ).first()
+    assert r2["t"] == "a\n\nb" and r2["n"] == 0
