@@ -86,3 +86,81 @@ def quarantine(payload: DataFrame, col: str = "value") -> DataFrame:
     return parsed.filter(F.col("env._corrupt_record").isNotNull()).select(
         F.col("env._corrupt_record").alias("raw")
     )
+
+
+def read_csv_validated(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    strict: bool = True,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV/TSV ingestion under the same boundary contract as the JSON
+    envelope path: a DECLARED schema (never inferSchema — inference
+    samples the data and can flip types between runs, which is schema
+    drift by another name), FAILFAST when ``strict`` (a malformed row
+    aborts ingestion, the res.typed posture), else PERMISSIVE with the
+    raw offending line kept in ``_corrupt_record`` so
+    ``csv_quarantine`` can split it out. Web-corpus dumps are routinely
+    TSV (``sep='\\t'``); the scan supports column pruning either way."""
+    reader_schema = schema
+    if not strict:
+        reader_schema = StructType(
+            [*schema.fields, StructField("_corrupt_record", StringType(), True)]
+        )
+    return (
+        spark.read.schema(reader_schema)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("sep", sep)
+        .option("header", header)
+        .csv(path)
+    )
+
+
+def csv_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE ``read_csv_validated`` frame into (valid rows
+    without the corrupt column, quarantined raw lines). Spark refuses
+    queries that touch only ``_corrupt_record`` over a raw CSV scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the raw
+    line is only materialized when the full parse is); the documented
+    workaround is caching the parsed frame, which this helper does.
+    Both returned frames read the one cached parse (a quarantine split
+    consumes both halves anyway); the caller still holds ``parsed`` and
+    owns ``parsed.unpersist()`` when done."""
+    if "_corrupt_record" not in parsed.columns:
+        raise ValueError("csv_quarantine needs a strict=False read (corrupt column absent)")
+    parsed = parsed.cache()
+    valid = parsed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return valid, bad
+
+
+def parse_csv_lines(
+    lines: DataFrame,
+    schema: StructType,
+    col: str = "value",
+    sep: str = ",",
+    strict: bool = True,
+) -> DataFrame:
+    """Parse a column of raw CSV lines (e.g. a streaming source's
+    ``value``) with the declared schema via ``from_csv`` — the
+    line-frame twin of ``read_csv_validated`` with identical
+    FAILFAST/PERMISSIVE semantics."""
+    mode = "FAILFAST" if strict else "PERMISSIVE"
+    reader_schema = schema
+    if not strict:
+        reader_schema = StructType(
+            [*schema.fields, StructField("_corrupt_record", StringType(), True)]
+        )
+    parsed = lines.select(
+        F.from_csv(
+            F.col(col),
+            reader_schema.simpleString(),
+            {"mode": mode, "sep": sep, "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("row")
+    )
+    return parsed.select("row.*")

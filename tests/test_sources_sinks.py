@@ -244,3 +244,81 @@ def test_corpus_diff_tags_added_and_removed(spark):
         (i, "removed") for i in range(0, 50)
     }
     assert got == want
+
+
+def _csv_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+
+def test_read_csv_validated_strict_and_tsv(spark, tmp_path):
+    from etl_adsbx_spark.sources.files import read_csv_validated
+
+    p = tmp_path / "docs.tsv"
+    p.write_text("doc_id\ttext\tscore\n1\thello world\t0.5\n2\tbye\t0.25\n")
+    df = read_csv_validated(spark, str(p), _csv_schema(), sep="\t")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["text"] == "hello world" and rows[2]["score"] == 0.25
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "double",
+    ]
+
+
+def test_read_csv_validated_failfast_aborts(spark, tmp_path):
+    from etl_adsbx_spark.sources.files import read_csv_validated
+
+    p = tmp_path / "bad.csv"
+    p.write_text("doc_id,text,score\n1,ok,0.5\nnot-a-number,broken,xyz\n")
+    with pytest.raises(Exception):
+        read_csv_validated(spark, str(p), _csv_schema()).collect()
+
+
+def test_read_csv_validated_permissive_quarantine(spark, tmp_path):
+    from etl_adsbx_spark.sources.files import csv_quarantine, read_csv_validated
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("doc_id,text,score\n1,ok,0.5\nnope,broken,xyz\n2,fine,1.0\n")
+    parsed = read_csv_validated(spark, str(p), _csv_schema(), strict=False)
+    valid, bad = csv_quarantine(parsed)
+    assert {r["doc_id"] for r in valid.collect()} == {1, 2}
+    assert valid.columns == ["doc_id", "text", "score"]
+    raws = [r["raw"] for r in bad.collect()]
+    assert raws == ["nope,broken,xyz"]
+
+
+def test_csv_quarantine_requires_permissive_read(spark, tmp_path):
+    from etl_adsbx_spark.sources.files import csv_quarantine, read_csv_validated
+
+    p = tmp_path / "ok.csv"
+    p.write_text("doc_id,text,score\n1,ok,0.5\n")
+    strict_df = read_csv_validated(spark, str(p), _csv_schema())
+    with pytest.raises(ValueError, match="strict=False"):
+        csv_quarantine(strict_df)
+
+
+def test_parse_csv_lines_matches_file_read(spark):
+    from etl_adsbx_spark.sources.files import parse_csv_lines
+
+    lines = spark.createDataFrame(
+        [("1,hello,0.5",), ("2,bye,0.25",)], "value string"
+    )
+    out = parse_csv_lines(lines, _csv_schema())
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["text"] == "hello" and rows[2]["score"] == 0.25
+    # PERMISSIVE line parsing nulls the typed fields of a broken line
+    broken = spark.createDataFrame([("x,y,z",)], "value string")
+    row = parse_csv_lines(broken, _csv_schema(), strict=False).first()
+    assert row["doc_id"] is None and row["score"] is None
