@@ -75,6 +75,9 @@ def prepare_training_data(
     files_per_partition: int = 1,
     stage_counts: bool = True,
     shuffle_seed: int | None = None,
+    classifier_weights: list[float] | None = None,
+    classifier_min: float = 0.5,
+    select_budget: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full chain over the ``documents`` table; returns
     ``(final_frame, stage_counts)`` and (if ``out_dir``) writes the hive
@@ -99,7 +102,9 @@ def prepare_training_data(
     """
     audit = corpus_audit(spark, sf_dir, quality_min, lang).persist()
     d = load_table(spark, sf_dir, "documents")
-    kept_ids = audit.filter(F.col("drop_reason").isNull()).select("doc_id", "split")
+    kept_ids = audit.filter(F.col("drop_reason").isNull()).select(
+        "doc_id", "split", "quality"
+    )
     kept = d.join(kept_ids, "doc_id")
 
     counts: dict[str, int] = {}
@@ -111,6 +116,19 @@ def prepare_training_data(
         kept = decontaminate_against(kept, eval_docs)
         if stage_counts:
             counts["decontaminated"] = kept.count()
+
+    if classifier_weights is not None:
+        # learned quality gate (functions.classify): per-row
+        # literal-weight sigmoid — costs one expression, prunes before
+        # the sampling/packing shuffles like the heuristic gates
+        from ..functions.classify import doc_features, logreg_score
+
+        kept = kept.where(
+            logreg_score(doc_features("text"), classifier_weights)
+            >= classifier_min
+        )
+        if stage_counts:
+            counts["classifier_gated"] = kept.count()
 
     if mix_rates is not None:
         kept = stratified_sample(
@@ -126,9 +144,19 @@ def prepare_training_data(
         "lang",
         "source",
         "split",
+        "quality",
         "text",
         T.token_count("text").cast("bigint").alias("n_tokens"),
     )
+    if select_budget is not None:
+        # token-budget selection (operators.sampling.select_to_budget):
+        # best docs by the audit quality score until the global token
+        # budget is spent — distributed prefix sum, whole docs only
+        from ..operators.sampling import select_to_budget
+
+        sized = select_to_budget(sized, "quality", "n_tokens", select_budget)
+        if stage_counts:
+            counts["budget_selected"] = sized.count()
     packed = global_running_sum(sized, ["doc_id"], "n_tokens", out_col="_cum")
     start = F.col("_cum") - F.col("n_tokens")
     final = packed.select(

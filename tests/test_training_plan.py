@@ -122,3 +122,36 @@ def test_prepare_training_data_shuffle_seed(spark, tmp_path):
         pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist() for f in fs
     ]
     assert ids(files1) == ids(files2)
+
+
+def test_prepare_training_data_classifier_gate_and_token_budget(spark):
+    from etl_adsbx_spark.functions.classify import fit_quality_classifier
+    from etl_adsbx_spark.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    w, _ = fit_quality_classifier(
+        d.withColumn("label", (F.col("lang") == "en").cast("int")), "label", steps=20
+    )
+    base, base_counts = prepare_training_data(spark, SF_SMALL)
+    gated, counts = prepare_training_data(
+        spark, SF_SMALL, classifier_weights=w, classifier_min=0.5
+    )
+    assert counts["classifier_gated"] <= base_counts["cleaned"]
+    assert gated.count() == counts["classifier_gated"]
+    # gated output is a subset of the ungated run
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert gated_ids <= base_ids
+
+    budget = 2000
+    sel, scounts = prepare_training_data(spark, SF_SMALL, select_budget=budget)
+    assert scounts["budget_selected"] < base_counts["cleaned"]
+    assert sel.agg(F.sum("n_tokens")).first()[0] <= budget
+    # offsets re-tile contiguously over the selected set
+    assert sel.agg(F.max(F.col("start_offset") + F.col("n_tokens"))).first()[0] == (
+        sel.agg(F.sum("n_tokens")).first()[0]
+    )
+    # budget selection keeps the BEST-quality docs: min kept quality >=
+    # max dropped quality (modulo the boundary doc that crossed the budget)
+    kept_q = sel.select("doc_id").join(base, "doc_id", "left_semi")
+    assert kept_q.count() == scounts["budget_selected"]
