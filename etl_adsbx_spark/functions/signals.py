@@ -50,3 +50,44 @@ def with_compression_ratio(
             yield out
 
     return df.mapInPandas(ratios, out_schema)
+
+
+def with_nfc_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Unicode NFC normalization of ``text_col`` (composing sequences
+    like e + COMBINING ACUTE into the single é code point — without it,
+    byte-identical-looking documents hash differently and dedup misses
+    them). NFC is a data-driven many-to-many code-point mapping no
+    fixed-depth SQL expression can express, hence the Arrow kernel
+    (stdlib ``unicodedata``, nothing stubbed); map-side, all columns
+    pass through, overwrites ``text_col`` unless ``out_col`` names a
+    new column. Compose with the expression-side
+    ``functions.text.canonicalize_text`` for the full normalization
+    pass."""
+    import unicodedata
+
+    from pyspark.sql.types import StringType
+
+    out = out_col or text_col
+    if out == text_col:
+        out_schema = StructType(
+            [
+                StructField(f.name, StringType()) if f.name == text_col else f
+                for f in df.schema.fields
+            ]
+        )
+    else:
+        out_schema = StructType(df.schema.fields + [StructField(out, StringType())])
+    names = df.columns
+
+    def nfc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf[names].copy()
+            res[out] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield res
+
+    return df.mapInPandas(nfc, out_schema)

@@ -262,3 +262,29 @@ def n_paragraphs_removed(
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, sep, -1)
     return F.size(parts) - F.size(F.array_distinct(parts))
+
+
+def canonicalize_text(col: Column | str = "text") -> Column:
+    """Web-crawl text canonicalization, pure codegen — the cheap
+    normalization pass every cleaning pipeline runs before hashing or
+    shingling so cosmetic variants (curly quotes, non-breaking spaces,
+    control chars) don't defeat dedup:
+
+    - C0/C1 control chars (except \\t \\n) and zero-width/BOM marks → removed
+    - non-breaking / unicode spaces → ASCII space
+    - curly single/double quotes → straight; en/em dash, minus → hyphen
+    - ellipsis char → "..."
+    - runs of spaces/tabs collapse to one space; outer whitespace trimmed
+      (newlines survive — paragraph structure is data, see
+      ``dedup_paragraphs``)
+
+    Unicode NFC (composing e + combining-acute into é) cannot be a
+    fixed expression — that is ``functions.signals.with_nfc_text``'s
+    Arrow kernel; this expression is the shuffle-free 99% case."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F\\u200B-\\u200D\\uFEFF]", "")
+    c = F.regexp_replace(c, "[\\u00A0\\u2000-\\u200A\\u202F\\u205F\\u3000]", " ")
+    c = F.translate(c, "‘’“”–—−", "''\"\"---")
+    c = F.regexp_replace(c, "…", "...")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    return F.trim(c)

@@ -204,3 +204,29 @@ def test_incremental_fit_loop_matches_naive_reference_property():
         assert got == ref_fit(texts, n_merges)
 
     check()
+
+
+def test_unicode_corpus_fit_and_roundtrip(spark):
+    """Non-ASCII chars (accents, CJK, an astral-plane emoji) survive the
+    char split (Spark's empty-pattern split keeps surrogate pairs whole,
+    matching Python's list(word)), the fit tie-break (UTF-8 binary order
+    == code-point order == Python str order), and decode."""
+    texts = [
+        "café café naïve",
+        "日本語 の 文書 日本語",
+        "a😀b a😀b c😀",
+        "café 日本語",
+    ]
+    d = _docs(spark, texts)
+    assert [
+        (r["rank"], r["a"], r["b"], r["freq"])
+        for r in fit_bpe(d, num_merges=15).orderBy("rank").collect()
+    ] == ref_fit(texts, 15)
+    dist = fit_bpe(d, num_merges=8, driver_fit=False).orderBy("rank").collect()
+    drv = fit_bpe(d, num_merges=8, driver_fit=True).orderBy("rank").collect()
+    assert [tuple(r) for r in dist] == [tuple(r) for r in drv]
+    enc = bpe_encode(d, fit_bpe(d, num_merges=15)).withColumn(
+        "decoded", bpe_decode_tokens("bpe_tokens")
+    )
+    for r in enc.collect():
+        assert r["decoded"] == " ".join(texts[r["doc_id"]].lower().split())

@@ -108,3 +108,44 @@ def test_dedup_paragraphs_first_occurrence_order(spark):
         dedup_paragraphs("text").alias("t"), n_paragraphs_removed("text").alias("n")
     ).first()
     assert r2["t"] == "a\n\nb" and r2["n"] == 0
+
+
+def test_canonicalize_text_expression(spark):
+    from etl_adsbx_spark.functions.text import canonicalize_text
+
+    raw = "“Hello” — it’s a test…\x00\x07 zero​width\n  next\t line  "
+    df = spark.createDataFrame([(1, raw)], "doc_id bigint, text string")
+    out = df.select(canonicalize_text("text").alias("t")).first()["t"]
+    assert out == "\"Hello\" - it's a test... zerowidth\n next line"
+    # idempotent; newlines preserved
+    again = (
+        spark.createDataFrame([(1, out)], "doc_id bigint, text string")
+        .select(canonicalize_text("text").alias("t"))
+        .first()["t"]
+    )
+    assert again == out
+    plan = df.select(canonicalize_text("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_nfc_kernel_composes_and_fixes_dedup_misses(spark):
+    from etl_adsbx_spark.functions.signals import with_nfc_text
+    from etl_adsbx_spark.operators.dedup import exact_dedup
+
+    composed = "café menu"          # é as one code point
+    decomposed = "café menu"       # e + combining acute
+    docs = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)], "doc_id bigint, text string"
+    )
+    # without NFC the two spellings hash apart...
+    assert exact_dedup(docs.where(F.col("text").isNotNull())).count() == 2
+    # ...after NFC they are exact duplicates
+    nfc = with_nfc_text(docs)
+    texts = {r["doc_id"]: r["text"] for r in nfc.collect()}
+    assert texts[1] == texts[2] == composed
+    assert texts[3] is None
+    assert nfc.columns == docs.columns
+    assert exact_dedup(nfc.where(F.col("text").isNotNull())).count() == 1
+    # out_col variant appends instead of overwriting
+    appended = with_nfc_text(docs, out_col="text_nfc")
+    assert appended.columns == ["doc_id", "text", "text_nfc"]
