@@ -103,3 +103,44 @@ def test_s_curve_calibrates_against_real_operator(spark):
     assert abs(meas_hi - pred_hi) < 0.2, (meas_hi, pred_hi, high_j)
     assert abs(meas_lo - pred_lo) < 0.2, (meas_lo, pred_lo, low_j)
     assert meas_hi > meas_lo  # the curve separates the two regimes
+
+
+def test_simhash_neardup_pairs_exact_vs_brute_force(spark):
+    """Pigeonhole completeness: block-join candidates + popcount verify
+    find EXACTLY the pairs brute force finds at the same threshold."""
+    from etl_adsbx_spark.operators.dedup import simhash_docs, simhash_neardup_pairs
+
+    texts = []
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    for i in range(30):
+        words = base.split()
+        # small perturbations -> some signatures land within a few bits
+        words[i % len(words)] = f"w{i}"
+        if i % 3 == 0:
+            words[(i + 5) % len(words)] = f"v{i}"
+        texts.append(" ".join(words))
+    texts += [f"completely different document number {i} about topic{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    k = 4
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_neardup_pairs(docs, max_hamming=k).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    ids = sorted(sigs)
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= k
+    }
+    assert got == expect
+    assert len(expect) > 0  # the fixture actually produces near pairs
+    # identical docs are hamming 0
+    twins = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here")], "doc_id bigint, text string"
+    )
+    tw = simhash_neardup_pairs(twins, max_hamming=0).collect()
+    assert [(r["a_id"], r["b_id"], r["hamming"]) for r in tw] == [(1, 2, 0)]
