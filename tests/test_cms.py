@@ -115,3 +115,64 @@ def test_maintained_topk_across_ticks(spark):
     assert [w for w, _ in got] == expect_keys, (got, expect_keys)
     for w, est in got:
         assert est >= truth[w]  # estimates stay one-sided through merges
+
+
+# --- KLL quantile sketches + drift ---------------------------------------
+
+def _vals(spark, values, stratum="s"):
+    return spark.createDataFrame(
+        [(stratum, float(v)) for v in values], "lang string, v double"
+    )
+
+
+def test_quantile_sketch_accuracy_and_merge(spark):
+    from etl_adsbx_spark.operators.agg import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    values = list(range(1000))  # uniform 0..999
+    full = quantile_sketch(_vals(spark, values), ["lang"], "v")
+    q = sketch_quantiles(full, [0.1, 0.5, 0.9], ["lang"]).first()
+    assert abs(q["q_0_1"] - 100) < 40
+    assert abs(q["q_0_5"] - 500) < 40
+    assert abs(q["q_0_9"] - 900) < 40
+    # two-tick merge ~ full build
+    t1 = quantile_sketch(_vals(spark, values[:500]), ["lang"], "v")
+    t2 = quantile_sketch(_vals(spark, values[500:]), ["lang"], "v")
+    merged = merge_quantile_sketches(t1, t2, keys=["lang"])
+    qm = sketch_quantiles(merged, [0.5], ["lang"]).first()
+    assert abs(qm["q_0_5"] - 500) < 40
+
+
+def test_quantile_drift_detects_shift(spark):
+    from etl_adsbx_spark.operators.agg import quantile_drift, quantile_sketch
+
+    base = [i % 100 for i in range(2000)]
+    same = quantile_sketch(_vals(spark, base), ["lang"], "v")
+    same2 = quantile_sketch(_vals(spark, list(reversed(base))), ["lang"], "v")
+    shifted = quantile_sketch(_vals(spark, [v + 50 for v in base]), ["lang"], "v")
+    disjoint = quantile_sketch(_vals(spark, [v + 1000 for v in base]), ["lang"], "v")
+
+    d_same = quantile_drift(same, same2, ["lang"]).first()
+    assert d_same["drift"] < 0.05, d_same
+    assert d_same["n_old"] == 2000.0 and d_same["n_new"] == 2000.0
+    d_shift = quantile_drift(same, shifted, ["lang"]).first()["drift"]
+    assert 0.3 < d_shift < 0.7, d_shift  # half the mass moved
+    d_disj = quantile_drift(same, disjoint, ["lang"]).first()["drift"]
+    assert d_disj > 0.95, d_disj
+
+
+def test_quantile_drift_per_stratum_join(spark):
+    from etl_adsbx_spark.operators.agg import quantile_drift, quantile_sketch
+
+    old = _vals(spark, range(100), "en").unionByName(_vals(spark, range(100), "de"))
+    new = _vals(spark, range(100), "en").unionByName(
+        _vals(spark, [v + 500 for v in range(100)], "de")
+    ).unionByName(_vals(spark, range(100), "fr"))  # fr only in new -> omitted
+    so = quantile_sketch(old, ["lang"], "v")
+    sn = quantile_sketch(new, ["lang"], "v")
+    d = {r["lang"]: r["drift"] for r in quantile_drift(so, sn, ["lang"]).collect()}
+    assert set(d) == {"en", "de"}
+    assert d["en"] < 0.05 and d["de"] > 0.9
