@@ -497,3 +497,51 @@ def quantile_drift(
         F.kll_sketch_get_n_double("_old").alias("n_old"),
         F.kll_sketch_get_n_double("_new").alias("n_new"),
     )
+
+
+def theta_sketch(
+    df: DataFrame,
+    keys: list[str] | None,
+    value_col: str,
+    out_col: str = "tsketch",
+) -> DataFrame:
+    """Per-stratum Datasketches THETA sketch over ``value_col`` — like
+    the HLL distinct sketch but supporting SET ALGEBRA: union,
+    intersection, and difference of sketches estimate the corresponding
+    set cardinalities. Build per corpus release / ingest tick, persist
+    the binary column, compare releases sketch-side forever after."""
+    keys = keys or []
+    return df.groupBy(*keys).agg(F.theta_sketch_agg(value_col).alias(out_col))
+
+
+def theta_set_report(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | None = None,
+    sketch_col: str = "tsketch",
+) -> DataFrame:
+    """Release-over-release set analytics from two theta-sketch frames:
+    per key group, estimated |old|, |new|, |union|, |intersection|,
+    |new − old| (added), |old − new| (removed), and Jaccard. The
+    sketch-side complement of ``sinks.corpus_diff`` (exact id lists):
+    the exact diff joins two corpus-sized id sets — right for auditing a
+    release; this costs a broadcast-size join of KB sketch rows — right
+    for dashboards over years of 100-TB generations, ~2% error at the
+    default sketch size. Keys present in only one frame are omitted."""
+    keys = keys or []
+    o = old.select(*keys, F.col(sketch_col).alias("_old"))
+    n = new.select(*keys, F.col(sketch_col).alias("_new"))
+    joined = o.join(n, keys) if keys else o.crossJoin(n)
+    est = F.theta_sketch_estimate
+    union = est(F.theta_union("_old", "_new"))
+    inter = est(F.theta_intersection("_old", "_new"))
+    return joined.select(
+        *keys,
+        est(F.col("_old")).alias("n_old"),
+        est(F.col("_new")).alias("n_new"),
+        union.alias("n_union"),
+        inter.alias("n_intersection"),
+        est(F.theta_difference("_new", "_old")).alias("n_added"),
+        est(F.theta_difference("_old", "_new")).alias("n_removed"),
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )

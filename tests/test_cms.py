@@ -176,3 +176,25 @@ def test_quantile_drift_per_stratum_join(spark):
     d = {r["lang"]: r["drift"] for r in quantile_drift(so, sn, ["lang"]).collect()}
     assert set(d) == {"en", "de"}
     assert d["en"] < 0.05 and d["de"] > 0.9
+
+
+def test_theta_set_report_known_overlap(spark):
+    from etl_adsbx_spark.operators.agg import theta_set_report, theta_sketch
+
+    old = spark.createDataFrame([("en", i) for i in range(1000)], "lang string, id bigint")
+    new = spark.createDataFrame(
+        [("en", i) for i in range(500, 1500)], "lang string, id bigint"
+    )
+    so = theta_sketch(old, ["lang"], "id")
+    sn = theta_sketch(new, ["lang"], "id")
+    r = theta_set_report(so, sn, ["lang"]).first()
+    # theta sketches are exact below their retention threshold (~4k)
+    for col, expect in [
+        ("n_old", 1000), ("n_new", 1000), ("n_union", 1500),
+        ("n_intersection", 500), ("n_added", 500), ("n_removed", 500),
+    ]:
+        assert abs(r[col] - expect) <= expect * 0.02, (col, r[col], expect)
+    assert abs(r["jaccard"] - 1 / 3) < 0.02
+    # disjoint strata are omitted, identical sets give jaccard 1
+    same = theta_set_report(so, so, ["lang"]).first()
+    assert same["jaccard"] == 1.0 and same["n_added"] == 0.0
