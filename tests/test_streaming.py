@@ -501,3 +501,108 @@ def test_streaming_dedup_with_durable_bloom_index(spark):
         .collect()
     }
     assert final == direct
+
+
+def test_streaming_sketch_maintenance_across_ticks(spark):
+    """[EXT] The maintained-analytics loop on a stream: each micro-batch
+    folds its exact term counts into the durable CMS + candidate set
+    (maintained_topk), merges its HLL distinct sketch and KLL length
+    sketch into the persisted per-corpus artifacts, and overwrites the
+    sketch store — per-tick cost is batch-sized + sketch-sized, never a
+    history recount. After the run, the maintained estimates must agree
+    with a from-scratch pass over the full stream."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.operators.agg import (
+        cms_probe,
+        maintained_topk,
+        merge_distinct_sketches,
+        merge_quantile_sketches,
+        quantile_sketch,
+        distinct_sketch,
+        sketch_estimate,
+        sketch_quantiles,
+    )
+
+    batches = [
+        ["alpha beta alpha", "gamma beta alpha"],
+        ["alpha delta", "beta beta epsilon alpha"],
+        ["zeta alpha beta", "alpha eta theta"],
+    ]
+    src = tempfile.mkdtemp()
+    docid = 0
+    for i, batch in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for t in batch:
+                f.write(json.dumps({"doc_id": docid, "text": t}) + "\n")
+                docid += 1
+    store = tempfile.mkdtemp()
+    cms_dir = os.path.join(store, "cms")
+    cand_dir = os.path.join(store, "cand")
+    hll_dir = os.path.join(store, "hll")
+    kll_dir = os.path.join(store, "kll")
+
+    def ingest(batch_df, _epoch):
+        s = batch_df.sparkSession
+        terms = batch_df.select(F.explode(F.split("text", " ")).alias("term"))
+        tick_counts = terms.groupBy("term").agg(F.count("*").alias("n"))
+        cms = s.read.parquet(cms_dir) if os.path.isdir(cms_dir) else None
+        cand = s.read.parquet(cand_dir) if os.path.isdir(cand_dir) else None
+        _topk, new_cms, new_cand = maintained_topk(
+            tick_counts, cms, cand, "term", k=3, candidate_cap=20
+        )
+        new_cms = new_cms.localCheckpoint()
+        new_cand = new_cand.localCheckpoint()
+        new_cms.write.mode("overwrite").parquet(cms_dir)
+        new_cand.write.mode("overwrite").parquet(cand_dir)
+
+        tick_hll = distinct_sketch(terms, None, "term")
+        tick_kll = quantile_sketch(
+            batch_df.select(F.length("text").alias("len")), None, "len"
+        )
+        if os.path.isdir(hll_dir):
+            tick_hll = merge_distinct_sketches(s.read.parquet(hll_dir), tick_hll)
+            tick_kll = merge_quantile_sketches(
+                s.read.parquet(kll_dir), tick_kll, sketch_col="qsketch"
+            )
+        tick_hll.localCheckpoint().write.mode("overwrite").parquet(hll_dir)
+        tick_kll.localCheckpoint().write.mode("overwrite").parquet(kll_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_texts = [t for b in batches for t in b]
+    truth = {}
+    for t in all_texts:
+        for w in t.split():
+            truth[w] = truth.get(w, 0) + 1
+
+    # CMS estimates: one-sided, and exact here (tiny stream, wide sketch)
+    cms = spark.read.parquet(cms_dir)
+    keys = spark.createDataFrame([(w,) for w in truth], "term string")
+    est = {r["term"]: r["est_n"] for r in cms_probe(keys, cms, "term").collect()}
+    assert est == truth
+    # the maintained candidate set retained every term at this size
+    cand = {r["term"] for r in spark.read.parquet(cand_dir).collect()}
+    assert cand == set(truth)
+    # HLL distinct terms within 5%
+    n_est = sketch_estimate(spark.read.parquet(hll_dir)).first()["n_distinct"]
+    assert abs(n_est - len(truth)) <= max(1, 0.05 * len(truth))
+    # KLL median of text lengths matches the exact median (6 values)
+    med = sketch_quantiles(spark.read.parquet(kll_dir), [0.5]).first()["q_0_5"]
+    lens = sorted(len(t) for t in all_texts)
+    assert med in lens  # a KLL quantile is always an observed value
+    assert abs(med - lens[len(lens) // 2]) <= 4
