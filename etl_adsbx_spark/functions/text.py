@@ -288,3 +288,34 @@ def canonicalize_text(col: Column | str = "text") -> Column:
     c = F.regexp_replace(c, "…", "...")
     c = F.regexp_replace(c, "[ \\t]+", " ")
     return F.trim(c)
+
+
+def script_ratios(col: Column | str = "text") -> Column:
+    """Writing-system composition of a document: struct of the fraction
+    of non-space characters in Latin, CJK (unified ideographs + kana),
+    Cyrillic, and Arabic ranges, plus 'other'. Pure regex-count codegen
+    — the routing signal multilingual pipelines branch on before any
+    per-language model runs (the n-gram ``lang_id`` here only separates
+    Latin-script languages; script is the coarser, cheaper first gate).
+    Empty/whitespace-only text reports all zeros."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.regexp_replace(c, r"\s+", "")
+    total = F.length(chars)
+
+    def frac(pattern: str) -> Column:
+        kept = F.length(F.regexp_replace(chars, pattern, ""))
+        return F.when(total > 0, (total - kept) / total).otherwise(F.lit(0.0))
+
+    latin = frac("[A-Za-z\\u00C0-\\u024F]")
+    cjk = frac("[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF]")
+    cyr = frac("[\\u0400-\\u04FF]")
+    arab = frac("[\\u0600-\\u06FF]")
+    return F.struct(
+        latin.alias("latin"),
+        cjk.alias("cjk"),
+        cyr.alias("cyrillic"),
+        arab.alias("arabic"),
+        F.when(total > 0, F.lit(1.0) - latin - cjk - cyr - arab)
+        .otherwise(F.lit(0.0))
+        .alias("other"),
+    )

@@ -149,3 +149,31 @@ def test_nfc_kernel_composes_and_fixes_dedup_misses(spark):
     # out_col variant appends instead of overwriting
     appended = with_nfc_text(docs, out_col="text_nfc")
     assert appended.columns == ["doc_id", "text", "text_nfc"]
+
+
+def test_script_ratios(spark):
+    from etl_adsbx_spark.functions.text import script_ratios
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world entirely latin text"),
+            (2, "日本語のテキストです"),
+            (3, "русский текст здесь"),
+            (4, "نص عربي هنا"),
+            (5, "mixed 日本語 and latin"),
+            (6, "   "),
+            (7, "12345 !!!"),
+        ],
+        "doc_id bigint, text string",
+    )
+    r = {row["doc_id"]: row["s"] for row in docs.select("doc_id", script_ratios("text").alias("s")).collect()}
+    assert r[1]["latin"] == 1.0 and r[1]["cjk"] == 0.0
+    assert r[2]["cjk"] == 1.0
+    assert r[3]["cyrillic"] == 1.0
+    assert r[4]["arabic"] == 1.0
+    assert r[5]["latin"] == 13 / 16 and r[5]["cjk"] == 3 / 16
+    assert abs(r[5]["latin"] + r[5]["cjk"] + r[5]["other"] - 1.0) < 1e-9
+    assert all(v == 0.0 for v in [r[6][k] for k in ("latin", "cjk", "cyrillic", "arabic", "other")])
+    assert r[7]["other"] == 1.0
+    plan = docs.select(script_ratios("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
