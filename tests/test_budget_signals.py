@@ -177,3 +177,35 @@ def test_script_ratios(spark):
     assert r[7]["other"] == 1.0
     plan = docs.select(script_ratios("text"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_select_to_budget_matches_python_greedy_property(spark):
+    """Hypothesis: the distributed selection equals the sequential greedy
+    reference (sort by (-score, id), take while cumulative cost fits,
+    stop at the first overflow) on random instances."""
+    from hypothesis import given, settings, strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+            st.integers(min_value=1, max_value=300),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(rows_strategy, st.integers(min_value=0, max_value=1500))
+    def check(pairs, budget):
+        rows = [(i, float(s), int(c)) for i, (s, c) in enumerate(pairs)]
+        d = spark.createDataFrame(rows, "doc_id bigint, quality double, n_tokens bigint")
+        got = {r["doc_id"] for r in select_to_budget(d, "quality", "n_tokens", budget).collect()}
+        expect, cum = set(), 0
+        for i, s, c in sorted(rows, key=lambda r: (-r[1], str(r[0]))):
+            cum += c
+            if cum > budget:
+                break
+            expect.add(i)
+        assert got == expect, (rows, budget, got, expect)
+
+    check()
