@@ -218,7 +218,14 @@ def fit_bpe(
             _pair_counts(vocab)
             .orderBy(F.col("n").desc(), "a", "b")
             .first()
-        )  # the round's one action: tiny (vocab-sized input, 1-row out)
+        )  # the round's one action: tiny input, 1-row out — and it
+        # MATERIALIZES the current vocab's persist, so only now is the
+        # previous round's frame safe to free (unpersisting before the
+        # successor materializes would cascade recomputes of every fold
+        # back to round 0 — O(rounds²) work)
+        if prev is not None and prev is not vocab:
+            prev.unpersist()
+        prev = vocab
         if best is None or best["n"] < min_freq:
             break
         a, b = best["a"], best["b"]
@@ -228,13 +235,16 @@ def fit_bpe(
         ).persist()
         # each round folds over the prior round's plan once — linear
         # lineage growth, truncated periodically like connected_components
+        # (the eager checkpoint materializes the fold, so the lazy
+        # persisted frame that fed it can be freed immediately)
         if (rank + 1) % 8 == 0:
-            vocab = vocab.localCheckpoint(eager=True)
-        if prev is not None:
-            prev.unpersist()
-        prev = vocab
+            chk = vocab.localCheckpoint(eager=True)
+            vocab.unpersist()
+            vocab = chk
     if prev is not None:
         prev.unpersist()
+    if vocab is not prev:
+        vocab.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
