@@ -319,3 +319,56 @@ def script_ratios(col: Column | str = "text") -> Column:
         .otherwise(F.lit(0.0))
         .alias("other"),
     )
+
+
+def blocklist_hits(
+    col: Column | str = "text", words: tuple[str, ...] | list[str] = ()
+) -> Column:
+    """Count of document tokens that appear in a banned-word list (the
+    C4/RefinedWeb word-filter gate). MAP-SIDE: the list embeds as an
+    array literal and the count is a codegen array_intersect over the
+    doc's DISTINCT lowercase tokens — no join, no shuffle; word lists up
+    to ~10^4 entries are literal-friendly (beyond that, broadcast a
+    one-row array like ``score_unigram_lm``'s vocab map). Matching is
+    exact-token (no substring surprises: 'class' never hits 'ass')."""
+    toks = F.array_distinct(tokens(col))
+    banned = F.array(*[F.lit(w.lower()) for w in words])
+    return F.size(F.array_intersect(toks, banned))
+
+
+def extract_urls(col: Column | str = "text") -> Column:
+    """All http(s) URLs in the document as array<string> — the Java-regex
+    ∩ RE2 portable pattern family used by ``pii_counts``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"https?://[^\s\"'<>)\]]+"), 0)
+
+
+def url_domains(col: Column | str = "text") -> Column:
+    """Distinct lowercased registrable-ish hosts of the document's URLs
+    (scheme and path stripped, port dropped) — the join key for
+    domain-level blocklists and per-domain quality aggregation."""
+    urls = extract_urls(col)
+    host = lambda u: F.lower(  # noqa: E731
+        F.regexp_extract(u, r"https?://([^/:\s]+)", 1)
+    )
+    return F.array_distinct(F.transform(urls, host))
+
+
+def domain_blocked(
+    col: Column | str = "text", domains: tuple[str, ...] | list[str] = ()
+) -> Column:
+    """True iff any URL in the document points at a blocked domain or a
+    subdomain of one. Map-side: the block set embeds as literals; each
+    extracted host matches if it equals a blocked domain or ends with
+    '.'+domain (subdomain semantics — 'ads.example.com' is blocked by
+    'example.com', 'notexample.com' is not)."""
+    hosts = url_domains(col)
+    blocked = [d.lower() for d in domains]
+
+    def hit(h: Column) -> Column:
+        out = F.lit(False)
+        for d in blocked:
+            out = out | (h == F.lit(d)) | h.endswith("." + d)
+        return out
+
+    return F.exists(hosts, hit)

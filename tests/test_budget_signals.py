@@ -209,3 +209,48 @@ def test_select_to_budget_matches_python_greedy_property(spark):
         assert got == expect, (rows, budget, got, expect)
 
     check()
+
+
+def test_blocklist_and_url_domain_filters(spark):
+    from etl_adsbx_spark.functions.text import (
+        blocklist_hits,
+        domain_blocked,
+        extract_urls,
+        url_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a clean document about cooking pasta"),
+            (2, "BadWord appears here and badword again plus okay text"),
+            (3, "see https://ads.example.com/x?q=1 and http://Example.COM/page"),
+            (4, "link to https://notexample.com/a and https://good.org/b"),
+            (5, "subclass of a class"),  # 'class' must not hit 'ass'
+            (6, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    hits = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", blocklist_hits("text", ["badword", "ass"]).alias("h")
+        ).collect()
+    }
+    # distinct-token semantics: 'badword' counts once despite 2 mentions
+    assert hits == {1: 0, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0}
+
+    urls = docs.where(F.col("doc_id") == 3).select(extract_urls("text").alias("u")).first()["u"]
+    assert list(urls) == ["https://ads.example.com/x?q=1", "http://Example.COM/page"]
+    doms = docs.where(F.col("doc_id") == 3).select(url_domains("text").alias("d")).first()["d"]
+    assert sorted(doms) == ["ads.example.com", "example.com"]
+
+    blocked = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", domain_blocked("text", ["example.com"]).alias("b")
+        ).collect()
+    }
+    # doc 3: exact domain + subdomain hit; doc 4: notexample.com must NOT hit
+    assert blocked == {1: False, 2: False, 3: True, 4: False, 5: False, 6: False}
+    plan = docs.select(domain_blocked("text", ["example.com"]))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
