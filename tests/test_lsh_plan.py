@@ -144,3 +144,16 @@ def test_simhash_neardup_pairs_exact_vs_brute_force(spark):
     )
     tw = simhash_neardup_pairs(twins, max_hamming=0).collect()
     assert [(r["a_id"], r["b_id"], r["hamming"]) for r in tw] == [(1, 2, 0)]
+
+
+def test_simhash_neardup_plan_is_equi_join(spark):
+    """The pigeonhole search must execute as a hash/sort-merge equi-join
+    on (blk, val) — never a nested-loop/cartesian pair scan."""
+    from etl_adsbx_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"some words {i}") for i in range(10)], "doc_id bigint, text string"
+    )
+    plan = simhash_neardup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
