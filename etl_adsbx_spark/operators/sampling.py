@@ -242,3 +242,42 @@ def select_to_budget(
     )
     cum = global_running_sum(neg, ["_neg_score", "_tb"], cost_col, out_col="_cum_cost")
     return cum.where(F.col("_cum_cost") <= budget).drop("_neg_score", "_tb", "_cum_cost")
+
+
+def weighted_k_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    strata_cols: list[str] | None = None,
+    salt: str = "sample",
+    shards: int | None = None,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement: exactly
+    min(k, stratum size) rows per stratum, where a row's inclusion
+    probability scales with ``weight_col`` — the Efraimidis-Spirakis
+    exponential-rank scheme (r = −ln(u)/w with u uniform from the
+    salted hash; k smallest r win; "Weighted random sampling with a
+    reservoir", IPL 2006) on the same two-phase shard-local top-k plan
+    as ``exact_k_sample``, so it is reproducible, skew-proof, and
+    partitioning-invariant. Rows with weight <= 0 or NULL are excluded
+    up front (zero-weight mass cannot be sampled), so the contract is
+    exactly min(k, positive-weight stratum size) rows. With all weights
+    equal it degenerates to the uniform
+    ``exact_k_sample`` distribution (not the same draw — the rank
+    transform differs)."""
+    strata = list(strata_cols or [])
+    shards = shards or df.sparkSession.sparkContext.defaultParallelism
+    from .agg import topk_per_group
+
+    # uniform in (0,1]: (bucket+1)/RESOLUTION from the salted hash;
+    # -ln(u)/w is then a proper exponential draw with rate w
+    u = (sample_bucket(key_col, salt) + 1) / RESOLUTION
+    w = F.col(weight_col).cast("double")
+    ranked = df.where(w > 0).withColumn("_rank", -F.log(u) / w).withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(shards))
+    )
+    order = F.struct(F.col("_rank"), F.col(key_col).cast("string"))
+    local = topk_per_group(ranked, [*strata, "_shard"], order, k, desc=False)
+    out = topk_per_group(local, strata, order, k, desc=False)
+    return out.drop("_rank", "_shard")

@@ -238,3 +238,42 @@ def test_skew_report_flags_hot_key(spark):
     assert r0["max_rows_per_key"] == 900
     assert abs(r0["max_frac"] - 0.9) < 1e-9
     assert r0["mean_rows_per_key"] == 500.0
+
+
+def test_weighted_k_sample_contract_and_determinism(spark):
+    from etl_adsbx_spark.operators.sampling import weighted_k_sample
+
+    rows = [(i, "s", 1.0 if i else 0.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, w double")
+    out = weighted_k_sample(df, 5, "id", "w", ["grp"])
+    ids = {r["id"] for r in out.collect()}
+    assert len(ids) == 5 and 0 not in ids  # zero-weight row excluded
+    assert out.columns == df.columns
+    again = {
+        r["id"]
+        for r in weighted_k_sample(df.repartition(7), 5, "id", "w", ["grp"], shards=3).collect()
+    }
+    assert again == ids
+    # k larger than positive-weight population: all positive rows, no 0-weight
+    all_pos = {r["id"] for r in weighted_k_sample(df, 50, "id", "w", ["grp"]).collect()}
+    assert all_pos == set(range(1, 20))
+
+
+def test_weighted_k_sample_favors_heavy_weights(spark):
+    """One heavy item (w=200) among 20 light (w=1): across 40 salts it
+    must be sampled (k=3) far more often than any light item — and the
+    empirical inclusion rate must be near the E-S theoretical one."""
+    from etl_adsbx_spark.operators.sampling import weighted_k_sample
+
+    rows = [(0, 200.0)] + [(i, 1.0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    heavy = 0
+    for s in range(40):
+        ids = {
+            r["id"]
+            for r in weighted_k_sample(df, 3, "id", "w", salt=f"t{s}").collect()
+        }
+        assert len(ids) == 3
+        heavy += 0 in ids
+    # P(heavy in top-3) ~ 1 - (light mass winning 3 straight) ≈ ~1
+    assert heavy >= 36, heavy
