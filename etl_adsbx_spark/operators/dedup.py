@@ -598,6 +598,15 @@ def ngram_jaccard_pairs(
     return joined
 
 
+class CCNonConvergenceError(RuntimeError):
+    """``connected_components`` exhausted ``max_iter`` rounds without
+    reaching a verified fixpoint. Returning the partial labels would
+    silently produce WRONG clusters (nodes still carrying a non-minimal
+    label split one true component into several), so the engine refuses:
+    raise ``max_iter``, or switch to ``algorithm="star"`` whose round
+    count is O(log n) in nodes instead of O(diameter)."""
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -656,9 +665,13 @@ def connected_components(
 
     Contract: every id in ``pairs`` must appear in ``nodes`` (edges whose
     endpoints are unknown nodes are silently ignored by the joins). A
-    graph needing more than ``max_iter`` rounds would return unconverged
-    labels — raise ``max_iter`` or use ``algorithm="star"`` for
-    long-chain graphs; LSH pair graphs never get close.
+    graph needing more than ``max_iter`` rounds raises
+    ``CCNonConvergenceError`` rather than returning wrong labels —
+    raise ``max_iter`` or use ``algorithm="star"`` for long-chain
+    graphs; LSH pair graphs never get close. Convergence is *verified*,
+    not assumed: the last executed round must observe an unchanged label
+    sum (propagation) / an identical edge set (star), so ``max_iter``
+    must leave room for one confirming round past the true fixpoint.
     """
     if algorithm == "star":
         return _cc_star(pairs, nodes, id_col, a_col, b_col, max_iter)
@@ -699,7 +712,12 @@ def connected_components(
     labels.count()
     prev_sum: object = obs0.get["label_sum"]
     prev_persisted: DataFrame | None = labels
+    # sum over an empty touched set observes NULL → no edges, trivially at
+    # the fixpoint (every node re-enters as a singleton in the final join)
+    converged = prev_sum is None
     for rnd in range(1, max_iter):
+        if converged:
+            break
         prop = (
             und.join(labels, und["src"] == labels["node"])
             .groupBy(F.col("dst").alias("p_node"))
@@ -727,8 +745,18 @@ def connected_components(
             prev_persisted = None
         new_sum = obs.get["label_sum"]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        und.unpersist()
+        raise CCNonConvergenceError(
+            f"label propagation did not reach a verified fixpoint in "
+            f"{max_iter} rounds — the graph's diameter exceeds the round "
+            f"budget; raise max_iter or use algorithm='star' (O(log n) rounds)"
+        )
     out = (
         nodes.select(F.col(id_col).cast("bigint").alias("node"))
         .join(labels.withColumnRenamed("node", "t_node"),
@@ -782,6 +810,7 @@ def _cc_star(
     cur_cnt = e.count()
     prev: DataFrame = e
     prev_is_persisted = True
+    converged = False
     for rnd in range(max_iter):
         # large-star over the symmetrized edges
         sym = prev.union(prev.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -823,6 +852,14 @@ def _cc_star(
             prev = prev.localCheckpoint(eager=True)
             new_e.unpersist()
             prev_is_persisted = False
+    if not converged and cur_cnt > 0:
+        if prev_is_persisted:
+            prev.unpersist()
+        raise CCNonConvergenceError(
+            f"large-star/small-star did not reach the edge-set fixpoint in "
+            f"{max_iter} rounds ({cur_cnt} edges still rewiring) — raise "
+            f"max_iter (rounds are O(log n) in nodes, so this is rare)"
+        )
     mins = prev.groupBy("src").agg(F.min("dst").alias("_m"))
     out = (
         nodes.select(F.col(id_col).cast("bigint").alias("node"))

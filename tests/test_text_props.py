@@ -173,6 +173,40 @@ def test_star_cc_long_chain_beats_diameter(spark):
     assert got == expected
 
 
+def test_cc_nonconvergence_raises_instead_of_wrong_labels(spark):
+    """The silent-wrong-labels mode is refused: a 200-node chain
+    (diameter 199) cannot converge in 5 propagation rounds, and the engine
+    must raise rather than return partial labels. The star variant with a
+    1-round budget must also raise (its fixpoint check needs a confirming
+    round). Empty graphs are trivially converged even at max_iter=1."""
+    import pytest as _pytest
+
+    from etl_adsbx_spark.operators.dedup import (
+        CCNonConvergenceError,
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(199)]
+    pairs_df = spark.createDataFrame(chain, "a_id long, b_id long")
+    nodes_df = spark.createDataFrame([(n,) for n in range(200)], "doc_id long")
+    with _pytest.raises(CCNonConvergenceError):
+        connected_components(pairs_df, nodes_df, id_col="doc_id", max_iter=5)
+    with _pytest.raises(CCNonConvergenceError):
+        connected_components(
+            pairs_df, nodes_df, id_col="doc_id", algorithm="star", max_iter=1
+        )
+    # a graph with no edges is converged by definition, even with no
+    # confirming-round budget — every node comes back a singleton
+    empty_pairs = spark.createDataFrame([], "a_id long, b_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            empty_pairs, nodes_df, id_col="doc_id", max_iter=1
+        ).collect()
+    }
+    assert got == {n: n for n in range(200)}
+
+
 incdoc = st.tuples(
     st.integers(min_value=0, max_value=30),
     st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=4),
