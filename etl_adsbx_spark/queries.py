@@ -1729,6 +1729,28 @@ def _hyperplane_sig_sql(vec_expr: str, nbits: int, dim: int) -> str:
     return " + ".join(parts)
 
 
+def _hyperplane_sig_sql_dyn(
+    vec_expr: str, max_nbits: int, dim: int, nb_expr: str
+) -> str:
+    """DuckDB expression for an auto-sized hyperplane signature: the plane
+    family is infinite and prefix-stable (plane p is identical for every
+    nbits), so a *runtime* bit count ``nb_expr`` just gates which of the
+    first ``max_nbits`` literal planes contribute. This lets the oracle
+    replay `nbits=None` auto-sizing — the bucket count is computed from
+    COUNT(*) in SQL, exactly the engine's plan-time count job."""
+    from .operators.similarity import hyperplane_weights
+
+    parts = []
+    for p, w in enumerate(hyperplane_weights(max_nbits, dim)):
+        arr = "[" + ",".join(repr(x) for x in w) + "]"
+        parts.append(
+            f"(CASE WHEN {p} < {nb_expr}"
+            f" AND round(list_inner_product({vec_expr}, {arr}::DOUBLE[]), 6) > 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
 _LSH_ANN_SQL = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     s AS (SELECT vec_id, {_hyperplane_sig_sql('v', 8, 64)} AS sig, v FROM e),
@@ -1817,30 +1839,55 @@ _ORACLE["ann_topk"] = f"""
     "embedding_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nb AS (
+      SELECT GREATEST(1, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / 128.0)) AS INTEGER)) AS nb
+      FROM e
+    ),
     s AS (SELECT vec_id, {_hyperplane_sig_sql('v', 4, 64)} AS sig, v FROM e),
+    s_auto AS (
+      SELECT vec_id, {_hyperplane_sig_sql_dyn('v', 16, 64, 'nb.nb')} AS sig, v
+      FROM e, nb
+    ),
     cand AS (
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.v AS av, b.v AS bv
+      SELECT 'fixed4' AS cfg, a.vec_id AS a_id, b.vec_id AS b_id, a.v AS av, b.v AS bv
       FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      UNION ALL
+      SELECT 'auto' AS cfg, a.vec_id AS a_id, b.vec_id AS b_id, a.v AS av, b.v AS bv
+      FROM s_auto a JOIN s_auto b ON a.sig = b.sig AND a.vec_id < b.vec_id
     ),
     dots AS (
-      SELECT a_id, b_id,
+      SELECT cfg, a_id, b_id,
         SUM(av[i] * bv[i]) AS dp,
         SUM(av[i] * av[i]) AS an,
         SUM(bv[i] * bv[i]) AS bn
       FROM cand, range(1, 65) r(i)
-      GROUP BY 1, 2
+      GROUP BY 1, 2, 3
     )
-    SELECT a_id, b_id, round(dp / (sqrt(an) * sqrt(bn)), 6) AS cosine_sim
+    SELECT cfg, a_id, b_id, round(dp / (sqrt(an) * sqrt(bn)), 6) AS cosine_sim
     FROM dots
     WHERE round(dp / (sqrt(an) * sqrt(bn)), 6) >= 0.3
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] Embedding-cosine near-dup pairs: 4-bit hyperplane blocking →
+    """[EXT] Embedding-cosine near-dup pairs: hyperplane blocking →
     exact-cosine verify ≥ 0.3 (operators.similarity.embedding_neardup_pairs).
-    Blocking turns O(n²) into a bucket equi-join — the 100-TB shape."""
+    Blocking turns O(n²) into a bucket equi-join — the 100-TB shape.
+
+    Tagged union of BOTH configurations so the scale-safe one is
+    oracle-graded, not just benchmarked: `fixed4` is the historical
+    nbits=4 leg (measured quadratic at sf1 — BASELINE.md), `auto` is the
+    nbits=None auto-sizing leg whose bucket count grows with COUNT(*)
+    (ceil(log2(n/128)), the config that measured 3.1× for 10× data). The
+    oracle recomputes the auto bit count from COUNT(*) in SQL, so the
+    plan-time count job is replayed, not trusted."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.3, nbits=4)
+    fixed = similarity.embedding_neardup_pairs(emb, threshold=0.3, nbits=4).select(
+        F.lit("fixed4").alias("cfg"), "*"
+    )
+    auto = similarity.embedding_neardup_pairs(emb, threshold=0.3, nbits=None).select(
+        F.lit("auto").alias("cfg"), "*"
+    )
+    return fixed.unionByName(auto)
 
 
 @register(
