@@ -143,6 +143,7 @@ def bucketed_range_join(
     lower_interval: str,
     upper_interval: str,
     bucket_unit: str = "hour",
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Range/interval join: pairs where right_ts ∈ [left_ts - lower,
     left_ts + upper], scalable form.
@@ -153,6 +154,13 @@ def bucketed_range_join(
     bucketized right side on bucket equality, then the exact predicate
     refines. Shuffle is an equi-join on the bucket key; pick a bucket unit
     ≥ the window span so each left row lands in ≤ 2-3 buckets.
+
+    ``extra_keys``: same-named columns on both sides added to the
+    equi-join key. A keyless proximity join's OUTPUT is quadratic in
+    temporal density (measured: 100× the pairs for 10× the events —
+    BASELINE.md), so at scale callers should key the join (per user, per
+    entity) or aggregate (``range_pair_counts``); the key also spreads
+    the shuffle across (bucket, key) instead of hot time buckets.
     """
     lo = F.expr(f"INTERVAL {lower_interval}")
     hi = F.expr(f"INTERVAL {upper_interval}")
@@ -167,10 +175,56 @@ def bucketed_range_join(
         ),
     )
     rbuck = right.withColumn("_bucket", F.date_trunc(bucket_unit, F.col(right_ts)))
-    joined = lbuck.join(rbuck, "_bucket").filter(
+    joined = lbuck.join(rbuck, ["_bucket", *(extra_keys or [])]).filter(
         (F.col(right_ts) >= F.col(left_ts) - lo) & (F.col(right_ts) <= F.col(left_ts) + hi)
     )
     return joined.drop("_bucket")
+
+
+def range_pair_counts(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    window_buckets: int,
+    bucket_unit: str = "minute",
+) -> DataFrame:
+    """Aggregate form of the proximity join — the shape that survives
+    100 TB when the pair list itself is the quadratic object. Semantics:
+    for each left time bucket (``bucket_unit`` granularity), the number of
+    (left, right) pairs whose bucket distance is ≤ ``window_buckets``
+    (declared bucket-granularity semantics, exact at that granularity).
+
+    Both sides collapse to per-bucket counts FIRST (two hash aggs, output
+    O(#distinct buckets) regardless of event density), then each right
+    bucket explodes into the 2w+1 left buckets it can pair with and an
+    equi-join on the bucket key convolves the counts. Total work is
+    O(n + buckets·(2w+1)) — linear in the data, independent of per-bucket
+    density, where the pair-list form is Θ(density²) per bucket. Left
+    buckets with zero pairable right rows are omitted (inner convolution).
+
+    Returns (bucket_ts, n_pairs).
+    """
+    lc = left.groupBy(F.date_trunc(bucket_unit, F.col(left_ts)).alias("bucket_ts")).agg(
+        F.count("*").alias("_lc")
+    )
+    rc = right.groupBy(F.date_trunc(bucket_unit, F.col(right_ts)).alias("_rb")).agg(
+        F.count("*").alias("_rc")
+    )
+    # each right bucket can pair with left buckets at offsets -w..+w: a
+    # 2w+1-way explode turns the band join into a pure equi-join
+    rx = rc.select(
+        F.explode(F.sequence(F.lit(-window_buckets), F.lit(window_buckets))).alias("_k"),
+        "_rb",
+        "_rc",
+    ).select(
+        F.expr(f"timestampadd({bucket_unit}, _k, _rb)").alias("bucket_ts"), F.col("_rc")
+    )
+    return (
+        lc.join(rx, "bucket_ts")
+        .groupBy("bucket_ts")
+        .agg(F.sum(F.col("_lc") * F.col("_rc")).alias("n_pairs"))
+    )
 
 
 def bucketed_range_join_ns(
