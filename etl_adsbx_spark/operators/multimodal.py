@@ -93,9 +93,76 @@ def pillow_decode(payload: bytes, mime: str) -> bytes:
     return payload
 
 
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[bytes], int]:
+    """First ``n`` whitespace-separated header tokens of a PNM payload
+    (``#`` comments skipped), plus the offset of the byte AFTER the single
+    whitespace that terminates the last token — where raster data begins."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    return toks, i + 1
+
+
+def stdlib_decode(payload: bytes, mime: str) -> bytes:
+    """Pure-stdlib image decode for formats that are plain byte layouts —
+    binary PPM (P6) and uncompressed 24-bit BMP — returning row-major
+    top-down RGB pixel bytes, byte-for-byte what Pillow's
+    ``convert("RGB").tobytes()`` produces for the same image. This is the
+    real-decode branch that runs in CI without Pillow; compressed formats
+    (JPEG/PNG) and audio/video still require an injected kernel."""
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        (magic, w, h, maxval), off = _ppm_tokens(payload, 4)
+        if magic != b"P6" or int(maxval) != 255:
+            raise NotImplementedError("stdlib PPM decode handles binary P6 maxval=255")
+        w, h = int(w), int(h)
+        raster = payload[off : off + w * h * 3]
+        if len(raster) != w * h * 3:
+            raise ValueError(f"truncated PPM raster: {len(raster)} != {w * h * 3}")
+        return bytes(raster)  # P6 raster is already top-down RGB
+    if mime == "image/bmp":
+        import struct
+
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("stdlib BMP decode handles uncompressed 24-bit")
+        bottom_up, h = h > 0, abs(h)
+        stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+        out = bytearray(w * h * 3)
+        for row in range(h):
+            src = data_off + (h - 1 - row if bottom_up else row) * stride
+            px = payload[src : src + w * 3]
+            out[row * w * 3 : (row + 1) * w * 3] = px
+        out[0::3], out[2::3] = out[2::3], out[0::3]  # BGR -> RGB
+        return bytes(out)
+    if mime.startswith(("image/", "audio/", "video/")):
+        raise NotImplementedError(
+            f"stdlib decode kernel handles PPM/BMP only; {mime} needs a "
+            "Pillow/ffmpeg-backed kernel injected via decode_fn"
+        )
+    return payload
+
+
 def default_decode_kernel():
     """The decode kernel every media operator defaults to: Pillow-backed
-    if Pillow is importable in this environment, else the honest stub.
+    if Pillow is importable in this environment, else the pure-stdlib
+    PPM/BMP decoder (identity for non-media payloads, honest raise for
+    formats that genuinely need a codec library).
     Operators take ``decode_fn`` so deployments can inject ffmpeg/custom
     codecs without touching any plan code; the kernel must be a
     module-level (picklable) ``bytes, mime -> bytes`` callable, shipped to
@@ -104,7 +171,7 @@ def default_decode_kernel():
 
     if importlib.util.find_spec("PIL") is not None:
         return pillow_decode
-    return decode_media
+    return stdlib_decode
 
 
 def extract_features(media: DataFrame, decode_fn=None) -> DataFrame:

@@ -149,30 +149,85 @@ def test_decode_kernel_is_pluggable(spark):
     assert custom[row["media_id"]] == want
 
 
-@pytest.mark.skipif(
-    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
-    reason="Pillow not installed in this container",
-)
-def test_pillow_kernel_decodes_real_jpeg(spark):
-    """When Pillow IS present, default_decode_kernel auto-selects the
-    image decoder and a real JPEG flows through the same plumbing."""
-    import io
+def _ppm_bytes(w, h, pixels):
+    """Binary P6 PPM (with a header comment to exercise the parser)."""
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + bytes(
+        c for px in pixels for c in px
+    )
 
-    from PIL import Image
 
-    from etl_adsbx_spark.operators.multimodal import default_decode_kernel
+def _bmp_bytes(w, h, pixels):
+    """Uncompressed 24-bit bottom-up BMP of the same row-major pixels."""
+    import struct
 
-    buf = io.BytesIO()
-    Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="JPEG")
-    jpeg = buf.getvalue()
+    stride = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for row in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for col in range(w):
+            r, g, b = pixels[row * w + col]
+            line += bytes((b, g, r))  # BGR
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + bytes(raster)
+
+
+def test_real_image_decode_runs_in_ci(spark):
+    """The REAL-decode branch (not the identity fake) executes un-skipped:
+    a binary PPM and an equivalent 24-bit BMP of the same 4×3 image must
+    both decode to identical top-down RGB bytes through the full
+    mapInPandas path. When Pillow is present the auto-selected kernel is
+    pillow_decode and a JPEG round-trips too; when absent, the
+    pure-stdlib kernel handles the byte-layout formats and honestly
+    raises for formats needing a codec library."""
+    import hashlib
+    import importlib.util
+
+    from etl_adsbx_spark.operators.multimodal import (
+        default_decode_kernel,
+        stdlib_decode,
+    )
+
+    w, h = 4, 3
+    pixels = [((5 * i) % 256, (7 * i + 1) % 256, (11 * i + 2) % 256) for i in range(w * h)]
+    rgb = bytes(c for px in pixels for c in px)
+    assert stdlib_decode(_ppm_bytes(w, h, pixels), "image/x-portable-pixmap") == rgb
+    assert stdlib_decode(_bmp_bytes(w, h, pixels), "image/bmp") == rgb
+
     media = spark.createDataFrame(
-        [(1, bytearray(jpeg), "image/jpeg", 4, 3)],
+        [
+            (1, bytearray(_ppm_bytes(w, h, pixels)), "image/x-portable-pixmap", w, h),
+            (2, bytearray(_bmp_bytes(w, h, pixels)), "image/bmp", w, h),
+        ],
         "media_id long, payload binary, mime string, width long, height long",
     )
-    feats = extract_features(media).collect()
-    assert len(feats) == 1
-    assert feats[0]["n_bytes"] == 4 * 3 * 3  # raw RGB pixels
-    assert default_decode_kernel().__name__ == "pillow_decode"
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    want_sha = hashlib.sha256(rgb).hexdigest()
+    for mid in (1, 2):
+        assert feats[mid]["n_bytes"] == w * h * 3  # raw RGB pixels, not file bytes
+        assert feats[mid]["payload_sha"] == want_sha
+
+    if importlib.util.find_spec("PIL") is not None:
+        import io
+
+        from PIL import Image
+
+        assert default_decode_kernel().__name__ == "pillow_decode"
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="JPEG")
+        jfeats = extract_features(
+            spark.createDataFrame(
+                [(9, bytearray(buf.getvalue()), "image/jpeg", 4, 3)],
+                "media_id long, payload binary, mime string, width long, height long",
+            )
+        ).collect()
+        assert jfeats[0]["n_bytes"] == 4 * 3 * 3
+    else:
+        assert default_decode_kernel().__name__ == "stdlib_decode"
+        with pytest.raises(Exception, match="Pillow|codec|kernel"):
+            stdlib_decode(b"\xff\xd8\xff", "image/jpeg")
     assert decode_media(b"abc", "application/octet-stream") == b"abc"
 
 
