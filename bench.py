@@ -60,6 +60,7 @@ OPTIONAL = [
     "pivot_unpivot",
     "media_kernels",
     "dedup_clusters",
+    "semantic_dedup",
 ]
 
 

@@ -1938,6 +1938,63 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nn FROM e),
+    cents AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n ORDER BY vec_id LIMIT 8),
+    sims AS (
+      SELECT n.vec_id, c.cid,
+             round(list_inner_product(n.v, c.cv) / (n.nn * c.cn), 6) AS sim
+      FROM n, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid, sim AS cent_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cid DESC) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    aug AS (
+      SELECT a.vec_id, a.cid, a.cent_sim, n.v, n.nn
+      FROM assigned a JOIN n USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             a.cent_sim AS acs, b.cent_sim AS bcs
+      FROM aug a JOIN aug b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.v, b.v) / (a.nn * b.nn), 6) >= 0.4
+    ),
+    losers AS (
+      SELECT DISTINCT CASE WHEN acs > bcs OR (acs = bcs AND a_id > b_id)
+                           THEN a_id ELSE b_id END AS loser
+      FROM pairs
+    )
+    SELECT g.vec_id, g.cid AS cluster_id, g.cent_sim, l.loser IS NULL AS keep
+    FROM aug g LEFT JOIN losers l ON g.vec_id = l.loser
+    """,
+)
+def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup semantic dedup audit frame
+    (operators.similarity.semantic_dedup, Abbas et al. 2023): coarse
+    cluster → intra-cluster eps-neighbor pairs → deterministic
+    keep-farthest-from-centroid survivor rule. The graded config is the
+    fully-SQL-replayable one — lowid centroids (no Lloyd iteration whose
+    unrounded float means could diverge cross-engine), flat broadcast-
+    argmax assignment with the (sim, cid) max_by tie-break, priority
+    survivor rule. eps=0.6 (radius 0.4) because the synthetic embeddings
+    are near-orthogonal random vectors — a production eps≈0.05 drops
+    nothing here; the wide radius makes the loser rule actually decide
+    rows at every SF. kmeans centroids, two-level assignment, and the
+    component rule stay pytest-verified against a pure-Python replay
+    (tests/test_semantic_dedup.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, eps=0.6, n_clusters=8, centroids="lowid", keep="priority"
+    )
+
+
+@register(
     "cube_grouping_sets",
     oracle="""
     SELECT 'cube' AS src, o_orderstatus, o_orderpriority,

@@ -383,6 +383,7 @@ def test_strip_boilerplate_no_global_sort(spark):
 #: rows, so the "nested loop" is a constant-factor scan, not O(n·m)):
 BNLJ_ALLOWED = {
     "ann_topk": "exact brute-force baseline: broadcast query set joined on != (self-match exclusion)",
+    "semantic_dedup": "broadcast-argmax centroid assignment: 8-row centroid table broadcast against the corpus (ivf_assign, same pattern ann_topk uses)",
     "q22_dormant_customers": "1-row global avg scalar subquery folded in as broadcast crossJoin",
     "tfidf_top_terms": "1-row n_docs scalar folded in as broadcast crossJoin",
 }
