@@ -162,7 +162,7 @@ def bloom_word_table(
 
 def bloom_probe(
     batch: DataFrame, bloom_words: DataFrame, key_col: str = "text_sha",
-    out_col: str = "_maybe",
+    out_col: str = "_maybe", sizing: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Probe a ``bloom_word_table`` with every DISTINCT ``key_col`` of the
     batch and join the verdict back: batch + a boolean ``out_col`` (true =
@@ -174,13 +174,25 @@ def bloom_probe(
     broadcast on its own; at 10^9-key filters it stays a shuffle
     equi-join — either way the plan shape is declared once here.
 
-    An EMPTY filter (first tick of an ingest, nothing indexed yet) has no
-    metadata row to read: every key is definitely new by definition, so
-    the verdict is a constant False with no probe at all."""
-    meta = bloom_words.select("num_bits", "num_hashes").first()
-    if meta is None:
-        return batch.withColumn(out_col, F.lit(False))
-    nb, nh = meta
+    ``sizing``: pass the (num_bits, num_hashes) the filter was built with
+    to keep the probe a pure plan transform — without it, the sizing is
+    read off the word table's literal columns with a 1-row ``first()``,
+    which is metadata-cheap but IS a driver action per call; a per-tick
+    ingest loop should capture the build-time literals instead (the
+    filter is self-describing either way). With ``sizing``, an EMPTY
+    filter needs no special case: every probe word LEFT-joins to nothing
+    and ``bool_and`` folds to a definite miss.
+
+    Without ``sizing``, an EMPTY filter (first tick of an ingest, nothing
+    indexed yet) has no metadata row to read: every key is definitely new
+    by definition, so the verdict is a constant False with no probe."""
+    if sizing is not None:
+        nb, nh = sizing
+    else:
+        meta = bloom_words.select("num_bits", "num_hashes").first()
+        if meta is None:
+            return batch.withColumn(out_col, F.lit(False))
+        nb, nh = meta
     pos = F.explode(F.array(*_bloom_positions(F.col(key_col), nb, nh)))
     verdicts = (
         batch.select(key_col).distinct()
@@ -224,6 +236,7 @@ def incremental_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     bloom: DataFrame | None = None,
+    bloom_sizing: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Admit only the batch documents whose normalized text has never been
     seen: not in the corpus, and first (lowest ``id_col``) within the
@@ -249,6 +262,11 @@ def incremental_exact_dedup(
     anti-join verify, and the verify result is what admits them, so the
     output is frame-identical to the plain path — the Bloom filter only
     ever *removes* work, never changes a decision.
+
+    ``bloom_sizing``: the build-time (num_bits, num_hashes). Supplying it
+    makes this a pure plan transform; omitting it costs one 1-row
+    ``first()`` driver action per call to read the sizing off the filter
+    (fine interactively, one extra job per tick in an ingest loop).
     """
     b = batch.withColumn("text_sha", F.sha2(normalized_text(text_col), 256))
     if "text_sha" in corpus.columns:
@@ -261,17 +279,18 @@ def incremental_exact_dedup(
         fresh = b.join(seen, "text_sha", "left_anti")
     else:
         if "words" in bloom.columns:
-            # one-row map form: broadcast the bitmap, probe per-row.
-            # The first() on the persisted 1-row frame is metadata-cheap
-            # and keeps num_bits/num_hashes out of every caller's signature
-            nb, nh = bloom.select("num_bits", "num_hashes").first()
+            # one-row map form: broadcast the bitmap, probe per-row
+            if bloom_sizing is not None:
+                nb, nh = bloom_sizing
+            else:
+                nb, nh = bloom.select("num_bits", "num_hashes").first()
             flagged = b.crossJoin(F.broadcast(bloom.select("words"))).withColumn(
                 "_maybe",
                 bloom_maybe_contains(F.col("text_sha"), F.col("words"), nb, nh),
             ).drop("words")
         else:
             # word-table form (bloom_word_table): equi-join probe
-            flagged = bloom_probe(b, bloom, "text_sha")
+            flagged = bloom_probe(b, bloom, "text_sha", sizing=bloom_sizing)
         definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
         maybes = flagged.filter(F.col("_maybe")).drop("_maybe")
         fresh = definite_new.unionByName(maybes.join(seen, "text_sha", "left_anti"))
@@ -917,7 +936,9 @@ def simhash_docs(
     return hashed.select(F.col(id_col), simhash32(F.col("_th")).alias("simhash"))
 
 
-def bloom_merge(*blooms: DataFrame) -> DataFrame:
+def bloom_merge(
+    *blooms: DataFrame, sizing: tuple[int, int] | None = None
+) -> DataFrame:
     """OR-merge Bloom word tables built with the SAME num_bits/num_hashes
     — union the (word, bits) rows and ``bit_or`` per word. This is the
     maintenance op of an incremental ingest: each tick builds a tiny
@@ -929,18 +950,28 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     mismatches raise rather than silently corrupt the filter. EMPTY
     inputs (a first-tick filter over nothing) carry no metadata row and
     merge as identity; if every input is empty the merge is the empty
-    filter."""
+    filter.
+
+    ``sizing``: the shared build-time (num_bits, num_hashes). Supplying it
+    keeps the merge a pure plan transform — the per-input 1-row
+    ``first()`` metadata reads (one driver action each) exist only to
+    recover sizing the caller didn't pass and to cross-check mismatched
+    inputs; a per-tick maintenance loop built everything with one KW dict
+    and should just pass it."""
     import functools
 
-    metas = [m for b in blooms if (m := b.select("num_bits", "num_hashes").first())]
-    for meta in metas[1:]:
-        if tuple(meta) != tuple(metas[0]):
-            raise ValueError(
-                f"bloom sizing mismatch: {tuple(metas[0])} vs {tuple(meta)}"
-            )
-    if not metas:
-        return blooms[0]
-    nb, nh = metas[0]
+    if sizing is not None:
+        nb, nh = sizing
+    else:
+        metas = [m for b in blooms if (m := b.select("num_bits", "num_hashes").first())]
+        for meta in metas[1:]:
+            if tuple(meta) != tuple(metas[0]):
+                raise ValueError(
+                    f"bloom sizing mismatch: {tuple(metas[0])} vs {tuple(meta)}"
+                )
+        if not metas:
+            return blooms[0]
+        nb, nh = metas[0]
     unioned = functools.reduce(
         lambda a, b: a.unionByName(b), [b.select("_word", "_bits") for b in blooms]
     )

@@ -2566,7 +2566,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM customer, avg_bal
     WHERE CAST(c_acctbal AS DECIMAL(12,2)) > a
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
     GROUP BY c_mktsegment
     """,
 )
@@ -2575,17 +2577,22 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and applied as a literal-like filter via crossJoin of a 1-row
     agg) + NOT EXISTS decorrelated to a left-anti join, then agg. The
     decimal-avg comparison keeps the threshold bit-identical across
-    engines."""
+    engines. Dormancy = no order since 2000-01-01 (the fixture gives
+    every customer SOME order, so the literal Q22 "no orders ever" form
+    matched its oracle at 0 rows — a vacuous assertion; the dated window
+    keeps ≥1 row per SF and pushes a date predicate into the anti-join's
+    build side, which Spark prunes at the parquet scan)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(F.avg(dec2("c_acctbal")).alias("a"))
     )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(dec2("c_acctbal") > F.col("a"))
-        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("numcust"),

@@ -2,7 +2,9 @@
 sketch pass (corpus-proportional) vs the cross-generation report
 (sketch-side, should be ~flat). sf0.1 vs sf1 medians, one JSON line.
 
-Usage: python scripts/probe_monitor.py [sf1_dir]
+Usage: python scripts/probe_monitor.py [target_dir] [base_dir]
+base_dir defaults to /root/testdata/sf0.1 — pass testdata_sf1 when
+probing sf10 (third decade) so each ratio stays a 10x step.
 """
 
 from __future__ import annotations
@@ -44,6 +46,7 @@ def probes(spark, sf_dir):
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, "testdata_sf1")
+    base_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark("etl-adsbx-probe-monitor")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -51,7 +54,7 @@ def main() -> None:
         fn()
 
     out: dict[str, dict[str, float]] = {}
-    for sf_name, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
+    for sf_name, sf_dir in (("sf0.1", base_dir), ("sf1", sf1_dir)):
         for name, fn in probes(spark, sf_dir).items():
             samples = []
             for _ in range(N_RUNS):

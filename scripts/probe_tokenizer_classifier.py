@@ -4,7 +4,9 @@ round 4: BPE fit (word-freq shuffle + driver merge loop), BPE encode
 jobs) and map-side scoring, exact-k stratified sampling. Measures sf0.1
 vs sf1 (10x docs) medians, one JSON line — appended to BASELINE.md.
 
-Usage: python scripts/probe_tokenizer_classifier.py [sf1_dir]
+Usage: python scripts/probe_tokenizer_classifier.py [target_dir] [base_dir]
+base_dir defaults to /root/testdata/sf0.1 — pass testdata_sf1 when
+probing sf10 (third decade) so each ratio stays a 10x step.
 """
 
 from __future__ import annotations
@@ -77,6 +79,7 @@ def probes(spark, sf_dir):
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, "testdata_sf1")
+    base_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark("etl-adsbx-probe-tokenizer-classifier")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -84,7 +87,7 @@ def main() -> None:
         fn()
 
     out: dict[str, dict[str, float]] = {}
-    for sf_name, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
+    for sf_name, sf_dir in (("sf0.1", base_dir), ("sf1", sf1_dir)):
         for name, fn in probes(spark, sf_dir).items():
             samples = []
             for _ in range(N_RUNS):

@@ -464,11 +464,16 @@ def test_streaming_dedup_with_durable_bloom_index(spark):
         else:
             index = s.createDataFrame([], "text_sha string")
             bloom = bloom_word_table(index, **KW)
-        admitted = incremental_exact_dedup(batch_df, index, bloom=bloom).localCheckpoint()
+        # build-time sizing passed as literals: the whole tick is pure
+        # plan transforms — zero 1-row first() metadata driver actions
+        sizing = (KW["num_bits"], KW["num_hashes"])
+        admitted = incremental_exact_dedup(
+            batch_df, index, bloom=bloom, bloom_sizing=sizing
+        ).localCheckpoint()
         admitted.write.mode("append").parquet(corpus_dir)
         admitted.select("text_sha").write.mode("append").parquet(index_dir)
         merged = bloom_merge(
-            bloom, bloom_word_table(admitted.select("text_sha"), **KW)
+            bloom, bloom_word_table(admitted.select("text_sha"), **KW), sizing=sizing
         ).localCheckpoint()  # materialize BEFORE overwriting its own input dir
         merged.write.mode("overwrite").parquet(bloom_dir)
 
