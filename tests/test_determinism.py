@@ -25,6 +25,11 @@ from etl_adsbx_spark.testing import _normalize
 
 SF = "/root/testdata/sf0.001"
 
+#: Round 5: the sweep covers EVERY registered query (cheap at sf0.001), so
+#: each graded query is pinned against partitioning/AQE drift — not just the
+#: ones whose implementation was KNOWN to touch a layout-sensitive
+#: construct. The annotated dict below documents the known-risky subset
+#: (the reason each one exists); the parametrization is the full registry.
 #: name → why it is layout-sensitive (the thing being proven invariant)
 RISK_QUERIES = {
     "asof_join_events": "content-derived probe keys (the monotonically_increasing_id fix)",
@@ -48,7 +53,7 @@ PERTURBED = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(RISK_QUERIES))
+@pytest.mark.parametrize("name", sorted(queries()))
 def test_partitioning_invariance(spark, name):
     fn = queries()[name]
     baseline = _normalize(fn(spark, SF).toPandas())
