@@ -79,18 +79,17 @@ def decode_media(payload: bytes, mime: str) -> bytes:
 
 def pillow_decode(payload: bytes, mime: str) -> bytes:
     """Pillow-backed image decode: raw RGB pixel bytes for ``image/*``
-    payloads, identity for everything else (audio/video still need
-    ffmpeg — plug a richer kernel for those). Only importable where
-    Pillow is installed; ``default_decode_kernel`` auto-selects it."""
+    payloads; everything else delegates to ``stdlib_decode`` (WAV PCM,
+    identity for non-media, honest raise for compressed audio/video —
+    those need an ffmpeg-backed kernel). Only importable where Pillow is
+    installed; ``default_decode_kernel`` auto-selects it."""
     if mime.startswith("image/"):
         import io
 
         from PIL import Image
 
         return Image.open(io.BytesIO(payload)).convert("RGB").tobytes()
-    if mime.startswith(("audio/", "video/")):
-        raise NotImplementedError("audio/video decode needs an ffmpeg-backed kernel")
-    return payload
+    return stdlib_decode(payload, mime)
 
 
 def _ppm_tokens(payload: bytes, n: int) -> tuple[list[bytes], int]:
@@ -115,12 +114,14 @@ def _ppm_tokens(payload: bytes, n: int) -> tuple[list[bytes], int]:
 
 
 def stdlib_decode(payload: bytes, mime: str) -> bytes:
-    """Pure-stdlib image decode for formats that are plain byte layouts —
-    binary PPM (P6) and uncompressed 24-bit BMP — returning row-major
-    top-down RGB pixel bytes, byte-for-byte what Pillow's
-    ``convert("RGB").tobytes()`` produces for the same image. This is the
-    real-decode branch that runs in CI without Pillow; compressed formats
-    (JPEG/PNG) and audio/video still require an injected kernel."""
+    """Pure-stdlib media decode for formats that are plain byte layouts:
+    binary PPM (P6) and uncompressed 24-bit BMP return row-major top-down
+    RGB pixel bytes — byte-for-byte what Pillow's
+    ``convert("RGB").tobytes()`` produces for the same image — and RIFF
+    WAV returns the raw interleaved PCM frames (stdlib ``wave``). This is
+    the real-decode branch that runs in CI without any media library;
+    compressed formats (JPEG/PNG/MP3/video) still require an injected
+    Pillow/ffmpeg kernel and raise honestly."""
     if mime in ("image/x-portable-pixmap", "image/ppm"):
         (magic, w, h, maxval), off = _ppm_tokens(payload, 4)
         if magic != b"P6" or int(maxval) != 255:
@@ -150,9 +151,15 @@ def stdlib_decode(payload: bytes, mime: str) -> bytes:
             out[row * w * 3 : (row + 1) * w * 3] = px
         out[0::3], out[2::3] = out[2::3], out[0::3]  # BGR -> RGB
         return bytes(out)
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return w.readframes(w.getnframes())  # raw interleaved PCM
     if mime.startswith(("image/", "audio/", "video/")):
         raise NotImplementedError(
-            f"stdlib decode kernel handles PPM/BMP only; {mime} needs a "
+            f"stdlib decode kernel handles PPM/BMP/WAV only; {mime} needs a "
             "Pillow/ffmpeg-backed kernel injected via decode_fn"
         )
     return payload

@@ -196,10 +196,27 @@ def test_real_image_decode_runs_in_ci(spark):
     assert stdlib_decode(_ppm_bytes(w, h, pixels), "image/x-portable-pixmap") == rgb
     assert stdlib_decode(_bmp_bytes(w, h, pixels), "image/bmp") == rgb
 
+    # audio: a 16-bit mono RIFF WAV decodes to its raw PCM frames (stdlib
+    # wave on both the Pillow and no-Pillow kernels)
+    import io
+    import struct
+    import wave
+
+    pcm = struct.pack("<8h", 0, 1000, -1000, 32767, -32768, 5, -5, 0)
+    wbuf = io.BytesIO()
+    with wave.open(wbuf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(pcm)
+    wav = wbuf.getvalue()
+    assert stdlib_decode(wav, "audio/wav") == pcm
+
     media = spark.createDataFrame(
         [
             (1, bytearray(_ppm_bytes(w, h, pixels)), "image/x-portable-pixmap", w, h),
             (2, bytearray(_bmp_bytes(w, h, pixels)), "image/bmp", w, h),
+            (3, bytearray(wav), "audio/wav", None, None),
         ],
         "media_id long, payload binary, mime string, width long, height long",
     )
@@ -208,6 +225,8 @@ def test_real_image_decode_runs_in_ci(spark):
     for mid in (1, 2):
         assert feats[mid]["n_bytes"] == w * h * 3  # raw RGB pixels, not file bytes
         assert feats[mid]["payload_sha"] == want_sha
+    assert feats[3]["n_bytes"] == len(pcm)  # PCM frames, not RIFF container bytes
+    assert feats[3]["payload_sha"] == hashlib.sha256(pcm).hexdigest()
 
     if importlib.util.find_spec("PIL") is not None:
         import io
