@@ -37,6 +37,8 @@ PROBE = [
     "dedup_clusters",
     "embedding_neardup",
     "embedding_neardup_scaled",
+    "semantic_dedup",
+    "semantic_dedup_scaled",
     "ann_topk",
     "pack_sequences",
     "window_running",
@@ -80,7 +82,24 @@ def _embedding_neardup_scaled(spark, sf_dir):
     return embedding_neardup_pairs(emb, nbits=None, n_tables=2)
 
 
-SPECIAL = {"embedding_neardup_scaled": _embedding_neardup_scaled}
+def _semantic_dedup_scaled(spark, sf_dir):
+    """The scale-correct SemDeDup config: n_clusters=None auto-sizes the
+    cluster count to hold expected cluster size ~256 as n grows, keeping
+    intra-cluster candidate pairs ~n·128 (linear). The registered
+    `semantic_dedup` query pins n_clusters=8 — SQL-replayable for the
+    oracle, but pairs grow ~n²/8 with a fixed cluster count (the same
+    fixed-bucket trap embedding_neardup measured)."""
+    from etl_adsbx_spark.operators.similarity import semantic_dedup
+    from etl_adsbx_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, eps=0.6, n_clusters=None, centroids="lowid")
+
+
+SPECIAL = {
+    "embedding_neardup_scaled": _embedding_neardup_scaled,
+    "semantic_dedup_scaled": _semantic_dedup_scaled,
+}
 
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
