@@ -1,10 +1,14 @@
 """[EXT] Multimodal column plumbing (BASELINE.json north star).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
-structs. The decode/feature steps would use image/audio libraries that are
-NOT in this container, so the *decode kernel* is stubbed behind a
-deterministic fake — but every Spark-side piece (schema, Arrow batch shape,
-``mapInPandas`` signature, partitioning) is real and tested.
+structs. The decode kernel is pluggable (``decode_fn``): Pillow is
+auto-selected for images when installed; without any media library the
+pure-stdlib kernel still REALLY decodes the byte-layout formats of each
+modality — PPM/BMP → RGB pixels, RIFF WAV → PCM frames, YUV4MPEG2 → raw
+planar frames — and honestly raises for compressed formats (JPEG/PNG/MP3/
+H.264 need Pillow/ffmpeg). Every Spark-side piece (schema, Arrow batch
+shape, ``mapInPandas`` signature, partitioning) is real and tested either
+way.
 
 At 100 TB the pattern is: binary payloads stay columnar in parquet, the
 decode UDF runs `mapInPandas` (Arrow batches, no per-row overhead), and
@@ -157,10 +161,49 @@ def stdlib_decode(payload: bytes, mime: str) -> bytes:
 
         with wave.open(io.BytesIO(payload), "rb") as w:
             return w.readframes(w.getnframes())  # raw interleaved PCM
+    if mime == "video/x-yuv4mpeg":
+        # YUV4MPEG2: plain-text stream header, then per-frame "FRAME...\n"
+        # markers followed by raw planar YUV — an uncompressed container,
+        # so "decode" is pure byte accounting. Returns the concatenated
+        # raw frame planes (what a model's frame sampler consumes).
+        nl = payload.index(0x0A)
+        header = payload[:nl].split(b" ")
+        if header[0] != b"YUV4MPEG2":
+            raise ValueError("not a YUV4MPEG2 payload")
+        w = h = None
+        cspace = b"420"  # y4m default when no C tag present
+        for tag in header[1:]:
+            if tag[:1] == b"W":
+                w = int(tag[1:])
+            elif tag[:1] == b"H":
+                h = int(tag[1:])
+            elif tag[:1] == b"C":
+                cspace = tag[1:]
+        if w is None or h is None:
+            raise ValueError("YUV4MPEG2 header missing W/H")
+        if cspace.startswith(b"444"):
+            fsize = w * h * 3
+        elif cspace.startswith(b"420"):
+            fsize = w * h * 3 // 2
+        elif cspace.startswith(b"422"):
+            fsize = w * h * 2
+        else:
+            raise NotImplementedError(f"y4m colorspace C{cspace.decode()} unsupported")
+        out, i = bytearray(), nl + 1
+        while i < len(payload):
+            fnl = payload.index(0x0A, i)
+            if payload[i:fnl].split(b" ")[0] != b"FRAME":
+                raise ValueError("malformed y4m FRAME marker")
+            frame = payload[fnl + 1 : fnl + 1 + fsize]
+            if len(frame) != fsize:
+                raise ValueError(f"truncated y4m frame: {len(frame)} != {fsize}")
+            out += frame
+            i = fnl + 1 + fsize
+        return bytes(out)
     if mime.startswith(("image/", "audio/", "video/")):
         raise NotImplementedError(
-            f"stdlib decode kernel handles PPM/BMP/WAV only; {mime} needs a "
-            "Pillow/ffmpeg-backed kernel injected via decode_fn"
+            f"stdlib decode kernel handles PPM/BMP/WAV/Y4M only; {mime} needs "
+            "a Pillow/ffmpeg-backed kernel injected via decode_fn"
         )
     return payload
 

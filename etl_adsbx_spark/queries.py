@@ -1942,36 +1942,51 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nn FROM e),
-    cents AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n ORDER BY vec_id LIMIT 8),
+    nc AS (
+      SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 256.0) AS INTEGER)) AS k FROM e
+    ),
+    ranked AS (
+      SELECT n.*, row_number() OVER (ORDER BY vec_id) AS rn FROM n
+    ),
+    cents AS (
+      SELECT 'fixed8' AS cfg, vec_id AS cid, v AS cv, nn AS cn
+      FROM ranked WHERE rn <= 8
+      UNION ALL
+      SELECT 'auto' AS cfg, vec_id AS cid, v AS cv, nn AS cn
+      FROM ranked, nc WHERE rn <= nc.k
+    ),
     sims AS (
-      SELECT n.vec_id, c.cid,
+      SELECT c.cfg, n.vec_id, c.cid,
              round(list_inner_product(n.v, c.cv) / (n.nn * c.cn), 6) AS sim
       FROM n, cents c
     ),
     assigned AS (
-      SELECT vec_id, cid, sim AS cent_sim FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
+      SELECT cfg, vec_id, cid, sim AS cent_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY cfg, vec_id
                                      ORDER BY sim DESC, cid DESC) AS rn
         FROM sims
       ) WHERE rn = 1
     ),
     aug AS (
-      SELECT a.vec_id, a.cid, a.cent_sim, n.v, n.nn
+      SELECT a.cfg, a.vec_id, a.cid, a.cent_sim, n.v, n.nn
       FROM assigned a JOIN n USING (vec_id)
     ),
     pairs AS (
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      SELECT a.cfg, a.vec_id AS a_id, b.vec_id AS b_id,
              a.cent_sim AS acs, b.cent_sim AS bcs
-      FROM aug a JOIN aug b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      FROM aug a JOIN aug b
+        ON a.cfg = b.cfg AND a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE round(list_inner_product(a.v, b.v) / (a.nn * b.nn), 6) >= 0.4
     ),
     losers AS (
-      SELECT DISTINCT CASE WHEN acs > bcs OR (acs = bcs AND a_id > b_id)
-                           THEN a_id ELSE b_id END AS loser
+      SELECT DISTINCT cfg,
+             CASE WHEN acs > bcs OR (acs = bcs AND a_id > b_id)
+                  THEN a_id ELSE b_id END AS loser
       FROM pairs
     )
-    SELECT g.vec_id, g.cid AS cluster_id, g.cent_sim, l.loser IS NULL AS keep
-    FROM aug g LEFT JOIN losers l ON g.vec_id = l.loser
+    SELECT g.cfg, g.vec_id, g.cid AS cluster_id, g.cent_sim,
+           l.loser IS NULL AS keep
+    FROM aug g LEFT JOIN losers l ON g.cfg = l.cfg AND g.vec_id = l.loser
     """,
 )
 def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,13 +2000,25 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor rule. eps=0.6 (radius 0.4) because the synthetic embeddings
     are near-orthogonal random vectors — a production eps≈0.05 drops
     nothing here; the wide radius makes the loser rule actually decide
-    rows at every SF. kmeans centroids, two-level assignment, and the
-    component rule stay pytest-verified against a pure-Python replay
+    rows at every SF.
+
+    Tagged union of BOTH sizings, like embedding_neardup: `fixed8` pins
+    the historical cluster count; `auto` is n_clusters=None —
+    ceil(n/256) clusters from a plan-time count, the rule that keeps
+    intra-cluster pairs linear as n grows (fixed cluster count goes
+    ~n²/k — measured, BASELINE.md). The oracle recomputes ceil(n/256)
+    from COUNT(*), so the auto sizing is value-verified too. kmeans
+    centroids, two-level assignment, and the component rule stay
+    pytest-verified against a pure-Python replay
     (tests/test_semantic_dedup.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(
+    fixed = similarity.semantic_dedup(
         emb, eps=0.6, n_clusters=8, centroids="lowid", keep="priority"
-    )
+    ).select(F.lit("fixed8").alias("cfg"), "*")
+    auto = similarity.semantic_dedup(
+        emb, eps=0.6, n_clusters=None, centroids="lowid", keep="priority"
+    ).select(F.lit("auto").alias("cfg"), "*")
+    return fixed.unionByName(auto)
 
 
 @register(

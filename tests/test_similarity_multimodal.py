@@ -212,11 +212,25 @@ def test_real_image_decode_runs_in_ci(spark):
     wav = wbuf.getvalue()
     assert stdlib_decode(wav, "audio/wav") == pcm
 
+    # video: a 2-frame 4:2:0 YUV4MPEG2 stream decodes to its concatenated
+    # raw planar frames (uncompressed container — byte accounting only);
+    # even dims, as 4:2:0 subsampling requires
+    vw, vh = 4, 2
+    fsize = vw * vh * 3 // 2
+    f1 = bytes((i * 3) % 256 for i in range(fsize))
+    f2 = bytes((i * 5 + 1) % 256 for i in range(fsize))
+    y4m = (
+        b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (vw, vh)
+        + b"FRAME\n" + f1 + b"FRAME\n" + f2
+    )
+    assert stdlib_decode(y4m, "video/x-yuv4mpeg") == f1 + f2
+
     media = spark.createDataFrame(
         [
             (1, bytearray(_ppm_bytes(w, h, pixels)), "image/x-portable-pixmap", w, h),
             (2, bytearray(_bmp_bytes(w, h, pixels)), "image/bmp", w, h),
             (3, bytearray(wav), "audio/wav", None, None),
+            (4, bytearray(y4m), "video/x-yuv4mpeg", vw, vh),
         ],
         "media_id long, payload binary, mime string, width long, height long",
     )
@@ -227,6 +241,8 @@ def test_real_image_decode_runs_in_ci(spark):
         assert feats[mid]["payload_sha"] == want_sha
     assert feats[3]["n_bytes"] == len(pcm)  # PCM frames, not RIFF container bytes
     assert feats[3]["payload_sha"] == hashlib.sha256(pcm).hexdigest()
+    assert feats[4]["n_bytes"] == 2 * fsize  # planar YUV frames, no markers
+    assert feats[4]["payload_sha"] == hashlib.sha256(f1 + f2).hexdigest()
 
     if importlib.util.find_spec("PIL") is not None:
         import io
