@@ -955,9 +955,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+_DEDUP_CLUSTERS_SQL = f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -1003,8 +1001,10 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
            CAST(doc_id = cluster_id AS INT) AS is_canonical
     FROM cc
-    """,
-)
+"""
+
+
+@register("dedup_clusters", oracle=_DEDUP_CLUSTERS_SQL)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Near-dup CLUSTERING — the step after pair generation in a
     corpus-dedup pipeline: connected components over the MinHash-LSH pair
@@ -1025,6 +1025,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+def _cc_cluster_frame(spark: SparkSession, sf_dir: str, algorithm: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    cc = connected_components(pairs, d, id_col="doc_id", algorithm=algorithm)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+@register("dedup_clusters_star", oracle=_DEDUP_CLUSTERS_SQL)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The SAME clustering contract as `dedup_clusters`, computed by
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    SoCC'14 — operators.dedup._cc_star) instead of min-label propagation.
+    Both must produce identical labels, so this row value-grades the star
+    variant against the same recursive-CTE oracle — previously it was
+    property-tested only (vs union-find, pytest). Star is the fallback for
+    adversarial long-diameter graphs (O(log n) rounds vs O(diameter));
+    deliberately NOT in bench.py's headline set — on LSH quasi-clique
+    graphs propagation is the measured-faster default (BASELINE.md CC
+    comparison table)."""
+    return _cc_cluster_frame(spark, sf_dir, "star")
 
 
 @register(
