@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .functions.scalar import coalesce_falsy_str, haversine_km
-from .operators import similarity
+from .operators import sampling, similarity
 from .operators.agg import topk_per_group
 from .operators.dedup import (
     MERSENNE61,
@@ -2049,6 +2049,89 @@ def semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, eps=0.6, n_clusters=None, centroids="lowid", keep="priority"
     ).select(F.lit("auto").alias("cfg"), "*")
     return fixed.unionByName(auto)
+
+
+@register(
+    "sample_select_ops",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    exact_ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substring(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                        doc_id::VARCHAR
+             ) AS rn
+      FROM d
+    ),
+    weighted_ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY -ln(((('0x' || substring(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                              % 1000000) + 1) / 1000000.0) / n_chars,
+                        doc_id::VARCHAR
+             ) AS rn
+      FROM d WHERE n_chars > 0
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_chars,
+             (('0x' || substring(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000) AS score
+      FROM d
+    ),
+    budget AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT *, SUM(n_chars) OVER (
+          ORDER BY -CAST(score AS DOUBLE), doc_id::VARCHAR
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum
+        FROM scored
+      ) WHERE cum <= 60000
+    )
+    SELECT 'exact_k' AS leg, doc_id, lang, n_chars FROM exact_ranked WHERE rn <= 50
+    UNION ALL
+    SELECT 'weighted_k' AS leg, doc_id, lang, n_chars FROM weighted_ranked WHERE rn <= 50
+    UNION ALL
+    SELECT 'budget' AS leg, doc_id, lang, n_chars FROM budget
+    """,
+)
+def sample_select_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The deterministic selection primitives, oracle-graded
+    (previously pytest-only): tagged union of
+
+    - `exact_k`: operators.sampling.exact_k_sample — exactly min(50, |lang|)
+      docs per language, the k lowest md5 sample-ranks; the two-phase
+      shard-local top-k plan is provably identical to the oracle's
+      single-phase row_number, which is exactly what this row verifies.
+    - `weighted_k`: operators.sampling.weighted_k_sample —
+      Efraimidis-Spirakis exponential ranks −ln(u)/w with w = n_chars;
+      longer documents proportionally likelier, still exactly-k,
+      deterministic, and skew-proof.
+    - `budget`: operators.sampling.select_to_budget — greedy knapsack:
+      best-score-first selection under a 60k-char global budget, cumulative
+      cost via the distributed two-level prefix sum (never a single-task
+      Window.orderBy); the oracle replays it with a plain window SUM.
+      The score is a portable md5-derived quality stand-in (documents has
+      no quality column at scan time; text_stats grades the real signals).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    cols = [F.col("doc_id"), F.col("lang"), F.col("n_chars")]
+    exact = sampling.exact_k_sample(docs, 50, "doc_id", ["lang"]).select(
+        F.lit("exact_k").alias("leg"), *cols
+    )
+    weighted = sampling.weighted_k_sample(docs, 50, "doc_id", "n_chars", ["lang"]).select(
+        F.lit("weighted_k").alias("leg"), *cols
+    )
+    score = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("q:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 1000
+    )
+    budget = sampling.select_to_budget(
+        docs.withColumn("_score", score), "_score", "n_chars", 60000, "doc_id"
+    ).select(F.lit("budget").alias("leg"), *cols)
+    return exact.unionByName(weighted).unionByName(budget)
 
 
 @register(

@@ -393,6 +393,7 @@ BNLJ_ALLOWED = {
 #: never the corpus body.
 SINGLEPART_ALLOWED = {
     "pack_sequences": "per-partition totals window of global_running_sum (#partitions rows)",
+    "sample_select_ops": "select_to_budget's global_running_sum per-partition totals window (#partitions rows, same helper pack_sequences uses)",
     "q14_promo_share": "1-row global CASE-in-SUM ratio",
     "q17_small_qty_revenue": "1-row global scalar aggregate",
     "q22_dormant_customers": "1-row global avg",
