@@ -2135,6 +2135,75 @@ def sample_select_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "boilerplate_strip",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             text || chr(10) || '© example corp — all rights reserved' || chr(10) ||
+             CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+                  ELSE 'ref #' || doc_id::VARCHAR END AS aug
+      FROM documents
+    ),
+    split AS (SELECT doc_id, string_split(aug, chr(10)) AS ls FROM a),
+    flat AS (
+      SELECT doc_id, s['pos'] AS pos, s['l'] AS l FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ls)),
+                      i -> {'pos': i, 'l': ls[i]})) AS s
+        FROM split
+      )
+    ),
+    hashed AS (SELECT doc_id, pos, l, md5(lower(trim(l))) AS lh FROM flat),
+    n AS (SELECT COUNT(*) AS c FROM a),
+    freq AS (
+      SELECT lh FROM hashed, n
+      GROUP BY lh, n.c
+      HAVING COUNT(DISTINCT doc_id) >= GREATEST(2, CAST(CEIL(0.01 * n.c) AS BIGINT))
+    ),
+    kept AS (
+      SELECT h.* FROM hashed h LEFT JOIN freq f ON h.lh = f.lh WHERE f.lh IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_total FROM hashed GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(r.text, '') AS text,
+           t.n_total - COALESCE(r.n_kept, 0) AS n_lines_removed
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Cross-document boilerplate line removal
+    (operators.dedup.strip_boilerplate_lines, the C4/RefinedWeb filter),
+    oracle-graded end to end. The synthetic corpus has no multi-line
+    documents, so the boilerplate is CONSTRUCTED in-query (both engines
+    build it identically): every document gains a shared copyright footer
+    (appears in 100% of docs → stripped), even doc_ids gain a newsletter
+    banner (50% → stripped), odd doc_ids gain a unique ref line (1 doc →
+    kept). Verifies the full pipeline — normalized line hashing, the
+    count-distinct-docs threshold against the 1-row corpus count, the
+    anti-join, and order-preserving reassembly — with real removals at
+    every SF, not a vacuous no-op pass."""
+    from .operators.dedup import strip_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("© example corp — all rights reserved"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter")
+            ).otherwise(F.concat(F.lit("ref #"), F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(aug, min_doc_frac=0.01, min_docs=2)
+
+
+@register(
     "cube_grouping_sets",
     oracle="""
     SELECT 'cube' AS src, o_orderstatus, o_orderpriority,

@@ -386,6 +386,7 @@ BNLJ_ALLOWED = {
     "semantic_dedup": "broadcast-argmax centroid assignment: 8-row centroid table broadcast against the corpus (ivf_assign, same pattern ann_topk uses)",
     "q22_dormant_customers": "1-row global avg scalar subquery folded in as broadcast crossJoin",
     "tfidf_top_terms": "1-row n_docs scalar folded in as broadcast crossJoin",
+    "boilerplate_strip": "1-row corpus-count threshold folded in as broadcast crossJoin (same shape as tfidf's n_docs)",
 }
 
 #: Queries allowed an Exchange SinglePartition: every one is a deliberate
@@ -398,6 +399,7 @@ SINGLEPART_ALLOWED = {
     "q17_small_qty_revenue": "1-row global scalar aggregate",
     "q22_dormant_customers": "1-row global avg",
     "tfidf_top_terms": "1-row n_docs count",
+    "boilerplate_strip": "1-row corpus count for the boilerplate threshold",
 }
 
 
