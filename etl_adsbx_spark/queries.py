@@ -955,6 +955,88 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
 
 
+@register(
+    "incremental_minhash_admit",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, s, MIN((a * h + b) % {MERSENNE61}) AS minh
+      FROM hashed, (VALUES {_MINHASH_SEED_VALUES}) seeds(s, a, b)
+      GROUP BY doc_id, s
+    ),
+    sig AS (SELECT doc_id, list(minh ORDER BY s) AS sg FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_transform(
+                 list_slice(sg, b*4 + 1, b*4 + 4), x -> x::VARCHAR), '|')) AS bucket
+      FROM sig, range(0, 4) bands(b)
+    ),
+    batch AS (SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0),
+    bb AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+    cindex AS (SELECT DISTINCT b, bucket FROM banded WHERE doc_id % 10 <> 0),
+    collided AS (SELECT DISTINCT bb.doc_id FROM bb JOIN cindex USING (b, bucket)),
+    surv AS (
+      SELECT batch.doc_id, batch.lang FROM batch
+      LEFT JOIN collided c ON batch.doc_id = c.doc_id WHERE c.doc_id IS NULL
+    ),
+    sb AS (SELECT bb.* FROM bb JOIN surv USING (doc_id)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sb a JOIN sb b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT s.doc_id, s.lang FROM surv s
+    JOIN cc ON s.doc_id = cc.doc_id AND cc.doc_id = cc.cluster_id
+    """,
+)
+def incremental_minhash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Near-dup ADMISSION of a batch against an existing corpus
+    (operators.dedup.incremental_minhash_dedup) — the per-tick ingest twin
+    of dedup_clusters, previously pytest-only. Batch = doc_id % 10 == 0,
+    corpus = the rest (the same split exact_dedup_docs' incremental leg
+    uses). A batch doc is admitted iff it shares no LSH band bucket with
+    any corpus doc AND is the lowest-id member of its intra-batch near-dup
+    component. The oracle replays the full pipeline: banded signatures for
+    both sides, the index semi-join exclusion, and the recursive-CTE
+    connected components over the surviving batch pairs."""
+    from .operators.dedup import incremental_minhash_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    admitted = incremental_minhash_dedup(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+    )
+    return admitted.select("doc_id", "lang")
+
+
 _DEDUP_CLUSTERS_SQL = f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
