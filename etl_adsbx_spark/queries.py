@@ -2217,6 +2217,47 @@ def sample_select_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    tok AS (SELECT unnest(t) AS token FROM toks),
+    counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS s, COUNT(*) AS v FROM counts),
+    lm AS (SELECT token, ln((c + 1) / (s + v + 1.0)) AS lp FROM counts, tot),
+    oov AS (SELECT ln(1 / (s + v + 1.0)) AS lp FROM tot),
+    doctok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    scores AS (
+      SELECT d.doc_id, SUM(COALESCE(lm.lp, o.lp)) / COUNT(*) AS sc
+      FROM doctok d LEFT JOIN lm USING (token), oov o
+      GROUP BY d.doc_id
+    )
+    SELECT t.doc_id, t.lang, round(s.sc, 6) AS lm_score
+    FROM toks t JOIN scores s ON t.doc_id = s.doc_id
+    """,
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CCNet-style unigram LM quality scoring, oracle-graded
+    (previously pytest-only): fit add-one-smoothed token log-probabilities
+    over the corpus (functions.text.fit_unigram_lm — one explode + one
+    hash-agg; vocab_size 50k is inert at these corpus vocabularies) and
+    score every document's mean per-token logprob map-side via the one-row
+    broadcast vocab map (score_unigram_lm — the fold never shuffles). The
+    oracle replays fit AND score in SQL; round(·, 6) absorbs the
+    fold-order-vs-SUM-order double accumulation difference, the same
+    contract every cosine query uses."""
+    from .functions.text import fit_unigram_lm, score_unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = fit_unigram_lm(docs, vocab_size=50_000)
+    return score_unigram_lm(docs, lm).select(
+        "doc_id", "lang", F.round("lm_score", 6).alias("lm_score")
+    )
+
+
+@register(
     "boilerplate_strip",
     oracle="""
     WITH a AS (
