@@ -45,27 +45,38 @@ from .text import dup_token_frac, punct_ratio, stopword_ratio, token_count
 _DEC = "decimal(38,18)"
 
 
-def doc_features(col: Column | str = "text") -> Column:
-    """The frozen feature map for quality classification —
-    array<double> of [bias, log1p token count, stopword ratio,
-    punctuation ratio, duplicate-token fraction, mean token length / 10].
-    All per-row codegen over existing text signals; the fixed order and
-    scaling are part of the classifier artifact's contract (weights are
-    meaningless under a different map)."""
+def doc_feature_exprs(col: Column | str = "text") -> list[Column]:
+    """The frozen feature map for quality classification as a LIST of
+    scalar columns: [bias, log1p token count, stopword ratio, punctuation
+    ratio, duplicate-token fraction, mean token length / 10]. All per-row
+    codegen over existing text signals; the fixed order and scaling are
+    part of the classifier artifact's contract (weights are meaningless
+    under a different map)."""
     c = F.col(col) if isinstance(col, str) else col
     n_tok = token_count(c).cast("double")
     mean_tok_len = F.when(
         n_tok > 0,
         (F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / n_tok) / F.lit(10.0),
     ).otherwise(F.lit(0.0))
-    return F.array(
+    return [
         F.lit(1.0),
         F.log1p(n_tok),
         stopword_ratio(c).cast("double"),
         punct_ratio(c).cast("double"),
         dup_token_frac(c).cast("double"),
         mean_tok_len.cast("double"),
-    )
+    ]
+
+
+def doc_features(col: Column | str = "text") -> Column:
+    """``doc_feature_exprs`` packed into one array<double> — the row
+    representation ``fit_logreg`` consumes. Scoring should NOT go through
+    this array: ``element_at`` over an inline array of these deep text
+    expressions trips a Spark whole-stage-codegen Janino bug ("isNull_N
+    is not an rvalue"), silently dropping the scoring stage to interpreted
+    mode (observed: 104 compile-fallback errors across one scale probe).
+    ``score_quality`` dots the scalar exprs directly instead."""
+    return F.array(*doc_feature_exprs(col))
 
 
 def _dot(x: Column, w: list[float]) -> Column:
@@ -155,10 +166,15 @@ def score_quality(
 ) -> DataFrame:
     """Score every document with a fitted classifier: docs +
     ``out_col`` ∈ (0,1). Pure per-row expression — compose with
-    ``sampling.quantile_filter`` or a plain threshold for the gate."""
-    return docs.withColumn(
-        out_col, logreg_score(doc_features(text_col), weights)
-    )
+    ``sampling.quantile_filter`` or a plain threshold for the gate.
+    The dot product runs over the scalar feature exprs directly (same
+    add order, identical doubles) — see ``doc_features`` for why the
+    array+element_at form must be avoided in the scoring hot path."""
+    feats = doc_feature_exprs(text_col)
+    z = F.lit(0.0)
+    for wj, fj in zip(weights, feats):
+        z = z + F.lit(float(wj)) * fj
+    return docs.withColumn(out_col, _sigmoid(z))
 
 
 def reference_fit_logreg(

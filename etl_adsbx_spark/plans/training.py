@@ -121,12 +121,11 @@ def prepare_training_data(
         # learned quality gate (functions.classify): per-row
         # literal-weight sigmoid — costs one expression, prunes before
         # the sampling/packing shuffles like the heuristic gates
-        from ..functions.classify import doc_features, logreg_score
+        from ..functions.classify import score_quality
 
-        kept = kept.where(
-            logreg_score(doc_features("text"), classifier_weights)
-            >= classifier_min
-        )
+        kept = score_quality(kept, classifier_weights, "text", "_q").where(
+            F.col("_q") >= classifier_min
+        ).drop("_q")
         if stage_counts:
             counts["classifier_gated"] = kept.count()
 
