@@ -61,7 +61,15 @@ OPTIONAL = [
     "media_kernels",
     "dedup_clusters",
     "semantic_dedup",
+    "sample_select_ops",
+    "unigram_lm_score",
+    "boilerplate_strip",
 ]
+# dedup_clusters_star and incremental_minhash_admit are deliberately NOT
+# benchmarked: star is the adversarial-graph fallback (measured slower on
+# LSH graphs by design — BASELINE.md CC table), and the admission query's
+# cost is dominated by re-signaturing the synthetic corpus each run, which
+# a production tick never does (it probes the maintained band index).
 
 
 def run_df(df) -> int:
