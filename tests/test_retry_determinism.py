@@ -71,11 +71,50 @@ SCRIPT = textwrap.dedent(
             for r in semantic_dedup(edf, eps=0.05, n_clusters=4).collect()
         )
 
-    clean = run(docs) + (run_sem(emb),)
+    def run_cc(pairs_df, nodes_df):
+        # iterative fixpoints under retry: every round is its own job, so
+        # the injected crash fires once per round for BOTH variants
+        from etl_adsbx_spark.operators.dedup import connected_components
+
+        return tuple(
+            sorted(
+                (r.doc_id, r.cluster_id)
+                for r in connected_components(
+                    pairs_df, nodes_df, id_col="doc_id", algorithm=algo
+                ).collect()
+            )
+            for algo in ("propagation", "star")
+        )
+
+    def run_samp(df):
+        from etl_adsbx_spark.operators.sampling import weighted_k_sample
+
+        return sorted(
+            r.doc_id
+            for r in weighted_k_sample(df, 20, "doc_id", "n_chars", ["lang"]).collect()
+        )
+
+    # chain diameter 12 -> propagation needs ~12 rounds (within max_iter=20
+    # plus the confirming round); star collapses it in O(log n)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(500 + i, 500 + (i + 1) % 10) for i in range(10)],
+        "a_id long, b_id long",
+    )
+    cnodes = spark.createDataFrame(
+        [(n,) for n in list(range(13)) + list(range(500, 510)) + [900]], "doc_id long"
+    )
+
+    clean = run(docs) + (run_sem(emb), run_cc(chain, cnodes), run_samp(docs))
     injected = run(docs.repartition(4).mapInPandas(flaky, docs.schema)) + (
         run_sem(emb.repartition(4).mapInPandas(flaky, emb.schema)),
+        run_cc(
+            chain.repartition(4).mapInPandas(flaky, chain.schema),
+            cnodes.repartition(4).mapInPandas(flaky, cnodes.schema),
+        ),
+        run_samp(docs.repartition(4).mapInPandas(flaky, docs.schema)),
     )
-    for name, a, b in zip(("dedup", "prefix", "pairs", "semantic"), clean, injected):
+    names = ("dedup", "prefix", "pairs", "semantic", "cc", "weighted_sample")
+    for name, a, b in zip(names, clean, injected):
         assert a == b, f"{name} diverged under task retry"
     print("RETRY_DETERMINISM_OK")
     """
