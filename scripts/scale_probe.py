@@ -67,6 +67,12 @@ PROBE = [
     "cube_grouping_sets",
     "pivot_unpivot",
     "media_kernels",
+    # round-5 registry additions
+    "sample_select_ops",
+    "unigram_lm_score",
+    "boilerplate_strip",
+    "incremental_minhash_admit",
+    "dedup_clusters_star",
 ]
 
 
