@@ -296,6 +296,35 @@ def test_sample_frames_fanout(spark):
         assert all(f.frame_idx % 2 == 0 for f in frames)
 
 
+def test_sample_frames_extracts_real_video_frames(spark):
+    """Real end-to-end video frame sampling: the stdlib y4m decode returns
+    fsize-aligned raw planes, so sample_frames with frame_bytes = the true
+    plane size IS exact frame extraction — each sampled row's md5 must be
+    the md5 of the actual source frame, not an arbitrary chunk."""
+    import hashlib
+
+    from etl_adsbx_spark.operators.multimodal import sample_frames
+
+    vw, vh = 8, 4
+    fsize = vw * vh * 3 // 2
+    frames = [bytes((i * (k + 3)) % 256 for i in range(fsize)) for k in range(4)]
+    y4m = b"YUV4MPEG2 W%d H%d F25:1 C420\n" % (vw, vh) + b"".join(
+        b"FRAME\n" + f for f in frames
+    )
+    media = spark.createDataFrame(
+        [(7, bytearray(y4m), "video/x-yuv4mpeg", vw, vh)],
+        "media_id long, payload binary, mime string, width long, height long",
+    )
+    got = {
+        r["frame_idx"]: r["frame_md5"]
+        for r in sample_frames(media, frame_bytes=fsize, every_n=2).collect()
+    }
+    assert got == {
+        0: hashlib.md5(frames[0]).hexdigest(),
+        2: hashlib.md5(frames[2]).hexdigest(),
+    }
+
+
 def test_connected_components_chain_and_singletons(spark):
     """Chain topology 1-2-3-4-5 needs multiple propagation rounds (the min
     label must travel the full diameter) — the case LSH's quasi-clique
