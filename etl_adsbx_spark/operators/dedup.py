@@ -894,6 +894,86 @@ def _cc_star(
     return out
 
 
+def cc_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    new_nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+    algorithm: str = "propagation",
+) -> DataFrame:
+    """Maintain connected-component labels ACROSS INGEST TICKS: given the
+    persisted ``(id_col, cluster_id)`` table from the prior tick, the new
+    tick's pairs, and the newly admitted node ids, produce the updated
+    full label table WITHOUT re-running CC over the corpus graph.
+
+    Why this is correct: the old labels are a complete summary of the old
+    edge set (two old nodes are connected iff they share a label, and each
+    label is its component's min id), so CC over (old edges ∪ new edges)
+    equals CC over the LABEL graph — contract each new pair to the
+    (label(a), label(b)) edge, run ``connected_components`` over only the
+    labels those edges touch, and remap. Min-id semantics survive the
+    contraction: min over a merged component = min of its parts' minima
+    and any smaller new node id, exactly what the label-graph CC computes.
+
+    Why this is the 100-TB shape: per-tick cost is O(|new pairs| +
+    touched labels) — a batch-sized label join plus a fixpoint over a
+    contracted graph whose node count is the number of AFFECTED
+    components, never corpus-sized. Untouched rows pass through with a
+    left join + coalesce (no shuffle of their labels beyond the one
+    equi-join). The corpus-sized from-scratch CC runs once at bootstrap;
+    every tick after is this.
+
+    Contract (same as ``connected_components``): every id in ``new_pairs``
+    must appear in ``labels`` or ``new_nodes``; raises
+    ``CCNonConvergenceError`` via the inner CC if the label graph needs
+    more than ``max_iter`` rounds (it needs O(diameter of the CONTRACTED
+    graph) — tiny even when the raw graph is a long chain built over many
+    ticks, but adversarial single-tick chains should pass
+    ``algorithm="star"``).
+    """
+    base = labels.select(
+        F.col(id_col).cast("bigint").alias("node"),
+        F.col("cluster_id").cast("bigint").alias("label"),
+    )
+    if new_nodes is not None:
+        admitted = (
+            new_nodes.select(F.col(id_col).cast("bigint").alias("node"))
+            .distinct()
+            .join(base.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("label"))
+        )
+        base = base.unionByName(admitted)
+    e = new_pairs.select(
+        F.col(a_col).cast("bigint").alias("_a"), F.col(b_col).cast("bigint").alias("_b")
+    )
+    la = base.select(F.col("node").alias("_a"), F.col("label").alias("_la"))
+    lb = base.select(F.col("node").alias("_b"), F.col("label").alias("_lb"))
+    label_edges = (
+        e.join(la, "_a").join(lb, "_b")
+        .where(F.col("_la") != F.col("_lb"))
+        .select(F.col("_la").alias("a_id"), F.col("_lb").alias("b_id"))
+        .distinct()
+    )
+    touched = (
+        label_edges.select(F.col("a_id").alias("lbl"))
+        .unionByName(label_edges.select(F.col("b_id").alias("lbl")))
+        .distinct()
+    )
+    merged = connected_components(
+        label_edges, touched, id_col="lbl", max_iter=max_iter, algorithm=algorithm
+    ).withColumnRenamed("cluster_id", "_new_label")
+    return (
+        base.join(merged, base["label"] == merged["lbl"], "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("_new_label", "label").alias("cluster_id"),
+        )
+    )
+
+
 def token_hash32(tok: Column) -> Column:
     """Portable 32-bit token hash: first 8 hex chars of md5 → bigint.
     Spark `conv(hex,16,10)`; DuckDB `('0x'||hex)::BIGINT` — identical."""

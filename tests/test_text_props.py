@@ -173,6 +173,43 @@ def test_star_cc_long_chain_beats_diameter(spark):
     assert got == expected
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)), max_size=12),
+    st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=12),
+)
+def test_cc_incremental_matches_full_recompute(spark, e1, e2):
+    """Label maintenance across ticks: bootstrap CC over tick-1's graph
+    (nodes 0-7), then fold tick-2's pairs (which may touch new nodes 8-15
+    and bridge old components) via cc_incremental — the result must equal
+    a from-scratch CC over the union graph, for every random topology."""
+    from etl_adsbx_spark.operators.dedup import cc_incremental, connected_components
+
+    nodes1 = list(range(8))
+    nodes_all = list(range(16))
+    pairs1 = spark.createDataFrame(e1 or [], "a_id long, b_id long")
+    pairs2 = spark.createDataFrame(e2 or [], "a_id long, b_id long")
+    labels1 = connected_components(
+        pairs1, spark.createDataFrame([(n,) for n in nodes1], "doc_id long")
+    )
+    inc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cc_incremental(
+            labels1,
+            pairs2,
+            spark.createDataFrame([(n,) for n in range(8, 16)], "doc_id long"),
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs1.unionByName(pairs2),
+            spark.createDataFrame([(n,) for n in nodes_all], "doc_id long"),
+        ).collect()
+    }
+    assert inc == full
+
+
 def test_cc_nonconvergence_raises_instead_of_wrong_labels(spark):
     """The silent-wrong-labels mode is refused: a 200-node chain
     (diameter 199) cannot converge in 5 propagation rounds, and the engine
