@@ -19,6 +19,11 @@ Cross-engine determinism conventions (the whole file follows these):
   column in both engines.
 - Column names are aliased identically on both sides (driver sorts columns
   by name before hashing).
+- **Plan-time sizing is replayed, not trusted**: when an operator derives a
+  parameter from a count (auto nbits = ceil(log2(n/128)), auto clusters =
+  ceil(n/256)), the oracle recomputes it from COUNT(*) in SQL, so the
+  auto-sizing RULE is value-verified — the scale-safe configuration is the
+  graded one.
 """
 
 from __future__ import annotations
