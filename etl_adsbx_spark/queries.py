@@ -2936,3 +2936,739 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec2("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# =========================================================================
+# TPC-H completion (round 5): the 13 remaining TPC-H query shapes, adapted
+# to the driver's reduced star schema (no partsupp, no commit/receipt
+# dates, no phone/comment/container columns — each docstring states the
+# substitution). Together with q1/q3/q5/q10/q13/q14/q17/q18/q22 this
+# grades all 22 TPC-H query SHAPES: every correlated-subquery,
+# semi/anti-join, scalar-subquery, and disjunctive-predicate pattern in
+# the benchmark is oracle-verified. Reference anchor: these generalize
+# the reference's single join+filter+agg pipeline (task.ts:115-258) to
+# the full relational surface SURVEY.md §2B claims.
+# =========================================================================
+
+def _eur_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in region EUROPE with their nation name (≤100 rows at
+    bench SF — always broadcast). Region-level (not nation-level) scoping
+    because sf0.001 has 10 suppliers over sparse nations; a region bucket
+    is non-empty at every SF."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    ), ec AS (
+      SELECT * FROM cost JOIN eur ON s_suppkey = l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(unit_cost) AS best_cost FROM ec GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(ec.unit_cost, 6) AS unit_cost
+    FROM ec
+    JOIN best ON ec.l_partkey = best.l_partkey AND ec.unit_cost = best.best_cost
+    JOIN part ON p_partkey = ec.l_partkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part). Adaptation: no
+    partsupp table, so the price list is derived from lineitem — unit
+    cost = min(l_extendedprice / l_quantity) per (part, supplier); the
+    correlated-MIN subquery ("supplier matching the part's minimum cost")
+    is preserved. Decorrelated the Catalyst way: one groupBy computes the
+    per-part minimum, joined back on (partkey, cost-equality) instead of
+    re-scanning per row. Cross-engine exactness: the min is a SELECTION
+    over raw IEEE-double divisions (bit-identical in both engines), never
+    arithmetic over rounded values; rounding is display-only on the
+    output column. The supplier dim (with region filter) broadcasts; the
+    only shuffles are the two partkey aggs, which co-partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    ec = cost.join(
+        F.broadcast(_eur_suppliers(spark, sf_dir)),
+        cost["l_suppkey"] == F.col("s_suppkey"),
+    )
+    best = ec.groupBy(F.col("l_partkey").alias("_bk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        ec.join(
+            best,
+            (ec["l_partkey"] == best["_bk"])
+            & (ec["unit_cost"] == best["best_cost"]),
+        )
+        .join(F.broadcast(p), ec["l_partkey"] == p["p_partkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking). Adaptation: no
+    l_commitdate/l_receiptdate, so "late" = some line shipped more than
+    60 days after the order date — the correlated EXISTS with an
+    inequality on the outer row's column is preserved verbatim. Spark
+    plan: LEFT SEMI join whose condition carries both the orderkey
+    equality (the shuffle key) and the non-equi date predicate, then a
+    5-value hash agg. The date window prunes orders at the parquet scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim (the schema has every column it needs): pure
+    scan→filter→1-row agg, the canonical predicate-pushdown probe — all
+    three range predicates reach the parquet scan (PLANS.md `pushed`),
+    and the whole query is one WholeStageCodegen span with a 1-row
+    partial-agg exchange. The BETWEEN on l_discount compares the same
+    binary doubles both engines parsed from the literal, so the fixture's
+    0.05/0.07 boundary rows land identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(dec2("l_extendedprice") * dec4("l_discount"), 4).alias("revenue"))
+    )
+
+
+def _region_volume_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q7/q8 base: lineitem ⨝ orders ⨝ customer ⨝ supplier with
+    supplier-region and customer-region names attached and the exact
+    decimal volume. Dims broadcast; the two big joins shuffle on their
+    FKs and AQE picks the strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    supp_region = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust_region = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    vol = dec2("l_extendedprice") * (ONE4() - dec4("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(supp_region), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(cust_region, o["o_custkey"] == F.col("c_custkey"))
+        .withColumn("volume", vol)
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_region, cust_region, l_year,
+           CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS revenue
+    FROM (
+      SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+             CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+          OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_region, cust_region, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two geographies, both
+    directions). Adaptation: the nation pair becomes a REGION pair
+    (ASIA↔EUROPE) because sf0.001 has 10 suppliers over sparse nations —
+    a region bucket is non-empty at every SF; the two-sided disjunction
+    over the (supplier-geo, customer-geo) role swap is preserved. The
+    6-way join collapses to two broadcast dim attaches + two FK shuffle
+    joins; the year is extracted post-join (cast bigint on both engines)."""
+    base = _region_volume_frame(spark, sf_dir).filter(
+        (
+            ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+            | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+        )
+        & (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") <= F.to_timestamp(F.lit("1997-12-31")))
+    )
+    return (
+        base.withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_region", "cust_region", "l_year")
+        .agg(F.round(F.sum("volume"), 4).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+      CAST(ROUND(
+        CAST(ROUND(SUM(CASE WHEN supp_region = 'EUROPE' THEN volume
+                            ELSE CAST(0 AS DECIMAL(20,6)) END), 4) AS DOUBLE)
+        / CAST(ROUND(SUM(volume), 4) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) AS volume,
+             r1.r_name AS supp_region
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey AND r2.r_name = 'ASIA'
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+      WHERE p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share of one geography inside another's
+    market). Adaptation: supplier NATION → supplier REGION (EUROPE's
+    share of the ASIA market for ECONOMY parts), same sparse-nation
+    rationale as q7. The share is a conditional-sum / total-sum ratio in
+    one agg pass (no second scan); both decimal sums are rounded to 4
+    before the double cast (the documented ≤14-sig-digit convention) and
+    the ratio to 6. Part filter broadcasts into the lineitem scan side."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    base = (
+        _region_volume_frame(spark, sf_dir)
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .filter(
+            (F.col("cust_region") == "ASIA")
+            & (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+            & (F.col("o_orderdate") <= F.to_timestamp(F.lit("1996-12-31")))
+        )
+    )
+    num = F.round(
+        F.sum(
+            F.when(F.col("supp_region") == "EUROPE", F.col("volume")).otherwise(
+                F.lit(0).cast("decimal(21,6)")
+            )
+        ),
+        4,
+    ).cast("double")
+    den = F.round(F.sum("volume"), 4).cast("double")
+    return (
+        base.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg(F.round(num / den, 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 4) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+             - CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(8,4)) AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation × order year for a
+    part-name pattern). Adaptation: no partsupp.ps_supplycost, so unit
+    cost is modeled as 1% of p_retailprice — the 5-way join + substring
+    part filter + (nation, year) rollup is what the query exercises, not
+    the cost constant. All arithmetic stays decimal until the final
+    round(4)→double; the `%widget%` LIKE prunes part before its
+    broadcast; orders attaches o_orderdate via the orderkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    amount = dec2("l_extendedprice") * (ONE4() - dec4("l_discount")) - dec2(
+        "p_retailprice"
+    ) * dec2("l_quantity") * F.lit(0.01).cast("decimal(8,4)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .withColumn("amount", amount)
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH scoped AS (
+      SELECT l_partkey,
+             CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT l_partkey AS partkey,
+           CAST(ROUND(SUM(val), 2) AS DOUBLE) AS part_value
+    FROM scoped GROUP BY l_partkey
+    HAVING SUM(val) > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(8,4)) FROM scoped)
+    ORDER BY part_value DESC, partkey LIMIT 200
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (parts representing a significant fraction of
+    total value). Adaptation: no partsupp, so value = extendedprice ×
+    quantity of lineitems shipped by EUROPE suppliers (region-scoped like
+    q2/q7). The HAVING > (global scalar subquery) stays: the scoped frame
+    is aggregated once per part AND once globally, the 1-row total
+    broadcasts back via crossJoin, and the fraction comparison is exact
+    decimal-vs-decimal (no double threshold). The scoped base is built
+    once and reused by both aggs (same broadcast supplier attach)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    eur = _eur_suppliers(spark, sf_dir).select("s_suppkey")
+    scoped = li.join(
+        F.broadcast(eur), li["l_suppkey"] == F.col("s_suppkey")
+    ).select(
+        "l_partkey", (dec2("l_extendedprice") * dec2("l_quantity")).alias("val")
+    )
+    total = scoped.agg(
+        (F.sum("val") * F.lit(0.001).cast("decimal(8,4)")).alias("_threshold")
+    )
+    return (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum("val").alias("_sumval"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_sumval") > F.col("_threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("_sumval", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q12_late_priority",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority mix of late-shipped lines per mode).
+    Adaptation: no l_shipmode/commitdate/receiptdate — the "mode" bucket
+    is l_returnflag and "late" = shipped >90 days after the order date
+    (a cross-table inequality, so it can only be applied post-join,
+    exactly like the original's receipt-vs-commit predicate). The
+    priority split is the classic CASE-in-SUM pivot, one hash agg on a
+    3-value key; the shipdate year-window DOES push to the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_revenue, 4) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 verbatim shape (top supplier via a view + scalar MAX
+    subquery — the schema has everything it needs). The revenue "view"
+    is computed ONCE: the per-supplier agg feeds both the 1-row MAX (a
+    broadcast crossJoin scalar) and the equality filter — Spark's plan
+    reuses the exchange rather than recomputing the view, which is the
+    scale-relevant point of Q15. The equality compares the same exact
+    decimal sum on both engines (ties → multiple rows, ordered by key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec2("l_extendedprice") * (ONE4() - dec4("l_discount"))).alias(
+                "_rev"
+            )
+        )
+    )
+    top = revenue.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("_rev", 4).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 200
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (distinct suppliers per part bucket, with a NOT IN
+    exclusion list). Adaptation: supplier↔part pairs come from lineitem
+    (no partsupp) and the excluded-supplier predicate matches on s_name
+    (no s_comment). The NOT IN subquery decorrelates to a LEFT ANTI join
+    against the (tiny, broadcast) bad-supplier list — safe here because
+    s_suppkey is non-null, the case where NOT IN and anti-join differ.
+    count(DISTINCT) shuffles once on the 3-col group key with the
+    distinct pushed into the partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(200)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (OR-of-ANDs mixing both join sides). Adaptation:
+    p_container/shipmode predicates become p_size ranges — what the query
+    exercises is a disjunction that references BOTH tables, so no single
+    branch can be fully pushed below the join. Catalyst still derives the
+    pushable residues (brand IN-list on part, quantity superset range on
+    lineitem) and broadcasts the filtered part side; the full disjunction
+    evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    return j.filter(
+        branch("Brand#12", 15, 1, 21)
+        | branch("Brand#23", 25, 10, 30)
+        | branch("Brand#34", 35, 20, 40)
+    ).agg(
+        dsum(dec2("l_extendedprice") * (ONE4() - dec4("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%bolt%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      WHERE CAST(q AS DOUBLE) > 1.2 * (SELECT CAST(SUM(q) AS DOUBLE) FROM shipped)
+                                    / (SELECT COUNT(*) FROM shipped)
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers exceeding a quantity threshold for a
+    part-name pattern, as a nested IN chain). Adaptation: no
+    partsupp.ps_availqty, so the threshold is relative — suppliers whose
+    1996 shipped quantity of '%bolt%' parts exceeds 1.2× the mean
+    per-supplier quantity (a FIXED threshold can't be selective at every
+    SF; the relative form is, and adds the scalar-subquery-inside-IN
+    nesting the original has). Plan: part filter broadcasts into the
+    lineitem scan, one suppkey agg, 1-row mean crossJoin, then a SEMI
+    join into the supplier dim. The double threshold expression is
+    written identically on both engines (1.2 * total / count, left-to-
+    right) so the compare is bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("q"))
+    )
+    mean = shipped.agg(
+        (
+            F.lit(1.2) * F.sum("q").cast("double") / F.count("*")
+        ).alias("_threshold")
+    )
+    excess = (
+        shipped.crossJoin(F.broadcast(mean))
+        .filter(F.col("q").cast("double") > F.col("_threshold"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, s["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_blocking_supplier",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (supplier who kept multi-supplier orders waiting:
+    EXISTS another supplier + NOT EXISTS another supplier that shipped
+    later). Adaptation: "late" is measured on l_shipdate (no commit/
+    receipt dates). The correlated pair decorrelates WITHOUT a per-row
+    subquery: per (order, supplier) take max(shipdate), then per order
+    compute the top value r1, how many suppliers attain it (n1), and the
+    runner-up r2 — "max shipdate among OTHER suppliers" is then r1 when
+    this supplier isn't the unique leader, else r2. A lineitem row
+    qualifies iff its order has ≥2 suppliers and its shipdate ≥ that
+    other-max. Three aggs + one join, all hash-partitioned on orderkey
+    (one shuffle, reused), vs the naive O(rows²) double self-join. At
+    100 TB this is the difference between a co-partitioned pipeline and
+    an unbounded non-equi self-join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    fo = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.join(fo, li["l_orderkey"] == fo["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.max("smax").alias("r1"),
+        F.count("*").alias("nsupp"),
+    )
+    enriched = per_supp.join(per_order, per_supp["l_orderkey"] == F.col("_ok"))
+    per_order2 = enriched.groupBy(F.col("l_orderkey").alias("_ok2")).agg(
+        F.max(F.when(F.col("smax") < F.col("r1"), F.col("smax"))).alias("r2"),
+        F.sum(F.when(F.col("smax") == F.col("r1"), 1).otherwise(0)).alias("n1"),
+    )
+    other_max = F.when(
+        (F.col("smax") < F.col("r1")) | (F.col("n1") > 1), F.col("r1")
+    ).otherwise(F.col("r2"))
+    qualified = (
+        enriched.join(per_order2, enriched["l_orderkey"] == F.col("_ok2"))
+        .filter(F.col("nsupp") >= 2)
+        .withColumn("_other_max", other_max)
+        .select(
+            F.col("l_orderkey").alias("_qok"),
+            F.col("l_suppkey").alias("_qsk"),
+            "_other_max",
+        )
+    )
+    return (
+        l1.join(
+            qualified,
+            (l1["l_orderkey"] == F.col("_qok"))
+            & (l1["l_suppkey"] == F.col("_qsk"))
+            & (l1["l_shipdate"] >= F.col("_other_max")),
+        )
+        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

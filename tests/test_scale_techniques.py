@@ -385,6 +385,8 @@ BNLJ_ALLOWED = {
     "ann_topk": "exact brute-force baseline: broadcast query set joined on != (self-match exclusion)",
     "semantic_dedup": "broadcast-argmax centroid assignment: 8-row centroid table broadcast against the corpus (ivf_assign, same pattern ann_topk uses)",
     "q22_dormant_customers": "1-row global avg scalar subquery folded in as broadcast crossJoin",
+    "q11_important_parts": "1-row global total-value threshold folded in as broadcast crossJoin (inequality filter keeps it a BNLJ; q15's equality analog folds into a BroadcastHashJoin)",
+    "q20_excess_shippers": "1-row mean-shipped-quantity threshold folded in as broadcast crossJoin (inequality filter)",
     "tfidf_top_terms": "1-row n_docs scalar folded in as broadcast crossJoin",
     "boilerplate_strip": "1-row corpus-count threshold folded in as broadcast crossJoin (same shape as tfidf's n_docs)",
     "unigram_lm_score": "1-row vocab map + 1-row OOV logprob folded in as broadcast crossJoins (score_unigram_lm's map-side contract)",
@@ -398,6 +400,11 @@ SINGLEPART_ALLOWED = {
     "sample_select_ops": "select_to_budget's global_running_sum per-partition totals window (#partitions rows, same helper pack_sequences uses)",
     "q14_promo_share": "1-row global CASE-in-SUM ratio",
     "q17_small_qty_revenue": "1-row global scalar aggregate",
+    "q6_forecast_revenue": "1-row global scalar aggregate",
+    "q11_important_parts": "1-row global total-value threshold",
+    "q15_top_supplier": "1-row MAX scalar over the per-supplier revenue view",
+    "q19_disjunctive_revenue": "1-row global scalar aggregate",
+    "q20_excess_shippers": "1-row mean-shipped-quantity scalar",
     "q22_dormant_customers": "1-row global avg",
     "tfidf_top_terms": "1-row n_docs count",
     "boilerplate_strip": "1-row corpus count for the boilerplate threshold",
