@@ -20,7 +20,7 @@ here too — the LLM-pipeline [EXT] operators over ``documents``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1192,3 +1192,108 @@ def simhash_neardup_pairs(
         .distinct()
     )
     return pairs
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring removal (the ExactSubstr dedup of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed Spark-first at word granularity.
+
+    The suffix-array formulation is a single-machine algorithm; the
+    distributed equivalent is shingle-keyed: any duplicated word span of
+    length ≥ k contains a duplicated k-word shingle, so marking every
+    non-canonical occurrence of every duplicated k-shingle and erasing the
+    covered words removes exactly the duplicated spans (canonical = first
+    occurrence in global (doc_id, position) order, so one copy of every
+    span survives, as in the paper).
+
+    Plan (all built-ins, no UDFs, no self-joins):
+      1. split + posexplode → (doc, pos, word); shingles via
+         transform(sequence, slice) higher-order exprs — map-side only.
+      2. One shuffle on md5(shingle) (fixed 32-byte key, never the raw
+         text): count + row_number per shingle → non-canonical duplicated
+         occurrences.
+      3. Broadcast-free join back to words on (doc, pos) — co-partitioned
+         with the per-doc window that follows.
+      4. Per-doc running max of removal ends (gaps-and-islands cummax)
+         marks covered words; the survivors reassemble with
+         sort_array(collect_list) + concat_ws.
+
+    At 100 TB: cost is O(total words) rows through one wide shuffle keyed
+    by digest (uniform, unskewed by construction) plus one doc-partitioned
+    window; contrast with the quadratic pair-join family this module's
+    MinHash path replaces. A 50-token k (the paper's setting) at BPE
+    granularity drops in by swapping the tokenizer column in step 1.
+
+    Returns one row per input doc: (id_col, n_words, n_removed,
+    cleaned_md5) — the md5 of the surviving text, empty-string stable.
+    """
+    words_arr = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words_arr.alias("_w"))
+    words = base.select(
+        id_col, F.posexplode("_w").alias("_p0", "word")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "word")
+
+    shingle_expr = F.expr(
+        f"transform(sequence(1, size(_w) - {k} + 1),"
+        f" i -> md5(concat_ws(' ', slice(_w, i, {k}))))"
+    )
+    sh = (
+        base.filter(F.size("_w") >= k)
+        .select(id_col, F.posexplode(shingle_expr).alias("_s0", "gram"))
+        .select(id_col, (F.col("_s0") + 1).alias("pos"), "gram")
+    )
+    wg = Window.partitionBy("gram")
+    removals = (
+        sh.withColumn("_cnt", F.count("*").over(wg))
+        .withColumn(
+            "_rk",
+            F.row_number().over(wg.orderBy(id_col, "pos")),
+        )
+        .filter((F.col("_cnt") >= 2) & (F.col("_rk") > 1))
+        .select(F.col(id_col).alias("_rid"), F.col("pos").alias("_rpos"))
+    )
+
+    flagged = words.join(
+        removals,
+        (F.col(id_col) == F.col("_rid")) & (F.col("pos") == F.col("_rpos")),
+        "left_outer",
+    ).select(
+        id_col,
+        "pos",
+        "word",
+        F.when(F.col("_rpos").isNotNull(), F.col("pos") + k).alias("_rem_end"),
+    )
+    wdoc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = F.max("_rem_end").over(wdoc).isNull() | (
+        F.max("_rem_end").over(wdoc) <= F.col("pos")
+    )
+    return (
+        flagged.withColumn("_kept", kept)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.when(~F.col("_kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "  CASE WHEN _kept THEN struct(pos, word) END)),"
+                        " s -> s.word)"
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+    )

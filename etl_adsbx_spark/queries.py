@@ -40,6 +40,7 @@ from .operators.agg import topk_per_group
 from .operators.dedup import (
     MERSENNE61,
     exact_dedup,
+    exact_substring_dedup,
     incremental_exact_dedup,
     minhash_lsh_pairs,
     minhash_params,
@@ -3672,3 +3673,58 @@ def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "substring_dedup",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w.ord AS pos, w.word
+      FROM documents,
+      LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                      generate_subscripts(string_split(text, ' '), 1) AS ord) w
+    ), base AS (
+      SELECT doc_id, pos,
+             md5(string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)) AS gram,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nw
+      FROM words
+    ), sh AS (
+      SELECT doc_id, pos, gram FROM base WHERE pos + 7 <= nw
+    ), marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY gram) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+      FROM sh
+    ), removals AS (
+      SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rk > 1
+    ), flagged AS (
+      SELECT w.doc_id, w.pos, w.word,
+             CASE WHEN r.pos IS NOT NULL THEN w.pos + 8 END AS rem_end
+      FROM words w LEFT JOIN removals r ON r.doc_id = w.doc_id AND r.pos = w.pos
+    ), cov AS (
+      SELECT doc_id, pos, word,
+             MAX(rem_end) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS cend
+      FROM flagged
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN cend IS NOT NULL AND cend > pos THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN cend IS NULL OR cend <= pos THEN word END,
+                                   ' ' ORDER BY pos), '')) AS cleaned_md5
+    FROM cov GROUP BY doc_id
+    """,
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022) over the documents corpus at
+    k=8 words: every duplicated ≥k-word span loses all but its first
+    (global (doc_id, pos) order) occurrence; survivors are reassembled
+    and fingerprinted. The oracle replays the full pipeline — shingle
+    fingerprints, canonical ranking, span-merge cummax, and the cleaned-
+    text md5 — in windowed SQL, so removal POSITIONS and reassembled
+    BYTES are both value-verified, not just counts. Generalizes the
+    reference's R21/R25 whole-record dedup (task.ts:176-189) to
+    sub-document granularity. Scale design in the operator docstring
+    (one digest-keyed shuffle + one per-doc window; no self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, k=8)
