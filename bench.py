@@ -64,6 +64,13 @@ OPTIONAL = [
     "sample_select_ops",
     "unigram_lm_score",
     "boilerplate_strip",
+    # r5 cont.: TPC-H completion heavies (the fact-fact joins and the
+    # decorrelated EXISTS/NOT-EXISTS pipeline) + sub-document dedup
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q21_blocking_supplier",
+    "substring_dedup",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

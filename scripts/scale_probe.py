@@ -73,6 +73,21 @@ PROBE = [
     "boilerplate_strip",
     "incremental_minhash_admit",
     "dedup_clusters_star",
+    # r5 cont.: TPC-H completion + sub-document dedup
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_blocking_supplier",
+    "substring_dedup",
 ]
 
 
