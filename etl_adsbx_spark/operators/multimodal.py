@@ -392,3 +392,300 @@ def media_kernels_pass(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=KERNELS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-duplicate pairs (r5 cont.)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (the JPEG/pHash transform) as a float64
+    numpy matrix — no scipy in this container, and an explicit matmul is
+    deterministic across platforms at these sizes."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)
+    mat = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    mat[0, :] *= np.sqrt(1.0 / n)
+    mat[1:, :] *= np.sqrt(2.0 / n)
+    return mat
+
+
+def phash_images(
+    media: DataFrame,
+    decode_fn=None,
+    resample: int = 32,
+    hash_size: int = 8,
+) -> DataFrame:
+    """64-bit perceptual hash (classic pHash: grayscale → 32×32 resample →
+    2-D DCT-II → low-frequency 8×8 block → median threshold) per image
+    payload, as an Arrow-batched ``mapInPandas`` kernel.
+
+    The decode kernel is pluggable like every media operator here; pixel
+    dimensions come from the media frame's width/height metadata columns
+    (the parquet-native pattern — at 100 TB you never decode to LEARN the
+    size). Whole batches vectorize through numpy: one (batch, 32, 32)
+    tensor, one matmul pair for the DCT.
+
+    Near-duplicate images (re-encodes, small edits, brightness shifts)
+    land within a few bits; use ``phash_pairs`` for the banded join —
+    NEVER an all-pairs comparison. Generalizes the text SimHash design
+    (operators/dedup.py) to the image modality.
+    """
+    import numpy as np
+
+    decode_fn = decode_fn or default_decode_kernel()
+    dct = _dct_matrix(resample)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sigs = [], []
+            for mid, p, m, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"],
+                pdf["width"], pdf["height"],
+            ):
+                import numpy as np  # noqa: F811 — keep kernel self-contained
+
+                rgb = np.frombuffer(decode_fn(p, m), dtype=np.uint8)
+                w, h = int(w), int(h)
+                gray = rgb.reshape(h, w, 3).astype(np.float64).mean(axis=2)
+                # deterministic nearest-neighbor resample to (resample, resample)
+                yi = np.linspace(0, h - 1, resample).round().astype(int)
+                xi = np.linspace(0, w - 1, resample).round().astype(int)
+                small = gray[np.ix_(yi, xi)]
+                freq = dct @ small @ dct.T
+                low = freq[:hash_size, :hash_size].flatten()
+                med = np.median(low[1:])  # skip DC: brightness invariance
+                bits = np.uint64(0)
+                for b in (low > med).astype(np.uint64):
+                    bits = np.uint64(bits << np.uint64(1)) | b
+                ids.append(mid)
+                sigs.append(int(np.int64(bits)))
+            yield pd.DataFrame({"media_id": ids, "phash": sigs})
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    sig_col: str = "phash",
+) -> DataFrame:
+    """Exact Hamming-ball self-join over 64-bit perceptual hashes via the
+    Manku pigeonhole: split into ``max_hamming + 1`` bit-blocks — any pair
+    within the ball agrees on ≥1 whole block — equi-join per (block,
+    value) bucket, then verify with ``bit_count(xor)``. One shuffle keyed
+    by block value; no all-pairs anywhere (the image twin of the text
+    SimHash join, operators/dedup.py simhash_hamming_pairs)."""
+    if max_hamming == 0:  # degenerate ball: plain equality self-join
+        keyed0 = hashes.select(
+            F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+        )
+        return (
+            keyed0.alias("a")
+            .join(
+                keyed0.alias("b"),
+                (F.col("a._sig") == F.col("b._sig"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("a_id"),
+                F.col("b._id").alias("b_id"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                (
+                    F.shiftrightunsigned(F.col("_sig"), b * width)
+                    % F.lit(1 << (width if b < nblocks - 1 else 64 - b * width))
+                ).alias("val"),
+            )
+            for b in range(nblocks)
+        ]
+    )
+    keyed = (
+        hashes.select(
+            F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+        )
+        .select("_id", "_sig", F.explode(blocks).alias("bb"))
+        .select("_id", "_sig", "bb.blk", "bb.val")
+    )
+    return (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            F.bit_count(
+                F.col("a._sig").bitwiseXOR(F.col("b._sig"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting + near-duplicate candidates (r5 cont.)
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("fp", LongType(), False),
+    ]
+)
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    frame: int = 1024,
+    hop: int | None = None,
+    n_bands: int = 32,
+) -> DataFrame:
+    """Per-frame spectral fingerprints for WAV payloads (the Haitsma-
+    Kalker 2002 construction): mono PCM → non-overlapping ``frame``-sample
+    windows → FFT magnitude → ``n_bands`` band energies → one bit per
+    adjacent band pair from the sign of the time-and-band energy
+    difference ``(E[t,b]−E[t,b+1]) − (E[t−1,b]−E[t−1,b+1])``. Robust to
+    noise/re-encode (low bit-error rate between near-duplicate audio,
+    ~50% between unrelated clips).
+
+    ``hop`` (default = ``frame``, i.e. non-overlapping) sets the window
+    stride; the original uses heavy overlap so that near-duplicates share
+    EXACT frame fingerprints for the inverted-index join even under
+    noise — overlap buys posting density at linear cost.
+
+    Arrow-batched mapInPandas; WAV container parsing is stdlib ``wave``
+    (a production deployment injects an ffmpeg transcode-to-PCM ahead of
+    this operator — same pluggable-kernel convention as every media op
+    here). Output: (media_id, frame_idx, fp) with ``n_bands−1`` bits per
+    frame — the inverted-index-joinable shape (see
+    ``audio_candidate_pairs``).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, fps = [], [], []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                if not mime.startswith("audio/"):
+                    continue
+                with wave.open(io.BytesIO(payload)) as wf:
+                    nch = wf.getnchannels()
+                    sw = wf.getsampwidth()
+                    raw = wf.readframes(wf.getnframes())
+                if sw != 2:
+                    raise NotImplementedError(
+                        "audio_fingerprint expects 16-bit PCM; transcode first"
+                    )
+                sig = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                if nch > 1:
+                    sig = sig.reshape(-1, nch).mean(axis=1)
+                step = hop or frame
+                if len(sig) < frame + step:
+                    continue
+                windows = np.lib.stride_tricks.sliding_window_view(sig, frame)[
+                    ::step
+                ]
+                mag = np.abs(np.fft.rfft(windows, axis=1))[:, 1:]
+                bands = mag.reshape(len(windows), n_bands, -1).sum(axis=2)
+                diff = bands[:, :-1] - bands[:, 1:]
+                bits = (diff[1:] - diff[:-1]) > 0
+                for t in range(bits.shape[0]):
+                    word = np.uint64(0)
+                    for b in bits[t].astype(np.uint64):
+                        word = np.uint64(word << np.uint64(1)) | b
+                    ids.append(mid)
+                    idxs.append(t)
+                    fps.append(int(np.int64(word)))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "fp": fps})
+
+    return media.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_candidate_pairs(
+    fps: DataFrame,
+    min_matching_frames: int = 1,
+    max_ber: float = 0.25,
+    n_bands: int = 32,
+) -> DataFrame:
+    """Near-duplicate audio pairs from per-frame fingerprints, the
+    inverted-index way: candidate pairs share ≥``min_matching_frames``
+    EXACT (frame_idx, fp) postings — an equi-join on the fingerprint
+    value, never a cross product — then the full aligned-frame bit-error
+    rate verifies each candidate (``max_ber``; unrelated audio sits near
+    0.5). Both stages are plain shuffles keyed by (frame_idx, fp) and
+    (a_id, b_id); at 100 TB the posting join is the only wide op and its
+    key space is the fingerprint domain (uniform by construction)."""
+    keyed = fps.select(
+        F.col("media_id").alias("_id"),
+        F.col("frame_idx").alias("_t"),
+        F.col("fp").alias("_fp"),
+    )
+    cands = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._fp") == F.col("b._fp"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id")
+        )
+        .agg(F.count("*").alias("matching_frames"))
+        .filter(F.col("matching_frames") >= min_matching_frames)
+    )
+    aligned = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .join(
+            cands,
+            (F.col("a._id") == cands["a_id"]) & (F.col("b._id") == cands["b_id"]),
+            "left_semi",
+        )
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("b._id").alias("b_id"),
+            F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).alias("_d"),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            (F.sum("_d") / (F.count("*") * (n_bands - 1))).alias("ber"),
+            F.count("*").alias("aligned_frames"),
+        )
+        .filter(F.col("ber") <= max_ber)
+    )
+    return aligned.join(
+        cands.select("a_id", "b_id", "matching_frames"), ["a_id", "b_id"]
+    )
