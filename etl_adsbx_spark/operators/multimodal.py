@@ -474,6 +474,38 @@ def phash_images(
     return media.mapInPandas(batches, schema=PHASH_SCHEMA)
 
 
+def _phash_block_keys(
+    hashes: DataFrame,
+    max_hamming: int,
+    id_col: str = "media_id",
+    sig_col: str = "phash",
+) -> DataFrame:
+    """(_id, _sig, blk, val) pigeonhole block keys for a 64-bit signature
+    column: ``max_hamming + 1`` blocks, so any pair within the Hamming
+    ball shares ≥1 whole block (Manku et al.). The shared keying for the
+    self-join (``phash_pairs``) and the index probe
+    (``incremental_media_admit``)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                (
+                    F.shiftrightunsigned(F.col("_sig"), b * width)
+                    % F.lit(1 << (width if b < nblocks - 1 else 64 - b * width))
+                ).alias("val"),
+            )
+            for b in range(nblocks)
+        ]
+    )
+    return (
+        hashes.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
+        .select("_id", "_sig", F.explode(blocks).alias("bb"))
+        .select("_id", "_sig", "bb.blk", "bb.val")
+    )
+
+
 def phash_pairs(
     hashes: DataFrame,
     max_hamming: int = 6,
@@ -503,27 +535,7 @@ def phash_pairs(
                 F.lit(0).alias("hamming"),
             )
         )
-    nblocks = max_hamming + 1
-    width = 64 // nblocks
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("blk"),
-                (
-                    F.shiftrightunsigned(F.col("_sig"), b * width)
-                    % F.lit(1 << (width if b < nblocks - 1 else 64 - b * width))
-                ).alias("val"),
-            )
-            for b in range(nblocks)
-        ]
-    )
-    keyed = (
-        hashes.select(
-            F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
-        )
-        .select("_id", "_sig", F.explode(blocks).alias("bb"))
-        .select("_id", "_sig", "bb.blk", "bb.val")
-    )
+    keyed = _phash_block_keys(hashes, max_hamming, id_col, sig_col)
     return (
         keyed.alias("a")
         .join(
@@ -688,4 +700,61 @@ def audio_candidate_pairs(
     )
     return aligned.join(
         cands.select("a_id", "b_id", "matching_frames"), ["a_id", "b_id"]
+    )
+
+
+def incremental_media_admit(
+    batch: DataFrame,
+    phash_index: DataFrame,
+    max_hamming: int = 6,
+    decode_fn=None,
+) -> DataFrame:
+    """Per-tick near-duplicate admission for media: a batch image is
+    admitted iff (a) it is not within ``max_hamming`` bits of any corpus
+    image's perceptual hash and (b) it is the canonical (lowest-id)
+    member of its intra-batch near-dup component — the media twin of
+    ``operators.dedup.incremental_minhash_dedup``, same first-seen-wins +
+    per-component-canonical semantics.
+
+    ``phash_index`` is the maintained (media_id, phash) table — 8 bytes
+    per corpus image; ticks append admitted rows (returned WITH their
+    phash so the caller appends without re-decoding). The corpus probe is
+    a block-key semi-join (``_phash_block_keys``) followed by the exact
+    bit_count verify against only the colliding index rows; payloads
+    never shuffle, and each tick decodes only the batch.
+    """
+    from .dedup import connected_components
+
+    sigs = phash_images(batch, decode_fn=decode_fn).localCheckpoint(eager=False)
+    bk = _phash_block_keys(sigs, max_hamming)
+    ik = _phash_block_keys(phash_index, max_hamming).select(
+        F.col("_sig").alias("_isig"), "blk", "val"
+    )
+    collided = (
+        bk.join(ik, ["blk", "val"])
+        .where(
+            F.bit_count(F.col("_sig").bitwiseXOR(F.col("_isig"))) <= max_hamming
+        )
+        .select("_id")
+        .distinct()
+    )
+    survivors = sigs.join(
+        collided.withColumnRenamed("_id", "media_id"), "media_id", "left_anti"
+    )
+    pairs = phash_pairs(survivors, max_hamming=max_hamming)
+    comp = connected_components(
+        pairs.select("a_id", "b_id"),
+        survivors.select("media_id"),
+        id_col="media_id",
+    )
+    canonical_losers = (
+        comp.groupBy("cluster_id")
+        .agg(F.min("media_id").alias("_keep"))
+        .join(comp, "cluster_id")
+        .where(F.col("media_id") != F.col("_keep"))
+        .select("media_id")
+    )
+    admitted = survivors.join(canonical_losers, "media_id", "left_anti")
+    return batch.join(admitted, "media_id", "inner").select(
+        *[F.col(c) for c in batch.columns], "phash"
     )

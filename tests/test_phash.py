@@ -150,3 +150,41 @@ def test_plan_is_block_equijoin_not_cartesian(spark, corpus):
 def test_decode_roundtrip_is_real(corpus):
     img = corpus[0]
     assert stdlib_decode(_ppm(img), "image/x-portable-pixmap") == img.tobytes()
+
+
+def test_incremental_media_admit(spark, corpus):
+    from etl_adsbx_spark.operators.multimodal import (
+        incremental_media_admit,
+        phash_images,
+    )
+
+    # corpus index: base images 0,10,20,30 (seeds 0-3)
+    index_imgs = {s * 10: corpus[s * 10] for s in range(4)}
+    index = phash_images(_media_df(spark, index_imgs))
+    # batch: noisy twins of seeds 0,1 (must be rejected against the index),
+    # base+twin of seed 5 (intra-batch near-dup pair: only the lower id
+    # survives), and base of seed 6 (clean admit)
+    batch_imgs = {
+        101: corpus[1],  # twin of indexed seed 0
+        102: corpus[11],  # twin of indexed seed 1
+        150: corpus[50],  # new: seed 5 base
+        151: corpus[51],  # new: seed 5 noisy twin (loses to 150)
+        160: corpus[60],  # new: seed 6 base
+    }
+    batch = _media_df(spark, batch_imgs)
+    admitted = incremental_media_admit(batch, index, max_hamming=6)
+    got = sorted(r["media_id"] for r in admitted.collect())
+    assert got == [150, 160]
+    # admitted rows carry their phash for index append without re-decode
+    assert "phash" in admitted.columns
+    want = {
+        r["media_id"]: r["phash"]
+        for r in phash_images(_media_df(spark, batch_imgs)).collect()
+    }
+    for r in admitted.collect():
+        assert r["phash"] == want[r["media_id"]]
+    # two consecutive ticks: appending the admitted rows then replaying the
+    # same batch admits nothing (idempotent admission)
+    index2 = index.unionByName(admitted.select("media_id", "phash"))
+    again = incremental_media_admit(batch, index2, max_hamming=6)
+    assert again.count() == 0
