@@ -675,20 +675,25 @@ def audio_candidate_pairs(
         .agg(F.count("*").alias("matching_frames"))
         .filter(F.col("matching_frames") >= min_matching_frames)
     )
+    # BER verify is DRIVEN BY the candidate list: expand candidates to
+    # their a-side postings (join on _id), then attach the b-side posting
+    # for the same frame (join on _id AND _t). Joining the two posting
+    # tables on frame_idx alone and semi-filtering afterwards is the
+    # tempting-but-wrong plan — every clip has a posting at every frame
+    # index, so that join is O(clips²) per frame regardless of how few
+    # candidates there are (measured 20× at 10× clips before this
+    # ordering; ~linear after).
+    cands = cands.localCheckpoint(eager=False)
     aligned = (
-        keyed.alias("a")
+        cands.select("a_id", "b_id")
+        .join(keyed.alias("a"), F.col("a._id") == F.col("a_id"))
         .join(
             keyed.alias("b"),
-            (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")),
-        )
-        .join(
-            cands,
-            (F.col("a._id") == cands["a_id"]) & (F.col("b._id") == cands["b_id"]),
-            "left_semi",
+            (F.col("b._id") == F.col("b_id")) & (F.col("b._t") == F.col("a._t")),
         )
         .select(
-            F.col("a._id").alias("a_id"),
-            F.col("b._id").alias("b_id"),
+            "a_id",
+            "b_id",
             F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).alias("_d"),
         )
         .groupBy("a_id", "b_id")

@@ -99,3 +99,38 @@ def test_fixture_corpus_matches_reference(spark):
 
 def _md5(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_bpe_token_granularity(spark):
+    """The operator docstring's claim that token-granularity dedup 'drops
+    in by swapping the tokenizer column': fit BPE on the corpus, join the
+    token stream back to a space-separated string, and run the same
+    operator at k tokens — duplicated TOKEN spans dedup exactly like word
+    spans (Lee et al. run at 50 BPE tokens; k is scaled to the fixture)."""
+    from etl_adsbx_spark.functions.bpe import bpe_encode, fit_bpe
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"four five {shared} six seven"),
+            (3, "completely unrelated text with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = fit_bpe(docs, num_merges=30, min_freq=1)
+    tokens = bpe_encode(docs, merges).select(
+        "doc_id", F.concat_ws(" ", "bpe_tokens").alias("text")
+    )
+    k = 6
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"])
+        for r in exact_substring_dedup(tokens, k=k).collect()
+    }
+    tok_rows = {r["doc_id"]: r["text"].split(" ") for r in tokens.collect()}
+    ref = _reference({d: " ".join(t) for d, t in tok_rows.items()}, k=k)
+    assert got == {d: (v[0], v[1]) for d, v in ref.items()}
+    # the shared token span is longer than k, so doc 2 must lose tokens
+    assert got[2][1] >= k
+    assert got[1][1] == 0 and got[3][1] == 0
