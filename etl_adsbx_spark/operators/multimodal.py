@@ -419,6 +419,24 @@ def _dct_matrix(n: int):
     return mat
 
 
+def _phash_of_gray(gray, dct, resample: int, hash_size: int) -> int:
+    """pHash of one grayscale float array: nearest-neighbor resample →
+    DCT-II → low-frequency block → median threshold (DC skipped for
+    brightness invariance). Shared by the image and video-frame kernels."""
+    import numpy as np
+
+    h, w = gray.shape
+    yi = np.linspace(0, h - 1, resample).round().astype(int)
+    xi = np.linspace(0, w - 1, resample).round().astype(int)
+    small = gray[np.ix_(yi, xi)]
+    low = (dct @ small @ dct.T)[:hash_size, :hash_size].flatten()
+    med = np.median(low[1:])
+    bits = np.uint64(0)
+    for b in (low > med).astype(np.uint64):
+        bits = np.uint64(bits << np.uint64(1)) | b
+    return int(np.int64(bits))
+
+
 def phash_images(
     media: DataFrame,
     decode_fn=None,
@@ -457,18 +475,8 @@ def phash_images(
                 rgb = np.frombuffer(decode_fn(p, m), dtype=np.uint8)
                 w, h = int(w), int(h)
                 gray = rgb.reshape(h, w, 3).astype(np.float64).mean(axis=2)
-                # deterministic nearest-neighbor resample to (resample, resample)
-                yi = np.linspace(0, h - 1, resample).round().astype(int)
-                xi = np.linspace(0, w - 1, resample).round().astype(int)
-                small = gray[np.ix_(yi, xi)]
-                freq = dct @ small @ dct.T
-                low = freq[:hash_size, :hash_size].flatten()
-                med = np.median(low[1:])  # skip DC: brightness invariance
-                bits = np.uint64(0)
-                for b in (low > med).astype(np.uint64):
-                    bits = np.uint64(bits << np.uint64(1)) | b
                 ids.append(mid)
-                sigs.append(int(np.int64(bits)))
+                sigs.append(_phash_of_gray(gray, dct, resample, hash_size))
             yield pd.DataFrame({"media_id": ids, "phash": sigs})
 
     return media.mapInPandas(batches, schema=PHASH_SCHEMA)
@@ -762,4 +770,182 @@ def incremental_media_admit(
     admitted = survivors.join(canonical_losers, "media_id", "left_anti")
     return batch.join(admitted, "media_id", "inner").select(
         *[F.col(c) for c in batch.columns], "phash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate detection: per-frame perceptual hashes (r5 cont.)
+# ---------------------------------------------------------------------------
+
+VIDEO_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def _y4m_geometry(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, frame_bytes, header_end) of a YUV4MPEG2 payload —
+    header parsing only, no plane copies (the kernel slices Y planes
+    straight out of the original buffer)."""
+    nl = payload.index(0x0A)
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    cspace = b"420"
+    for tag in header[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            cspace = tag[1:]
+    if w is None or h is None:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if cspace.startswith(b"444"):
+        fsize = w * h * 3
+    elif cspace.startswith(b"420"):
+        fsize = w * h * 3 // 2
+    elif cspace.startswith(b"422"):
+        fsize = w * h * 2
+    else:
+        raise NotImplementedError(f"y4m colorspace C{cspace.decode()} unsupported")
+    return w, h, fsize, nl + 1
+
+
+def video_frame_phashes(
+    media: DataFrame,
+    every_n: int = 1,
+    resample: int = 32,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Per-frame perceptual hashes for video payloads: the luma (Y) plane
+    IS the grayscale image, so each sampled frame gets the same 64-bit
+    pHash the image path computes — one fingerprint row per ``every_n``-th
+    frame, giving video the (media_id, frame_idx, signature) posting shape
+    that ``audio_fingerprint`` gives audio.
+
+    Stdlib-decodable Y4M runs in CI; compressed codecs plug in through an
+    ffmpeg kernel that transcodes to y4m upstream. ``every_n`` trades
+    posting density for cost exactly like audio's ``hop``."""
+    import numpy as np
+
+    dct = _dct_matrix(resample)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sigs = [], [], []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                if not mime.startswith("video/"):
+                    continue
+                w, h, fsize, off = _y4m_geometry(payload)
+                fidx = 0
+                i = off
+                while i < len(payload):
+                    fnl = payload.index(0x0A, i)
+                    if payload[i:fnl].split(b" ")[0] != b"FRAME":
+                        raise ValueError("malformed y4m FRAME marker")
+                    if fidx % every_n == 0:
+                        y_plane = np.frombuffer(
+                            payload, dtype=np.uint8, count=w * h, offset=fnl + 1
+                        ).reshape(h, w).astype(np.float64)
+                        ids.append(mid)
+                        idxs.append(fidx)
+                        sigs.append(
+                            _phash_of_gray(y_plane, dct, resample, hash_size)
+                        )
+                    fidx += 1
+                    i = fnl + 1 + fsize
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "phash": sigs})
+
+    return media.mapInPandas(batches, schema=VIDEO_PHASH_SCHEMA)
+
+
+def video_candidate_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 6,
+    min_matching_frames: int = 1,
+    max_mean_hamming: float = 8.0,
+) -> DataFrame:
+    """Near-duplicate video pairs from per-frame pHashes: candidates share
+    ≥``min_matching_frames`` frames whose hashes fall within the
+    ``max_hamming`` ball (pigeonhole block keys WITH frame alignment — the
+    equi-join key is (frame_idx, blk, val), so only same-position frames
+    ever meet); then the mean per-frame Hamming distance over ALL aligned
+    frames verifies each candidate.
+
+    The verify stage expands FROM the candidate list — candidates ⋈
+    a-postings on id, then b-postings on (id, frame) — never a
+    frame-alone join of the posting tables (the measured O(clips²)
+    trap documented for the audio twin in BASELINE.md)."""
+    keyed = frame_hashes.select(
+        F.col("media_id").alias("_mid"),
+        F.col("frame_idx").alias("_t"),
+        F.col("phash").alias("phash"),
+    )
+    # block keys need (media, frame) identity — encode both into the key
+    # column so the shared pigeonhole helper applies unchanged
+    bk = _phash_block_keys(
+        keyed.withColumn("_key", F.concat_ws(":", "_mid", "_t")),
+        max_hamming,
+        id_col="_key",
+        sig_col="phash",
+    ).select(
+        F.split(F.col("_id"), ":").getItem(0).cast("bigint").alias("_mid"),
+        F.split(F.col("_id"), ":").getItem(1).cast("bigint").alias("_t"),
+        "_sig",
+        "blk",
+        "val",
+    )
+    cands = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._mid") < F.col("b._mid")),
+        )
+        .where(
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))) <= max_hamming
+        )
+        .select(
+            F.col("a._mid").alias("a_id"),
+            F.col("b._mid").alias("b_id"),
+            F.col("a._t").alias("_mt"),
+        )
+        .distinct()
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("matching_frames"))
+        .filter(F.col("matching_frames") >= min_matching_frames)
+        .localCheckpoint(eager=False)
+    )
+    aligned = (
+        cands.select("a_id", "b_id")
+        .join(keyed.alias("a"), F.col("a._mid") == F.col("a_id"))
+        .join(
+            keyed.alias("b"),
+            (F.col("b._mid") == F.col("b_id")) & (F.col("b._t") == F.col("a._t")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("_d"),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.round(F.avg("_d"), 4).alias("mean_hamming"),
+            F.count("*").alias("aligned_frames"),
+        )
+        .filter(F.col("mean_hamming") <= max_mean_hamming)
+    )
+    return aligned.join(
+        cands.select("a_id", "b_id", "matching_frames"), ["a_id", "b_id"]
     )
