@@ -30,6 +30,8 @@ from etl_adsbx_spark.operators.multimodal import (  # noqa: E402
     audio_fingerprint,
     phash_images,
     phash_pairs,
+    video_candidate_pairs,
+    video_frame_phashes,
 )
 from etl_adsbx_spark.session import get_spark  # noqa: E402
 
@@ -127,6 +129,41 @@ def audio_df(spark, n: int):
     return spark.range(n).repartition(32).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+N_VIDEO_FRAMES = 6
+
+
+def video_df(spark, n: int):
+    npat = _n_patterns(n)
+
+    def gen(it):
+        header = f"YUV4MPEG2 W{W} H{H} F25:1 Ip A1:1 C420\n".encode()
+        uv = bytes([128] * (W * H // 2))
+        for pdf in it:
+            rows = {"media_id": [], "payload": [], "mime": [], "width": [], "height": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                base = _smooth(mid % npat)[:, :, 0]  # luma-like single channel
+                rng = np.random.RandomState(30_000 + mid)
+                out = bytearray(header)
+                for t in range(N_VIDEO_FRAMES):
+                    frame = np.clip(
+                        base.astype(np.int16)
+                        + rng.randint(-3, 4, base.shape)
+                        + 2 * t,
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    out += b"FRAME\n" + frame.tobytes() + uv
+                rows["media_id"].append(mid)
+                rows["payload"].append(bytes(out))
+                rows["mime"].append("video/x-yuv4mpeg")
+                rows["width"].append(W)
+                rows["height"].append(H)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).repartition(32).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def timed(fn) -> float:
     runs = []
     for _ in range(N_RUNS):
@@ -163,7 +200,17 @@ def main() -> None:
         out.setdefault("audio_candidates_join", {})[scale] = timed(
             lambda: audio_candidate_pairs(fps, min_matching_frames=3).count()
         )
-        for f in (img, sigs, aud, fps):
+        vid = video_df(spark, n_aud * mult).persist()
+        vid.count()
+        vfps = video_frame_phashes(vid).persist()
+        out.setdefault("video_fingerprint", {})[scale] = timed(
+            lambda: video_frame_phashes(vid).count()
+        )
+        vfps.count()
+        out.setdefault("video_candidates_join", {})[scale] = timed(
+            lambda: video_candidate_pairs(vfps, min_matching_frames=2).count()
+        )
+        for f in (img, sigs, aud, fps, vid, vfps):
             f.unpersist()
     for v in out.values():
         v["ratio"] = round(v["large"] / v["small"], 2) if v["small"] else None
@@ -173,6 +220,7 @@ def main() -> None:
                 "metric": "media_scale_probe",
                 "n_images": [n_img, n_img * 10],
                 "n_clips": [n_aud, n_aud * 10],
+                "n_videos": [n_aud, n_aud * 10],
                 "runs": N_RUNS,
                 "ops": out,
             }
