@@ -584,8 +584,8 @@ def audio_fingerprint(
     n_bands: int = 32,
 ) -> DataFrame:
     """Per-frame spectral fingerprints for WAV payloads (the Haitsma-
-    Kalker 2002 construction): mono PCM → non-overlapping ``frame``-sample
-    windows → FFT magnitude → ``n_bands`` band energies → one bit per
+    Kalker 2002 construction): mono PCM → ``frame``-sample windows every
+    ``hop`` samples → FFT magnitude → ``n_bands`` band energies → one bit per
     adjacent band pair from the sign of the time-and-band energy
     difference ``(E[t,b]−E[t,b+1]) − (E[t−1,b]−E[t−1,b+1])``. Robust to
     noise/re-encode (low bit-error rate between near-duplicate audio,

@@ -3728,3 +3728,124 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one digest-keyed shuffle + one per-doc window; no self-join)."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_substring_dedup(docs, k=8)
+
+
+@register(
+    "window_analytics",
+    oracle="""
+    SELECT user_id, event_id,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      ROUND(cume_dist() OVER w, 6) AS cdist,
+      nth_value(event_id, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_event,
+      CAST(COUNT(*) OVER wr AS BIGINT) AS trailing_60s_cnt,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER wr AS DOUBLE) AS trailing_60s_sum
+    FROM events
+    WINDOW
+      w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      wr AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 60 SECOND PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface beyond rank/lag (SURVEY §2B windows):
+    ntile bucketing, percent_rank/cume_dist distribution stats, nth_value
+    over a cumulative frame, and a time-RANGE frame (trailing 60 s count
+    and exact-decimal sum — a RANGE frame has no defined intra-frame
+    order, so a double sum would be reduction-order nondeterministic; the
+    decimal cast makes it order-free). Spark's rangeBetween needs a
+    numeric ordering column: the exact ``ts_ns`` bigint with a ±60·10⁹
+    bound — the oracle's INTERVAL RANGE over nanosecond timestamps is the
+    same frame. Every window is user-partitioned; no global sorts."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-60 * 10**9, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("event_id", 3).over(wcum).alias("third_event"),
+        F.count("*").over(wr).alias("trailing_60s_cnt"),
+        F.sum(dec2("value")).over(wr).cast("double").alias("trailing_60s_sum"),
+    )
+
+
+@register(
+    "resample_timeseries",
+    oracle="""
+    WITH ph AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n_events,
+             MAX({'ts': ts, 'eid': event_id, 'val': value}) AS _last
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS a, date_trunc('hour', MAX(ts)) AS b
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT g.user_id, g.hour,
+           CAST(COALESCE(ph.n_events, 0) AS BIGINT) AS n_events,
+           last_value(ph._last.val IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN ph
+      ON ph.user_id = g.user_id AND ph.hour = g.hour
+    """,
+)
+def resample_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + resample (the hypertable `time_bucket_gapfill`
+    / locf operator class): per user, an hourly grid spanning [first, last]
+    event hour, the per-hour event count (0 on gap hours), and the
+    forward-filled last observed value (selection only — no arithmetic, so
+    doubles are exact on both engines). Spark plan: one per-(user, hour)
+    hash agg (max_by picks the in-hour last observation), one tiny
+    per-user bounds agg whose `sequence()` explodes into the grid
+    (grid rows ≈ users × span-hours — generated, never shuffled at
+    corpus width), a co-partitioned left join, and ONE user-partitioned
+    window for the locf fill. The oracle builds the same grid with
+    generate_series and fills with IGNORE-NULLS last_value."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    ph = e.groupBy("user_id", hour.alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("_v"),
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("_a"),
+        F.date_trunc("hour", F.max("ts")).alias("_b"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("_a", "_b", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(
+        ph.select(
+            F.col("user_id").alias("_u"), F.col("hour").alias("_h"),
+            "n_events", "_v",
+        ),
+        (grid["user_id"] == F.col("_u")) & (grid["hour"] == F.col("_h")),
+        "left_outer",
+    )
+    wfill = (
+        Window.partitionBy(grid["user_id"])
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        grid["user_id"],
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("_v", ignorenulls=True).over(wfill).alias("filled_value"),
+    )
