@@ -71,6 +71,8 @@ OPTIONAL = [
     "q9_product_profit",
     "q21_blocking_supplier",
     "substring_dedup",
+    "window_analytics",
+    "resample_timeseries",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

@@ -262,3 +262,57 @@ def bucketed_range_join_ns(
         & (F.col(right_ns) <= F.col(left_ns) + F.lit(upper_ns))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "hour",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join: pairs where
+    ``[left_start, left_end]`` and ``[right_start, right_end]`` intersect
+    (``l_start <= r_end AND r_start <= l_end``), in the scalable form.
+
+    The naive theta join is a nested loop — O(n·m) and dead at scale. Here
+    BOTH sides explode into the ``bucket``-granularity time buckets their
+    interval covers; overlapping intervals necessarily share ≥1 bucket, so
+    a bucket equi-join (+ ``extra_keys``) produces the candidates and the
+    exact predicate refines. A pair sharing several buckets would surface
+    once per shared bucket — the final ``dropDuplicates`` on the output
+    key set collapses that (cheap: it rides the same shuffle).
+
+    Pick ``bucket`` ≥ the typical interval span so each row lands in ~2
+    buckets. Generalizes ``bucketed_range_join`` (point-in-window) to
+    window-vs-window — the missing member of the range-join family
+    (R23's equi-join generalized twice, task.ts:217-240)."""
+    step = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    keys = list(extra_keys or [])
+
+    def bucketize(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.date_trunc(bucket, F.col(s)),
+                    F.date_trunc(bucket, F.col(e)),
+                    step,
+                )
+            ),
+        )
+
+    lb = bucketize(left, left_start, left_end)
+    rb = bucketize(right, right_start, right_end)
+    out = (
+        lb.join(rb, ["_bucket", *keys])
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+        .drop("_bucket")
+    )
+    return out.dropDuplicates()

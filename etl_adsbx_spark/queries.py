@@ -47,7 +47,12 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_docs as simhash_docs_op,
 )
-from .operators.joins import asof_join, bucketed_range_join, range_pair_counts
+from .operators.joins import (
+    asof_join,
+    bucketed_range_join,
+    interval_overlap_join,
+    range_pair_counts,
+)
 from .tables import load_table
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -3849,3 +3854,78 @@ def resample_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("_v", ignorenulls=True).over(wfill).alias("filled_value"),
     )
+
+
+@register(
+    "interval_overlap",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ), s AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, sid
+    ), i AS (
+      SELECT event_id AS incident_id,
+             ts - INTERVAL 15 MINUTE AS i_start,
+             ts + INTERVAL 15 MINUTE AS i_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT user_id, session_start, session_end, n_events, incident_id
+    FROM s JOIN i ON s.session_start <= i.i_end AND i.i_start <= s.session_end
+    """,
+)
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (window-vs-window — the range-join
+    family member `bucketed_range_join`'s point-in-window form can't
+    express): user activity sessions (30-min gap islands, built with the
+    same lag/cumsum plan the oracle uses so both engines see identical
+    intervals) × global incident windows (error events ±15 min). Both
+    sides explode into covering hour buckets; the bucket equi-join + exact
+    refine replaces the oracle's O(n·m) theta join. The session frame is
+    user-windowed (one partitioned sort); nothing global anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    islands = e.withColumn("_brk", brk).withColumn("_sid", F.sum("_brk").over(wcum))
+    sessions = islands.groupBy("user_id", "_sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    incidents = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("i_start"),
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("i_end"),
+        )
+    )
+    return interval_overlap_join(
+        sessions.drop("_sid"),
+        incidents,
+        "session_start",
+        "session_end",
+        "i_start",
+        "i_end",
+        bucket="hour",
+    ).select("user_id", "session_start", "session_end", "n_events", "incident_id")

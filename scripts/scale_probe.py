@@ -88,6 +88,8 @@ PROBE = [
     "q20_excess_shippers",
     "q21_blocking_supplier",
     "substring_dedup",
+    "window_analytics",
+    "resample_timeseries",
 ]
 
 
