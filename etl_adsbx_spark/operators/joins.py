@@ -10,7 +10,7 @@ scale (a raw theta join is a nested-loop cross product).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import normalize_key
@@ -316,3 +316,104 @@ def interval_overlap_join(
         .drop("_bucket")
     )
     return out.dropDuplicates()
+
+
+def interval_overlap_counts(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Exact COUNT per left interval of overlapping right intervals —
+    the aggregate form of ``interval_overlap_join`` whose output (and
+    work) stays LINEAR in the inputs where the pair list is quadratic in
+    temporal density (measured: the unkeyed pair list went 21× for 10×
+    data — BASELINE.md; same output-semantics class as the retired
+    keyless range join).
+
+    Uses the difference decomposition
+    ``overlaps([s,e]) = |{r : r_start <= e}| − |{r : r_end < s}|``
+    (valid for non-empty intervals), with each global rank computed as
+    (a) a broadcast lookup into a cumulative per-``bucket`` count table —
+    bucket-count-sized, hundreds of rows for a month of hours, NEVER
+    corpus-sized — plus (b) a residual bucket equi-join that only meets
+    the right rows inside the left boundary's own bucket. No pair list is
+    ever materialized.
+
+    ``left_keys`` must uniquely identify left rows (content keys, not
+    generated ids). Returns the left frame + ``n_overlaps``.
+    """
+    step = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    bounds = right.agg(
+        F.date_trunc(bucket, F.min(right_start)).alias("_s_lo"),
+        F.date_trunc(bucket, F.max(right_start)).alias("_s_hi"),
+        F.date_trunc(bucket, F.min(right_end)).alias("_e_lo"),
+        F.date_trunc(bucket, F.max(right_end)).alias("_e_hi"),
+        F.count("*").cast("bigint").alias("_total"),
+    )
+
+    def rank_of(probe_col: Column, value_col: str, lo: str, hi: str, strict: bool):
+        """Per left row: |{right rows with value (< | <=) probe}| as a
+        column pipeline returning a keyed frame to join back."""
+        h = F.date_trunc(bucket, probe_col)
+        probe = (
+            left.select(*left_keys, probe_col.alias("_x"))
+            .crossJoin(F.broadcast(bounds))
+            .withColumn("_hx", F.date_trunc(bucket, F.col("_x")))
+        )
+        hours = bounds.select(
+            F.explode(F.sequence(F.col(lo), F.col(hi), step)).alias("_h")
+        )
+        per = right.groupBy(
+            F.date_trunc(bucket, F.col(value_col)).alias("_h")
+        ).agg(F.count("*").alias("_c"))
+        wcum = Window.orderBy("_h").rowsBetween(Window.unboundedPreceding, -1)
+        cum = (
+            hours.join(per, "_h", "left_outer")
+            .withColumn(
+                "_cum_before",
+                F.coalesce(F.sum("_c").over(wcum), F.lit(0)).cast("bigint"),
+            )
+            .select("_h", "_cum_before")
+        )
+        pred = F.col("_rv") < F.col("_x") if strict else F.col("_rv") <= F.col("_x")
+        residual = (
+            probe.join(
+                right.select(
+                    F.date_trunc(bucket, F.col(value_col)).alias("_rh"),
+                    F.col(value_col).alias("_rv"),
+                ),
+                (F.col("_hx") == F.col("_rh")),
+                "left_outer",
+            )
+            .withColumn("_hit", F.when(pred, 1).otherwise(0))
+            .groupBy(*left_keys, "_hx", "_x")
+            .agg(F.sum("_hit").cast("bigint").alias("_res"))
+        )
+        out = (
+            residual.join(F.broadcast(cum), residual["_hx"] == cum["_h"], "left_outer")
+            .crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_rank",
+                F.when(F.col("_hx") < F.col(lo), F.lit(0).cast("bigint"))
+                .when(F.col("_hx") > F.col(hi), F.col("_total"))
+                .otherwise(F.col("_cum_before") + F.col("_res")),
+            )
+            .select(*left_keys, "_rank")
+        )
+        return out
+
+    started = rank_of(F.col(left_end), right_start, "_s_lo", "_s_hi", strict=False)
+    ended = rank_of(F.col(left_start), right_end, "_e_lo", "_e_hi", strict=True)
+    return (
+        left.join(started.withColumnRenamed("_rank", "_n_started"), left_keys)
+        .join(ended.withColumnRenamed("_rank", "_n_ended"), left_keys)
+        .withColumn(
+            "n_overlaps", (F.col("_n_started") - F.col("_n_ended")).cast("bigint")
+        )
+        .drop("_n_started", "_n_ended")
+    )

@@ -50,6 +50,7 @@ from .operators.dedup import (
 from .operators.joins import (
     asof_join,
     bucketed_range_join,
+    interval_overlap_counts,
     interval_overlap_join,
     range_pair_counts,
 )
@@ -3876,24 +3877,42 @@ def resample_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM g GROUP BY user_id, sid
     ), i AS (
-      SELECT event_id AS incident_id,
+      SELECT user_id AS i_user, event_id AS incident_id,
              ts - INTERVAL 15 MINUTE AS i_start,
              ts + INTERVAL 15 MINUTE AS i_end
       FROM events WHERE event_type = 'error'
     )
-    SELECT user_id, session_start, session_end, n_events, incident_id
-    FROM s JOIN i ON s.session_start <= i.i_end AND i.i_start <= s.session_end
+    SELECT 'pairs_keyed' AS leg, user_id, session_start, session_end, n_events,
+           incident_id, CAST(NULL AS BIGINT) AS n_overlaps
+    FROM s JOIN i ON i.i_user = s.user_id
+       AND s.session_start <= i.i_end AND i.i_start <= s.session_end
+    UNION ALL
+    SELECT 'counts', user_id, session_start, session_end, n_events,
+           CAST(NULL AS BIGINT),
+           (SELECT COUNT(*) FROM i WHERE i.i_start <= s.session_end)
+         - (SELECT COUNT(*) FROM i WHERE i.i_end < s.session_start)
+    FROM s
     """,
 )
 def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval × interval overlap join (window-vs-window — the range-join
-    family member `bucketed_range_join`'s point-in-window form can't
-    express): user activity sessions (30-min gap islands, built with the
-    same lag/cumsum plan the oracle uses so both engines see identical
-    intervals) × global incident windows (error events ±15 min). Both
-    sides explode into covering hour buckets; the bucket equi-join + exact
-    refine replaces the oracle's O(n·m) theta join. The session frame is
-    user-windowed (one partitioned sort); nothing global anywhere."""
+    """Interval × interval overlap (window-vs-window), graded in its two
+    SCALE-SAFE forms as a tagged union — following the round-5
+    `range_join_events` precedent after the unkeyed pair list measured
+    21× for 10× data (quadratic OUTPUT in temporal density; BASELINE.md):
+
+    - `pairs_keyed`: sessions × THE SAME USER's incident windows via
+      `interval_overlap_join(extra_keys=["user_id"])` — the bucket
+      equi-join carries the user key, so pair output is linear (each
+      user meets only their own incidents).
+    - `counts`: per session, the EXACT number of overlapping GLOBAL
+      incidents via `interval_overlap_counts` — the difference
+      decomposition |{start <= session_end}| − |{end < session_start}|,
+      answered by a broadcast cumulative per-hour table + boundary-bucket
+      residual joins. Linear output, no pair list; the oracle replays it
+      with two scalar subqueries DuckDB decorrelates.
+
+    Sessions are 30-min gap islands built with the same lag/cumsum plan
+    the oracle uses, so both engines see identical intervals."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = (
@@ -3907,25 +3926,58 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     islands = e.withColumn("_brk", brk).withColumn("_sid", F.sum("_brk").over(wcum))
-    sessions = islands.groupBy("user_id", "_sid").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count("*").alias("n_events"),
+    sessions = (
+        islands.groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("_sid")
     )
-    incidents = (
-        e.filter(F.col("event_type") == "error")
+    incidents = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("i_user"),
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("i_end"),
+    )
+    pairs = (
+        interval_overlap_join(
+            sessions,
+            incidents.withColumnRenamed("i_user", "user_id"),
+            "session_start",
+            "session_end",
+            "i_start",
+            "i_end",
+            bucket="hour",
+            extra_keys=["user_id"],
+        )
         .select(
-            F.col("event_id").alias("incident_id"),
-            (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("i_start"),
-            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("i_end"),
+            F.lit("pairs_keyed").alias("leg"),
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "incident_id",
+            F.lit(None).cast("bigint").alias("n_overlaps"),
         )
     )
-    return interval_overlap_join(
-        sessions.drop("_sid"),
+    counts = interval_overlap_counts(
+        sessions,
         incidents,
+        ["user_id", "session_start"],
         "session_start",
         "session_end",
         "i_start",
         "i_end",
         bucket="hour",
-    ).select("user_id", "session_start", "session_end", "n_events", "incident_id")
+    ).select(
+        F.lit("counts").alias("leg"),
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.lit(None).cast("bigint").alias("incident_id"),
+        "n_overlaps",
+    )
+    return pairs.unionByName(counts)

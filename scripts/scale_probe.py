@@ -90,6 +90,7 @@ PROBE = [
     "substring_dedup",
     "window_analytics",
     "resample_timeseries",
+    "interval_overlap",
 ]
 
 

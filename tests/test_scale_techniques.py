@@ -386,6 +386,7 @@ BNLJ_ALLOWED = {
     "semantic_dedup": "broadcast-argmax centroid assignment: 8-row centroid table broadcast against the corpus (ivf_assign, same pattern ann_topk uses)",
     "q22_dormant_customers": "1-row global avg scalar subquery folded in as broadcast crossJoin",
     "q11_important_parts": "1-row global total-value threshold folded in as broadcast crossJoin (inequality filter keeps it a BNLJ; q15's equality analog folds into a BroadcastHashJoin)",
+    "interval_overlap": "counts leg: 1-row right-side bounds/total frame folded in as broadcast crossJoins (interval_overlap_counts' rank clamps)",
     "q20_excess_shippers": "1-row mean-shipped-quantity threshold folded in as broadcast crossJoin (inequality filter)",
     "tfidf_top_terms": "1-row n_docs scalar folded in as broadcast crossJoin",
     "boilerplate_strip": "1-row corpus-count threshold folded in as broadcast crossJoin (same shape as tfidf's n_docs)",
@@ -405,6 +406,7 @@ SINGLEPART_ALLOWED = {
     "q15_top_supplier": "1-row MAX scalar over the per-supplier revenue view",
     "q19_disjunctive_revenue": "1-row global scalar aggregate",
     "q20_excess_shippers": "1-row mean-shipped-quantity scalar",
+    "interval_overlap": "counts leg: cumulative window over the per-bucket count table — bucket-count-sized (720 rows for a month of hours), never corpus-sized",
     "q22_dormant_customers": "1-row global avg",
     "tfidf_top_terms": "1-row n_docs count",
     "boilerplate_strip": "1-row corpus count for the boilerplate threshold",
