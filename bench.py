@@ -73,6 +73,7 @@ OPTIONAL = [
     "substring_dedup",
     "window_analytics",
     "resample_timeseries",
+    "interval_overlap",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on
