@@ -346,6 +346,12 @@ def interval_overlap_counts(
 
     ``left_keys`` must uniquely identify left rows (content keys, not
     generated ids). Returns the left frame + ``n_overlaps``.
+
+    ``bucket`` is the scale knob: the residual join meets the right rows
+    inside ONE boundary bucket per probe, so pick a granularity at which
+    per-bucket right-side density stays bounded (minute buckets measured
+    ~15% faster than hour at 100× density, with the cumulative table
+    still broadcast-tiny at 43 200 rows/month — BASELINE.md).
     """
     step = F.expr(f"INTERVAL 1 {bucket.upper()}")
     bounds = right.agg(
