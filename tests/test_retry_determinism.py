@@ -12,7 +12,8 @@ CRASHES the first attempt of one partition in every job, and asserts
 byte-identical results vs the fault-free run for the retry-sensitive
 operators (keyed dedup, global prefix sum, MinHash-LSH pairs, SemDeDup
 semantic dedup — whose k-means fit runs several jobs per call, each of
-which sees its own injected crash).
+which sees its own injected crash — and ExactSubstr substring dedup,
+whose canonical-occurrence rank rides a digest shuffle).
 """
 
 from __future__ import annotations
@@ -94,6 +95,17 @@ SCRIPT = textwrap.dedent(
             for r in weighted_k_sample(df, 20, "doc_id", "n_chars", ["lang"]).collect()
         )
 
+    def run_substr(df):
+        # shingle-rank canonicalization + per-doc cummax spans: the
+        # canonical pick is a row_number over (doc_id, pos) — content-
+        # ordered, so a retried shingle shuffle must not move it
+        from etl_adsbx_spark.operators.dedup import exact_substring_dedup
+
+        return sorted(
+            (r.doc_id, r.n_words, r.n_removed, r.cleaned_md5)
+            for r in exact_substring_dedup(df, k=8).collect()
+        )
+
     # chain diameter 12 -> propagation needs ~12 rounds (within max_iter=20
     # plus the confirming round); star collapses it in O(log n)
     chain = spark.createDataFrame(
@@ -104,7 +116,9 @@ SCRIPT = textwrap.dedent(
         [(n,) for n in list(range(13)) + list(range(500, 510)) + [900]], "doc_id long"
     )
 
-    clean = run(docs) + (run_sem(emb), run_cc(chain, cnodes), run_samp(docs))
+    clean = run(docs) + (
+        run_sem(emb), run_cc(chain, cnodes), run_samp(docs), run_substr(docs),
+    )
     injected = run(docs.repartition(4).mapInPandas(flaky, docs.schema)) + (
         run_sem(emb.repartition(4).mapInPandas(flaky, emb.schema)),
         run_cc(
@@ -112,8 +126,10 @@ SCRIPT = textwrap.dedent(
             cnodes.repartition(4).mapInPandas(flaky, cnodes.schema),
         ),
         run_samp(docs.repartition(4).mapInPandas(flaky, docs.schema)),
+        run_substr(docs.repartition(4).mapInPandas(flaky, docs.schema)),
     )
-    names = ("dedup", "prefix", "pairs", "semantic", "cc", "weighted_sample")
+    names = ("dedup", "prefix", "pairs", "semantic", "cc", "weighted_sample",
+             "substring_dedup")
     for name, a, b in zip(names, clean, injected):
         assert a == b, f"{name} diverged under task retry"
     print("RETRY_DETERMINISM_OK")
