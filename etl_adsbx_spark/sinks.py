@@ -54,9 +54,14 @@ def write_corpus(
     max_records_per_file: int | None = None,
     salt_col: str | None = None,
     mode: str = "overwrite",
+    file_format: str = "parquet",
 ) -> None:
-    """Curated-corpus parquet writer: hive-partitioned, small-file-safe,
-    optionally clustered for row-group pruning.
+    """Curated-corpus writer: hive-partitioned, small-file-safe,
+    optionally clustered for row-group pruning. ``file_format`` selects
+    the columnar container — "parquet" (default) or "orc"; both are
+    Spark-native, support predicate pushdown + partition pruning, and get
+    the identical shuffle/sort/file-budget treatment (ORC matters for
+    Hive-ecosystem consumers of a published corpus).
 
     The naive ``df.write.partitionBy(cols)`` writes one file per (task ×
     live partition value) — at 100 TB with thousands of tasks and hundreds
@@ -97,7 +102,12 @@ def write_corpus(
     w = out.drop("_slot").write.mode(mode).partitionBy(*partition_by)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
-    w.parquet(path)
+    if file_format == "parquet":
+        w.parquet(path)
+    elif file_format == "orc":
+        w.orc(path)
+    else:
+        raise ValueError(f"unsupported corpus file_format: {file_format!r}")
 
 
 def _footer_summary(path: str) -> dict[str, dict[str, int]]:

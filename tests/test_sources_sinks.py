@@ -322,3 +322,52 @@ def test_parse_csv_lines_matches_file_read(spark):
     broken = spark.createDataFrame([("x,y,z",)], "value string")
     row = parse_csv_lines(broken, _csv_schema(), strict=False).first()
     assert row["doc_id"] is None and row["score"] is None
+
+
+def test_write_corpus_orc_roundtrip_and_pruning(spark, tmp_path):
+    """ORC corpus output: identical rows to the parquet path, hive
+    partition pruning intact, and ORC predicate pushdown visible in the
+    scan plan (PushedFilters) — the Hive-ecosystem publish format."""
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.sinks import write_corpus
+
+    from .conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    porc, ppq = str(tmp_path / "orc"), str(tmp_path / "pq")
+    write_corpus(docs, porc, partition_by=["lang"], sort_by=["doc_id"],
+                 file_format="orc")
+    write_corpus(docs, ppq, partition_by=["lang"], sort_by=["doc_id"])
+    back_orc = spark.read.orc(porc)
+    back_pq = spark.read.parquet(ppq)
+    cols = sorted(docs.columns)
+    assert sorted(map(tuple, back_orc.select(*cols).collect())) == sorted(
+        map(tuple, back_pq.select(*cols).collect())
+    )
+    # partition pruning: a lang filter scans only that hive directory
+    one_lang = back_orc.select("lang").limit(1).collect()[0]["lang"]
+    plan = (
+        back_orc.filter(F.col("lang") == one_lang)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    # predicate pushdown reaches the ORC scan
+    plan2 = (
+        back_orc.filter(F.col("doc_id") < 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan2
+
+
+def test_write_corpus_rejects_unknown_format(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_adsbx_spark.sinks import write_corpus
+
+    from .conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    with _pytest.raises(ValueError, match="file_format"):
+        write_corpus(docs, str(tmp_path / "x"), partition_by=["lang"],
+                     file_format="avro")
