@@ -1297,3 +1297,88 @@ def exact_substring_dedup(
             ).alias("cleaned_md5"),
         )
     )
+
+
+# --- exact edit-distance (fuzzy) self-join ------------------------------
+
+
+def _delete_one(s: Column) -> Column:
+    """All strings obtained by deleting exactly one character of ``s``
+    (empty array for the empty string — Spark's ``sequence(1, 0)`` would
+    otherwise count DOWN and fabricate variants)."""
+    return F.when(
+        F.length(s) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - F.lit(1)),
+                F.substring(s, i + F.lit(1), F.length(s)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def deletion_variants(s: Column | str, max_dist: int = 1) -> Column:
+    """The SymSpell deletion neighborhood: every string reachable from
+    ``s`` by deleting up to ``max_dist`` characters, the string itself
+    included, deduplicated. Pure higher-order-function expression — stays
+    inside whole-stage codegen, no UDF.
+
+    Size is O(len^max_dist) per row, which is why callers keep
+    ``max_dist`` at 1-2 (the useful entity-resolution range)."""
+    col = F.col(s) if isinstance(s, str) else s
+    out = F.array(col)
+    for _ in range(max_dist):
+        out = F.array_union(out, F.array_distinct(F.flatten(F.transform(out, _delete_one))))
+    return out
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "text",
+    max_dist: int = 1,
+) -> DataFrame:
+    """EXACT edit-distance self-join (entity-resolution near-dup): all
+    (a_id, b_id, dist) with ``levenshtein(a, b) <= max_dist`` and
+    ``a_id < b_id``.
+
+    Blocking is the SymSpell deletion-neighborhood equi-join: two strings
+    within edit distance d always share a common member of their
+    ≤d-deletion neighborhoods (delete the edited positions from each
+    side), so candidates = equi-join on variant, then an exact
+    ``levenshtein`` verify. No similarity is lost — the blocking is a
+    superset of the true pair set — and there is no quadratic cross
+    product: the only shuffle is the variant equi-join, whose buckets are
+    the handful of strings sharing a variant (AQE splits pathological
+    buckets, e.g. a mass-duplicated string).
+
+    Generalizes the reference's exact-key last-write-wins dedup
+    (task.ts:176-190) to approximate keys. 100-TB: variants add a
+    ~(len+1)^d row blow-up before one equi-join — linear in corpus size,
+    never all-pairs; candidate dedup happens BEFORE the levenshtein
+    verify so each surviving pair is verified once.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+    var = base.select(
+        "_id", "_s", F.explode(deletion_variants(F.col("_s"), max_dist)).alias("_v")
+    )
+    cand = (
+        var.alias("a")
+        .join(
+            var.alias("b"),
+            (F.col("a._v") == F.col("b._v")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("a._s").alias("a_s"),
+            F.col("b._id").alias("b_id"),
+            F.col("b._s").alias("b_s"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("a_s", "b_s").cast("bigint"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
+    )

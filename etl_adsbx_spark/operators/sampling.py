@@ -281,3 +281,46 @@ def weighted_k_sample(
     local = topk_per_group(ranked, [*strata, "_shard"], order, k, desc=False)
     out = topk_per_group(local, strata, order, k, desc=False)
     return out.drop("_rank", "_shard")
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-stratum robust (median/MAD) outlier report: for each group,
+    the median of ``value_col``, the median absolute deviation, and how
+    many rows fall outside ``median ± k·MAD`` — the standard
+    heavy-tail-safe alternative to mean/stddev z-scores for corpus
+    quality gating (a handful of 100 MB documents does not drag the
+    gate the way it drags a mean).
+
+    Plan shape (100 TB): two passes over the stratum — exact percentile
+    agg for the median (Spark's ``percentile`` partial-aggregates a
+    per-group value multiset; stratum count ≪ corpus so the agg output
+    is tiny), broadcast the per-group medians back, second percentile
+    agg over |x − med|, broadcast again, one final count agg. Three
+    hash-aggs + two broadcast joins, no window, no global sort.
+    Values here are integers/halves so every double op is exact — both
+    engines interpolate the 0.5-quantile identically (type-7).
+    """
+    med = df.groupBy(*by).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    dev = df.join(F.broadcast(med), by).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*by).agg(F.percentile("_adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), by)
+        .groupBy(*by)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum((F.col("_adev") > F.lit(k) * F.col("mad")).cast("bigint")).alias(
+                "n_outliers"
+            ),
+        )
+    )

@@ -3981,3 +3981,263 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlaps",
     )
     return pairs.unionByName(counts)
+
+
+# =========================================================================
+# Round-5 continuation 2: fuzzy join, BM25 retrieval, URL/domain analytics,
+# robust (MAD) outlier gating
+# =========================================================================
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )
+    SELECT 'hist' AS leg, CAST(-1 AS BIGINT) AS a_key, CAST(-1 AS BIGINT) AS b_key,
+           dist, COUNT(*) AS n_pairs
+    FROM pairs GROUP BY dist
+    UNION ALL
+    SELECT 'pair', CAST(a_key AS BIGINT), CAST(b_key AS BIGINT), dist,
+           CAST(1 AS BIGINT)
+    FROM pairs WHERE a_key % 17 = 0
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact edit-distance entity-resolution join over customer
+    names (operators.dedup.fuzzy_pairs): every pair within levenshtein
+    distance 1, found via the SymSpell deletion-neighborhood equi-join +
+    exact verify — never an all-pairs product. Generalizes the
+    reference's exact-key dedup (task.ts:176-190) to approximate keys.
+
+    Graded-config rule (registry header): pair-list outputs that can grow
+    quadratically are graded as a keyed subset + exact global counts —
+    the 'hist' leg value-verifies the COMPLETE pair set per distance
+    (count exactness ⇒ no candidate was missed by the blocking, since
+    the Spark side is a verified superset), the 'pair' leg value-verifies
+    pair identity on the a_key % 17 keyed slice."""
+    from .operators.dedup import fuzzy_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
+        F.col("a_id").cast("bigint").alias("a_key"),
+        F.col("b_id").cast("bigint").alias("b_key"),
+        "dist",
+    )
+    hist = pairs.groupBy("dist").agg(F.count("*").alias("n_pairs")).select(
+        F.lit("hist").alias("leg"),
+        F.lit(-1).cast("bigint").alias("a_key"),
+        F.lit(-1).cast("bigint").alias("b_key"),
+        "dist",
+        "n_pairs",
+    )
+    keyed = pairs.filter(F.col("a_key") % 17 == 0).select(
+        F.lit("pair").alias("leg"),
+        "a_key",
+        "b_key",
+        "dist",
+        F.lit(1).cast("bigint").alias("n_pairs"),
+    )
+    return hist.unionByName(keyed)
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'merge', 'filter') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    comp AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * t.tf * (1.2 + 1)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)), 6)
+             AS DECIMAL(18,6)) AS c
+      FROM tf t
+      JOIN dl d USING (doc_id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25, COUNT(*) AS n_terms
+    FROM comp GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BM25 ranked lexical retrieval (Robertson-Sparck Jones k1=1.2
+    b=0.75): top-10 documents for a fixed 3-term query. The inverted-index
+    pattern every corpus-search / hard-negative-mining pipeline needs,
+    built from the same explode→agg shuffles as tfidf_top_terms.
+
+    100-TB shape: the term filter lands BEFORE the tf aggregation (only
+    query-term postings shuffle — the corpus-sized token stream is
+    filtered map-side); df and the (n_docs, avgdl) scalar are tiny
+    broadcasts; final top-k is TakeOrderedAndProject (per-partition
+    heads, no global sort). Determinism: per-term score components are
+    rounded then summed as exact decimals (registry header convention);
+    doc_id tiebreak totalizes the top-k order."""
+    k1, b = 1.2, 0.75
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin("spark", "merge", "filter"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    comp = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    return (
+        comp.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("double").alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "url_domain_stats",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             'https://' || source || '.example.com/' || lang || '/doc/'
+               || doc_id || '?ref=r' || (doc_id % 7) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_extract(url, 'https://([^/?#]+)', 1) AS host,
+             regexp_extract(url, 'https://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u
+    )
+    SELECT host,
+           regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS reg_domain,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT query) AS n_refs,
+           COUNT(DISTINCT path) AS n_paths,
+           round(SUM(n_chars) / COUNT(*), 6) AS avg_chars,
+           CAST(host = 'src0.example.com' AS INT) AS blocked
+    FROM parts GROUP BY host
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] URL / domain-level corpus analytics (RefinedWeb-style source
+    curation): parse host/path/query with Spark's codegen ``parse_url``,
+    derive the registrable domain, aggregate per-host doc counts,
+    language diversity, ref-tag and path cardinality, mean length, and a
+    domain-blocklist flag. URLs are synthesized deterministically from
+    (source, lang, doc_id) — both engines build the same strings, so the
+    oracle independently re-derives host/path/query with regexes,
+    value-verifying Spark's parse_url semantics against a second
+    implementation.
+
+    100-TB shape: one scan, map-side URL parse (pure codegen string
+    exprs), one hash-agg keyed by host (domain cardinality ≪ corpus;
+    partial aggregation absorbs the per-host skew of big domains; the
+    distinct-counts rewrite into expand+two-phase agg is Spark's own).
+    Blocklists join in as a broadcast, shown here as the literal-set
+    degenerate case."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id"),
+        F.lit("?ref=r"),
+        F.col("doc_id") % 7,
+    )
+    parts = d.select(
+        "lang",
+        "n_chars",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+    return parts.groupBy("host").agg(
+        F.substring_index(F.first("host"), ".", -2).alias("reg_domain"),
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("query").alias("n_refs"),
+        F.count_distinct("path").alias("n_paths"),
+        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+        (F.first("host") == "src0.example.com").cast("int").alias("blocked"),
+    )
+
+
+@register(
+    "mad_outlier_gate",
+    oracle="""
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, abs(d.n_chars - m.med) AS adev
+      FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang)
+    SELECT v.lang, COUNT(*) AS n_rows, MIN(m.med) AS med, MIN(a.mad) AS mad,
+           CAST(SUM(CAST(v.adev > 3.0 * a.mad AS BIGINT)) AS BIGINT) AS n_outliers
+    FROM dev v JOIN med m USING (lang) JOIN mad a USING (lang)
+    GROUP BY v.lang
+    """,
+)
+def mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Robust per-language outlier report over document lengths
+    (operators.sampling.robust_outlier_stats): median, MAD, and the
+    count outside median ± 3·MAD per lang. The heavy-tail-safe quality
+    gate (medians don't move when a few giant documents land in a
+    stratum, unlike the mean/stddev gate). Exactness: lengths are
+    integers, so medians/deviations are exact half-integers in double —
+    both engines' linear-interpolation 0.5-quantile is bit-identical."""
+    from .operators.sampling import robust_outlier_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return robust_outlier_stats(d, "n_chars", ["lang"], k=3.0)

@@ -391,6 +391,7 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms": "1-row n_docs scalar folded in as broadcast crossJoin",
     "boilerplate_strip": "1-row corpus-count threshold folded in as broadcast crossJoin (same shape as tfidf's n_docs)",
     "unigram_lm_score": "1-row vocab map + 1-row OOV logprob folded in as broadcast crossJoins (score_unigram_lm's map-side contract)",
+    "bm25_topk": "1-row (n_docs, avgdl) corpus-stats scalar folded in as broadcast crossJoin (same shape as tfidf's n_docs)",
 }
 
 #: Queries allowed an Exchange SinglePartition: every one is a deliberate
@@ -410,6 +411,7 @@ SINGLEPART_ALLOWED = {
     "q22_dormant_customers": "1-row global avg",
     "tfidf_top_terms": "1-row n_docs count",
     "boilerplate_strip": "1-row corpus count for the boilerplate threshold",
+    "bm25_topk": "1-row (n_docs, avgdl) corpus-stats scalar",
 }
 
 
