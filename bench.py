@@ -74,6 +74,11 @@ OPTIONAL = [
     "window_analytics",
     "resample_timeseries",
     "interval_overlap",
+    # r5 cont. 2: fuzzy join / retrieval / domain analytics / robust gate
+    "fuzzy_name_pairs",
+    "bm25_topk",
+    "url_domain_stats",
+    "mad_outlier_gate",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

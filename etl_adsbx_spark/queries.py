@@ -4200,14 +4200,29 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY")).alias("query"),
     )
-    return parts.groupBy("host").agg(
-        F.substring_index(F.first("host"), ".", -2).alias("reg_domain"),
-        F.count("*").alias("n_docs"),
-        F.count_distinct("lang").alias("n_langs"),
-        F.count_distinct("query").alias("n_refs"),
-        F.count_distinct("path").alias("n_paths"),
-        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
-        (F.first("host") == "src0.example.com").cast("int").alias("blocked"),
+    # reg_domain/blocked are pure functions of the grouping key — derived
+    # AFTER the agg. Folding them in as first(host) string aggregates
+    # forces SortAggregate (string agg buffers are immutable → no
+    # HashAggregate), turning the one shuffle into three sort passes.
+    return (
+        parts.groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct("query").alias("n_refs"),
+            F.count_distinct("path").alias("n_paths"),
+            F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+        )
+        .select(
+            "host",
+            F.substring_index("host", ".", -2).alias("reg_domain"),
+            "n_docs",
+            "n_langs",
+            "n_refs",
+            "n_paths",
+            "avg_chars",
+            (F.col("host") == "src0.example.com").cast("int").alias("blocked"),
+        )
     )
 
 
