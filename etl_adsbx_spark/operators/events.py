@@ -143,14 +143,29 @@ def retention_cohorts(
     distinct activity frame, then one hash agg. The activity frame is
     pre-shrunk to one row per (entity, period) BEFORE the join, so the
     join input is bounded by entities × active-periods, never raw
-    events."""
+    events.
+
+    Offsets are computed with ``datediff``/``months_between`` on the
+    truncated timestamps — calendar-exact in any session timezone. A
+    fixed-microseconds divisor is NOT: across a DST shift the delta
+    between two ``date_trunc('week')`` boundaries is not an exact
+    multiple of 7 days and the bigint cast truncates to the wrong
+    offset."""
+    divisors = {"day": 1, "week": 7}
+    if period not in divisors and period != "month":
+        raise ValueError(
+            f"retention period must be day/week/month, got {period!r}"
+        )
     per = F.date_trunc(period, F.col(ts_col))
     first = events.groupBy(key).agg(F.min(per).alias("cohort"))
     active = events.select(key, per.alias("_p")).distinct()
     joined = active.join(first, on=key)
-    offset = (
-        F.unix_micros(F.col("_p")) - F.unix_micros(F.col("cohort"))
-    ) / F.lit(7 * 24 * 3600 * 10**6 if period == "week" else 24 * 3600 * 10**6)
+    if period == "month":
+        offset = F.months_between(F.col("_p"), F.col("cohort"))
+    else:
+        offset = F.datediff(F.col("_p"), F.col("cohort")) / F.lit(
+            divisors[period]
+        )
     return (
         joined.groupBy("cohort", offset.cast("bigint").alias("period_offset"))
         .agg(F.count_distinct(F.col(key)).alias("n_active"))
@@ -215,7 +230,9 @@ def scd2_merge(
     the current slice, never the full history."""
     current = dim.filter(F.col("is_current")).select(
         F.col(key).alias("_k"),
-        F.col(attr).alias("_cur_attr"),
+        # the dimension's schema names the attribute `attr_value`
+        # (build_scd2's output), NOT the change-log's `attr` column
+        F.col("attr_value").alias("_cur_attr"),
         F.col("valid_from").alias("_cur_from"),
     )
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
@@ -233,12 +250,21 @@ def scd2_merge(
             key,
             F.col(attr).alias("attr_value"),
             F.col(ts_col).cast("bigint").alias("valid_from"),
+            F.col(tiebreak).alias("_tb"),
         )
     )
-    w2 = Window.partitionBy(key).orderBy("valid_from")
-    new_rows = batch_scd.withColumn(
-        "valid_to", F.lead("valid_from").over(w2).cast("bigint")
-    ).withColumn("is_current", F.col("valid_to").isNull())
+    # interval-close window carries the same tiebreak as the compression
+    # window: two surviving changes with equal timestamps for one entity
+    # must close deterministically (ordering by valid_from alone leaves
+    # valid_to/is_current to shuffle order)
+    w2 = Window.partitionBy(key).orderBy("valid_from", "_tb")
+    new_rows = (
+        batch_scd.withColumn(
+            "valid_to", F.lead("valid_from").over(w2).cast("bigint")
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_tb")
+    )
     first_new = batch_scd.groupBy(key).agg(F.min("valid_from").alias("_close_at"))
     closed = (
         dim.join(first_new, on=key, how="left_outer")

@@ -282,9 +282,13 @@ def interval_overlap_join(
     BOTH sides explode into the ``bucket``-granularity time buckets their
     interval covers; overlapping intervals necessarily share ≥1 bucket, so
     a bucket equi-join (+ ``extra_keys``) produces the candidates and the
-    exact predicate refines. A pair sharing several buckets would surface
-    once per shared bucket — the final ``dropDuplicates`` on the output
-    key set collapses that (cheap: it rides the same shuffle).
+    exact predicate refines. A pair sharing several buckets surfaces once
+    per shared bucket — collapsed by emitting each pair ONLY in its first
+    shared bucket, ``trunc(greatest(l_start, r_start))``, which both sides
+    contain whenever they overlap. A plain-filter dedup, not a
+    ``dropDuplicates``: no extra shuffle, and genuinely duplicated input
+    rows keep their full cross-product (an all-column distinct would
+    silently collapse legitimate pairs of duplicate rows).
 
     Pick ``bucket`` ≥ the typical interval span so each row lands in ~2
     buckets. Generalizes ``bucketed_range_join`` (point-in-window) to
@@ -307,15 +311,20 @@ def interval_overlap_join(
 
     lb = bucketize(left, left_start, left_end)
     rb = bucketize(right, right_start, right_end)
-    out = (
+    return (
         lb.join(rb, ["_bucket", *keys])
         .filter(
             (F.col(left_start) <= F.col(right_end))
             & (F.col(right_start) <= F.col(left_end))
+            & (
+                F.col("_bucket")
+                == F.date_trunc(
+                    bucket, F.greatest(F.col(left_start), F.col(right_start))
+                )
+            )
         )
         .drop("_bucket")
     )
-    return out.dropDuplicates()
 
 
 def interval_overlap_counts(

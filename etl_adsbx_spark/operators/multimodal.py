@@ -495,14 +495,21 @@ def _phash_block_keys(
     (``incremental_media_admit``)."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
+    # Mask with bitwiseAND, never `%`: Spark's remainder follows the
+    # dividend sign, and block 0's "shift" is by 0 bits, so a signature
+    # with bit 63 set stays negative and `sig % 2^w` yields a NEGATIVE
+    # key — pairs agreeing only on block 0 but differing in the sign bit
+    # were silently missed (mixed-sign regression pinned in
+    # tests/test_phash.py).
     blocks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("blk"),
-                (
-                    F.shiftrightunsigned(F.col("_sig"), b * width)
-                    % F.lit(1 << (width if b < nblocks - 1 else 64 - b * width))
-                ).alias("val"),
+                F.shiftrightunsigned(F.col("_sig"), b * width)
+                .bitwiseAND(
+                    F.lit((1 << (width if b < nblocks - 1 else 64 - b * width)) - 1)
+                )
+                .alias("val"),
             )
             for b in range(nblocks)
         ]

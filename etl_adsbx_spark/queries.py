@@ -4256,3 +4256,173 @@ def mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return robust_outlier_stats(d, "n_chars", ["lang"], k=3.0)
+
+
+# =========================================================================
+# Event analytics (SURVEY §8: sessionization / funnel / retention / SCD2 —
+# operators/events.py, generalizing the reference's keyed-recency event
+# treatment, task.ts:136-190)
+# =========================================================================
+
+@register(
+    "sessionization_report",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts_us, value,
+        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
+      FROM o
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts_us) AS started_at, MAX(ts_us) AS ended_at,
+           MAX(ts_us) - MIN(ts_us) AS duration,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM g GROUP BY user_id, session_idx
+    """,
+)
+def sessionization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Batch sessionization (30-min inactivity gap, exact µs
+    arithmetic) + per-session stats (operators.events.sessionize /
+    session_stats): the batch twin of the streaming session windows,
+    sharing their gap semantics. Plan: ONE user-partitioned window pass
+    (lag + running sum of session-start flags in the same exchange),
+    then one hash-agg keyed (user, session_idx) — parallelism is the
+    user dimension, nothing global. Exactness: timestamps as epoch-µs
+    bigints; session_value summed in decimal."""
+    from .operators.events import session_stats, sessionize
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_ts_us", F.unix_micros("ts")
+    )
+    sess = sessionize(
+        e, key="user_id", ts_col="_ts_us", gap=30 * 60 * 10**6,
+        tiebreak="event_id",
+    )
+    return session_stats(
+        sess, key="user_id", ts_col="_ts_us", value_col=dec2("value")
+    ).withColumn("session_value", F.col("session_value").cast("double"))
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+           (SELECT COUNT(*) FROM s1) AS n_entities
+    UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+    UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+    UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Ordered-step conversion funnel signup→view→click→purchase
+    (operators.events.funnel_counts): step i counts entities whose step-i
+    event is at-or-after their earliest valid step-(i-1) completion.
+    Plan: a chain of per-user MIN aggregations — each stage is one
+    events pass with a pushed-down `event_type = step` filter joined to
+    the previous stage's one-row-per-user frame (AQE broadcasts it). The
+    4 step totals are 1-row scalar aggregates (allowlisted
+    SinglePartition; the frames under them are user-sized)."""
+    from .operators.events import funnel_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        e, steps=["signup", "view", "click", "purchase"],
+        key="user_id", type_col="event_type", ts_col="ts",
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+    )
+    SELECT f.cohort,
+           date_diff('day', CAST(f.cohort AS DATE), CAST(a.p AS DATE)) // 7
+             AS period_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Weekly cohort retention (operators.events.retention_cohorts):
+    users cohorted by the week of their first event; (cohort, offset)
+    counts the cohort's distinct active users. Offsets via datediff on
+    the truncated timestamps — calendar-exact under DST, unlike a fixed
+    µs divisor (the ADVICE-flagged bug this round fixed). Plan: one
+    per-user MIN agg, a user-keyed join to the pre-shrunk distinct
+    (user, week) frame, one hash agg — join input bounded by
+    users × active-weeks, never raw events."""
+    from .operators.events import retention_cohorts
+
+    e = load_table(spark, sf_dir, "events")
+    return retention_cohorts(e, key="user_id", ts_col="ts", period="week")
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    k AS (SELECT * FROM c WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type AS attr_value, ts_us AS valid_from,
+           lead(ts_us) OVER w2 AS valid_to,
+           lead(ts_us) OVER w2 IS NULL AS is_current
+    FROM k
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Type-2 SCD history build (operators.events.build_scd2): the
+    event_type change log per user compressed to actual changes, each
+    with its [valid_from, valid_to) validity interval and is_current
+    flag. Plan: two user-partitioned windows over the same keys (lag
+    for compression, lead for interval close — the second reuses the
+    first's hash partitioning, no second exchange). The incremental
+    twin (scd2_merge) is pinned merge ≡ rebuild in tests/test_events.py."""
+    from .operators.events import build_scd2
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_ts_us", F.unix_micros("ts")
+    )
+    return build_scd2(
+        e, key="user_id", attr="event_type", ts_col="_ts_us",
+        tiebreak="event_id",
+    )

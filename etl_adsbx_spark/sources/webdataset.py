@@ -111,12 +111,16 @@ def samples_as_media(
 ) -> DataFrame:
     """Project one modality of a grouped-sample frame into the MEDIA_SCHEMA
     shape the fingerprint/dedup operators consume. ``media_id`` is derived
-    from the sample key content (xxhash64 — stable across re-shardings, no
-    zipWithIndex / monotonically_increasing_id nondeterminism)."""
+    from the (shard, sample_key) content pair (xxhash64 — stable across
+    re-reads, no zipWithIndex / monotonically_increasing_id
+    nondeterminism). The shard MUST participate in the hash: WebDataset
+    shards conventionally number samples per-shard (``000000.jpg`` in
+    every shard), so a key-only hash collides all same-basename samples
+    across shards into one media_id."""
     return (
         samples.where(F.element_at("parts", ext).isNotNull())
         .select(
-            F.xxhash64("sample_key").alias("media_id"),
+            F.xxhash64("shard", "sample_key").alias("media_id"),
             F.element_at("parts", ext).alias("payload"),
             F.lit(mime).alias("mime"),
             F.lit(width).cast("long").alias("width"),

@@ -1,0 +1,245 @@
+"""Event-analytics operators (operators/events.py): sessionization gap
+semantics, funnel step ordering, retention vs a pure-Python reference,
+SCD2 merge ≡ rebuild (the incremental-admission contract every other
+admission path pins), equal-timestamp tiebreak determinism, and the
+per-tick streaming SCD2 maintenance loop."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_adsbx_spark.operators.events import (
+    build_scd2,
+    funnel_counts,
+    retention_cohorts,
+    scd2_merge,
+    session_stats,
+    sessionize,
+)
+from etl_adsbx_spark.tables import load_table
+
+from .conftest import SF_SMALL
+
+SCD_COLS = ["user_id", "attr_value", "valid_from", "valid_to", "is_current"]
+
+
+def _events_ts_us(spark):
+    return load_table(spark, SF_SMALL, "events").withColumn(
+        "_ts_us", F.unix_micros("ts")
+    )
+
+
+def test_sessionize_gap_is_strict(spark):
+    """A delta of exactly `gap` stays in the same session (the break is
+    `delta > gap`, matching the docstring); gap+1 starts a new one."""
+    df = spark.createDataFrame(
+        [(1, 7, 1000), (2, 7, 2000), (3, 7, 3001)],
+        "event_id long, user_id long, t long",
+    )
+    out = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(
+            df, key="user_id", ts_col="t", gap=1000, tiebreak="event_id"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_session_stats_shape(spark):
+    df = spark.createDataFrame(
+        [(1, 7, 1000, 2.0), (2, 7, 1500, 3.0), (3, 7, 9000, 5.0)],
+        "event_id long, user_id long, t long, v double",
+    )
+    sess = sessionize(df, key="user_id", ts_col="t", gap=1000, tiebreak="event_id")
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration"], r["session_value"])
+        for r in session_stats(
+            sess, key="user_id", ts_col="t", value_col=F.col("v")
+        ).collect()
+    }
+    assert got == {(7, 1): (2, 500, 5.0), (7, 2): (1, 0, 5.0)}
+
+
+def test_funnel_step_order_matters(spark):
+    """Step i only counts events at-or-after the entity's earliest valid
+    step-(i-1) completion: a click BEFORE the first view doesn't convert."""
+    rows = [
+        (1, 1, 10, "view"), (2, 1, 20, "click"),   # converts both steps
+        (3, 2, 10, "click"), (4, 2, 20, "view"),   # click precedes view
+        (5, 3, 10, "view"),                          # view only
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, t long, et string")
+    got = {
+        (r["step_idx"], r["step"]): r["n_entities"]
+        for r in funnel_counts(
+            df, steps=["view", "click"], key="user_id", type_col="et", ts_col="t"
+        ).collect()
+    }
+    assert got == {(1, "view"): 3, (2, "click"): 1}
+
+
+def test_retention_matches_python_reference(spark):
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "ts")
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_active"]
+        for r in retention_cohorts(
+            events, key="user_id", ts_col="ts", period="week"
+        ).collect()
+    }
+
+    rows = events.collect()
+    week = lambda t: t.date() - dt.timedelta(days=t.weekday())  # noqa: E731
+    first: dict[int, dt.date] = {}
+    for r in rows:
+        w = week(r["ts"])
+        if r["user_id"] not in first or w < first[r["user_id"]]:
+            first[r["user_id"]] = w
+    want: dict[tuple, set] = {}
+    for r in rows:
+        cohort = first[r["user_id"]]
+        off = (week(r["ts"]) - cohort).days // 7
+        want.setdefault(
+            (dt.datetime.combine(cohort, dt.time()), off), set()
+        ).add(r["user_id"])
+    assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_retention_invalid_period_raises(spark):
+    with pytest.raises(ValueError, match="period"):
+        retention_cohorts(
+            load_table(spark, SF_SMALL, "events"), period="hour"
+        )
+
+
+def test_scd2_merge_equals_rebuild(spark):
+    """The incremental-admission contract: merging time-ordered batches
+    tick by tick reproduces the one-shot history build row for row
+    (same contract dedup/minhash/IVF admission pin)."""
+    e = _events_ts_us(spark)
+    lo, hi = e.agg(F.min("_ts_us"), F.max("_ts_us")).first()
+    cuts = [lo + (hi - lo + 1) * i // 3 for i in range(4)]
+    batches = [
+        e.filter((F.col("_ts_us") >= cuts[i]) & (F.col("_ts_us") < cuts[i + 1]))
+        for i in range(3)
+    ]
+    kw = dict(key="user_id", attr="event_type", ts_col="_ts_us", tiebreak="event_id")
+    dim = build_scd2(batches[0], **kw).localCheckpoint()
+    for b in batches[1:]:
+        dim = scd2_merge(dim, b, **kw).localCheckpoint()
+    rebuild = build_scd2(e, **kw)
+    got = sorted(map(tuple, dim.select(*SCD_COLS).collect()))
+    want = sorted(map(tuple, rebuild.select(*SCD_COLS).collect()))
+    assert got == want and len(want) > 100
+
+
+def test_scd2_merge_equal_timestamp_tiebreak(spark):
+    """Two batch changes with EQUAL timestamps for one entity close
+    deterministically by the tiebreak (the ADVICE-flagged window bug):
+    merge must equal the rebuild over the combined log, where ordering
+    is total via (ts, event_id)."""
+    base = spark.createDataFrame(
+        [(1, 7, 100, "A")], "event_id long, user_id long, t long, et string"
+    )
+    batch = spark.createDataFrame(
+        [(5, 7, 200, "B"), (6, 7, 200, "C")],
+        "event_id long, user_id long, t long, et string",
+    )
+    kw = dict(key="user_id", attr="et", ts_col="t", tiebreak="event_id")
+    dim = build_scd2(base, **kw)
+    merged = sorted(map(tuple, scd2_merge(dim, batch, **kw).select(*SCD_COLS).collect()))
+    rebuild = sorted(
+        map(tuple, build_scd2(base.unionByName(batch), **kw).select(*SCD_COLS).collect())
+    )
+    assert merged == rebuild
+    assert merged == [
+        (7, "A", 100, 200, False),
+        (7, "B", 200, 200, False),
+        (7, "C", 200, None, True),
+    ]
+
+
+def test_scd2_build_single_exchange(spark):
+    """The two windows (lag compression, lead interval-close) share one
+    hash-partitioning exchange — the second window reuses the first's
+    partitioning, so the history build shuffles the log exactly once."""
+    plan = (
+        build_scd2(_events_ts_us(spark), ts_col="_ts_us")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sessionize_single_exchange(spark):
+    plan = (
+        sessionize(_events_ts_us(spark), ts_col="_ts_us", gap=30 * 60 * 10**6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_streaming_scd2_ticks(spark):
+    """[EXT] Per-tick SCD2 maintenance: a foreachBatch loop drives
+    scd2_merge against a durable parquet dimension, one micro-batch per
+    source file; the final dimension equals the one-shot build_scd2 over
+    the full log — the same incremental ≡ rebuild contract as the batch
+    test, now across stream ticks and on-disk state."""
+    changes = [
+        [(1, 7, 100, "A"), (2, 8, 110, "X"), (3, 7, 120, "A")],
+        [(4, 7, 200, "B"), (5, 8, 210, "X"), (6, 9, 220, "Q")],
+        [(7, 7, 300, "B"), (8, 8, 310, "Y"), (9, 9, 320, "R")],
+    ]
+    src = tempfile.mkdtemp()
+    for i, batch in enumerate(changes):
+        path = os.path.join(src, f"b{i}.json")
+        with open(path, "w") as f:
+            for eid, uid, t, et in batch:
+                f.write(
+                    json.dumps(
+                        {"event_id": eid, "user_id": uid, "t": t, "et": et}
+                    )
+                    + "\n"
+                )
+        # the file source orders pending files by modification time —
+        # pin strictly increasing mtimes so ticks arrive append-only
+        os.utime(path, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    dim_dir = os.path.join(tempfile.mkdtemp(), "dim")
+    kw = dict(key="user_id", attr="et", ts_col="t", tiebreak="event_id")
+
+    def tick(batch_df, _epoch):
+        s = batch_df.sparkSession
+        if os.path.isdir(dim_dir):
+            dim = scd2_merge(s.read.parquet(dim_dir), batch_df, **kw)
+        else:
+            dim = build_scd2(batch_df, **kw)
+        # localCheckpoint cuts lineage off the old files, then the
+        # write-aside + copy keeps the overwrite atomic w.r.t. readers
+        dim = dim.localCheckpoint()
+        dim.write.mode("overwrite").parquet(dim_dir + ".next")
+        s.read.parquet(dim_dir + ".next").write.mode("overwrite").parquet(dim_dir)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, t long, et string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    flat = [r for b in changes for r in b]
+    full = spark.createDataFrame(flat, "event_id long, user_id long, t long, et string")
+    got = sorted(map(tuple, spark.read.parquet(dim_dir).select(*SCD_COLS).collect()))
+    want = sorted(map(tuple, build_scd2(full, **kw).select(*SCD_COLS).collect()))
+    assert got == want
+    cur = {r[0]: r[1] for r in want if r[4]}
+    assert cur == {7: "B", 8: "Y", 9: "R"}

@@ -133,6 +133,47 @@ def test_pairs_join_equals_brute_force(spark, corpus):
     assert len(got) >= 16, "every planted twin pair must be found"
 
 
+def test_pairs_join_mixed_sign_signatures(spark):
+    """Regression: signatures with bit 63 set are NEGATIVE int64s; the
+    block-0 key must not follow the dividend sign (a `%`-keyed block 0
+    silently missed every pair that agrees only on block 0 while
+    differing in the sign bit)."""
+
+    def to_i64(u: int) -> int:
+        return int(np.int64(np.uint64(u)))
+
+    sigs = {
+        1: to_i64(0x0000000000000001),
+        2: to_i64(0x8000211008040201),  # hamming 6 from id 1, sign bit set
+        3: to_i64(0x8000211008040200),  # hamming 1 from id 2
+        4: to_i64(0x7FFFFFFFFFFFFFFF),
+        5: to_i64(0xFFFFFFFFFFFFFFFF),  # hamming 1 from id 4 (sign flip)
+        6: to_i64(0x0123456789ABCDEF),
+    }
+    hashes = spark.createDataFrame(
+        [(k, v) for k, v in sigs.items()], "media_id long, phash long"
+    )
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for k in (0, 1, 7):
+        got = {
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in phash_pairs(hashes, max_hamming=k).collect()
+        }
+        want = {
+            (a, b, ham(sa, sb))
+            for a, sa in sigs.items()
+            for b, sb in sigs.items()
+            if a < b and ham(sa, sb) <= k
+        }
+        assert got == want, f"max_hamming={k}"
+    assert (1, 2, 7) in {
+        tuple(r) for r in phash_pairs(hashes, max_hamming=7).collect()
+    }
+
+
 def test_batch_shape_invariance(spark, corpus):
     df = _media_df(spark, corpus)
     one = sorted(map(tuple, phash_images(df.repartition(1)).collect()))

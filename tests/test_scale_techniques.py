@@ -412,6 +412,7 @@ SINGLEPART_ALLOWED = {
     "tfidf_top_terms": "1-row n_docs count",
     "boilerplate_strip": "1-row corpus count for the boilerplate threshold",
     "bm25_topk": "1-row (n_docs, avgdl) corpus-stats scalar",
+    "funnel_steps": "4 one-row step-total scalar aggregates (the frames under them are per-user MIN aggs, entity-partitioned)",
 }
 
 

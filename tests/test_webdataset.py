@@ -89,11 +89,31 @@ def test_end_to_end_shard_to_neardup(spark, shard_dir):
     key_of = {
         r["media_id"]: r["sample_key"]
         for r in samples.select(
-            F.xxhash64("sample_key").alias("media_id"), "sample_key"
+            F.xxhash64("shard", "sample_key").alias("media_id"), "sample_key"
         ).collect()
     }
     got = {tuple(sorted((key_of[p["a_id"]], key_of[p["b_id"]]))) for p in pairs}
     assert got == {("dup-0", "dup-1")}
+
+
+def test_media_id_distinct_for_per_shard_numbering(spark, tmp_path):
+    """Regression: WebDataset shards conventionally restart sample
+    numbering per shard (000000.ppm in every shard); a key-only hash
+    collapsed all of them into one media_id."""
+    d = tmp_path / "wds-numbered"
+    d.mkdir()
+    for shard_idx in range(3):
+        with tarfile.open(d / f"shard-{shard_idx:04d}.tar", "w") as tf:
+            _add(tf, "000000.ppm", _ppm(_smooth_image(40 + shard_idx)))
+    media = samples_as_media(
+        group_samples(read_webdataset(spark, str(d))),
+        "ppm",
+        "image/x-portable-pixmap",
+        width=W,
+        height=H,
+    )
+    ids = [r["media_id"] for r in media.collect()]
+    assert len(ids) == 3 and len(set(ids)) == 3
 
 
 def test_media_id_stable_across_rereads(spark, shard_dir):
