@@ -79,6 +79,14 @@ OPTIONAL = [
     "bm25_topk",
     "url_domain_stats",
     "mad_outlier_gate",
+    # r6: event analytics (sessionize/funnel/retention/SCD2) + the two
+    # newly driver-graded gates (exact-percentile config, CDC chunking)
+    "sessionization_report",
+    "funnel_steps",
+    "retention_cohorts",
+    "scd2_history",
+    "quantile_filter",
+    "chunk_documents_cdc",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

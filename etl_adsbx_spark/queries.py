@@ -1900,24 +1900,26 @@ def _hyperplane_sig_sql(vec_expr: str, nbits: int, dim: int) -> str:
     return " + ".join(parts)
 
 
-def _hyperplane_sig_sql_dyn(
-    vec_expr: str, max_nbits: int, dim: int, nb_expr: str
+def _hyperplane_sig_sql_dyn_table(
+    vec_expr: str, max_nbits: int, dim: int, nb_expr: str, table: int
 ) -> str:
-    """DuckDB expression for an auto-sized hyperplane signature: the plane
-    family is infinite and prefix-stable (plane p is identical for every
-    nbits), so a *runtime* bit count ``nb_expr`` just gates which of the
-    first ``max_nbits`` literal planes contribute. This lets the oracle
-    replay `nbits=None` auto-sizing — the bucket count is computed from
-    COUNT(*) in SQL, exactly the engine's plan-time count job."""
+    """DuckDB expression for table ``table`` of a multi-table auto-sized
+    hyperplane signature: table t uses planes [t·nb, (t+1)·nb) of the same
+    prefix-stable infinite family (similarity.hyperplane_weights
+    plane_offset contract), where nb is the RUNTIME bit count ``nb_expr``.
+    Plane p contributes bit (p − t·nb) when t·nb ≤ p < (t+1)·nb — the
+    offset itself is runtime, so the bit weight is a runtime shift. This
+    lets the oracle replay the full OR-amplification config: auto bucket
+    count AND per-table plane families, both recomputed in SQL."""
     from .operators.similarity import hyperplane_weights
 
     parts = []
-    for p, w in enumerate(hyperplane_weights(max_nbits, dim)):
+    for p, w in enumerate(hyperplane_weights((table + 1) * max_nbits, dim)):
         arr = "[" + ",".join(repr(x) for x in w) + "]"
         parts.append(
-            f"(CASE WHEN {p} < {nb_expr}"
+            f"(CASE WHEN {p} >= {table} * {nb_expr} AND {p} < {table + 1} * {nb_expr}"
             f" AND round(list_inner_product({vec_expr}, {arr}::DOUBLE[]), 6) > 0"
-            f" THEN {2 ** p} ELSE 0 END)"
+            f" THEN (CAST(1 AS BIGINT) << ({p} - {table} * {nb_expr})) ELSE 0 END)"
         )
     return " + ".join(parts)
 
@@ -2014,27 +2016,34 @@ _ORACLE["ann_topk"] = f"""
       SELECT GREATEST(1, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / 128.0)) AS INTEGER)) AS nb
       FROM e
     ),
-    s AS (SELECT vec_id, {_hyperplane_sig_sql('v', 4, 64)} AS sig, v FROM e),
-    s_auto AS (
-      SELECT vec_id, {_hyperplane_sig_sql_dyn('v', 16, 64, 'nb.nb')} AS sig, v
+    s0 AS (
+      SELECT vec_id, {_hyperplane_sig_sql_dyn_table('v', 16, 64, 'nb.nb', 0)} AS sig
+      FROM e, nb
+    ),
+    s1 AS (
+      SELECT vec_id, {_hyperplane_sig_sql_dyn_table('v', 16, 64, 'nb.nb', 1)} AS sig
       FROM e, nb
     ),
     cand AS (
-      SELECT 'fixed4' AS cfg, a.vec_id AS a_id, b.vec_id AS b_id, a.v AS av, b.v AS bv
-      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
-      UNION ALL
-      SELECT 'auto' AS cfg, a.vec_id AS a_id, b.vec_id AS b_id, a.v AS av, b.v AS bv
-      FROM s_auto a JOIN s_auto b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM s0 a JOIN s0 b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM s1 a JOIN s1 b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    j AS (
+      SELECT c.a_id, c.b_id, ea.v AS av, eb.v AS bv
+      FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
     ),
     dots AS (
-      SELECT cfg, a_id, b_id,
+      SELECT a_id, b_id,
         SUM(av[i] * bv[i]) AS dp,
         SUM(av[i] * av[i]) AS an,
         SUM(bv[i] * bv[i]) AS bn
-      FROM cand, range(1, 65) r(i)
-      GROUP BY 1, 2, 3
+      FROM j, range(1, 65) r(i)
+      GROUP BY 1, 2
     )
-    SELECT cfg, a_id, b_id, round(dp / (sqrt(an) * sqrt(bn)), 6) AS cosine_sim
+    SELECT a_id, b_id, round(dp / (sqrt(an) * sqrt(bn)), 6) AS cosine_sim
     FROM dots
     WHERE round(dp / (sqrt(an) * sqrt(bn)), 6) >= 0.3
     """,
@@ -2044,21 +2053,22 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine verify ≥ 0.3 (operators.similarity.embedding_neardup_pairs).
     Blocking turns O(n²) into a bucket equi-join — the 100-TB shape.
 
-    Tagged union of BOTH configurations so the scale-safe one is
-    oracle-graded, not just benchmarked: `fixed4` is the historical
-    nbits=4 leg (measured quadratic at sf1 — BASELINE.md), `auto` is the
-    nbits=None auto-sizing leg whose bucket count grows with COUNT(*)
-    (ceil(log2(n/128)), the config that measured 3.1× for 10× data). The
-    oracle recomputes the auto bit count from COUNT(*) in SQL, so the
-    plan-time count job is replayed, not trusted."""
+    Graded config = THE scale-safe one, by this repo's grading rule (the
+    same retirement the keyless range join and the global interval-overlap
+    pair list got): auto-sized bucket count nbits=ceil(log2(n/128)) —
+    candidate work stays ~linear as n grows (measured 3.1× per decade vs
+    32.5× for the retired fixed-nbits leg, BASELINE.md) — times
+    n_tables=2 OR-amplification, the knob that holds recall as nbits
+    grows. The oracle recomputes the bit count from COUNT(*) AND replays
+    both tables' plane families (prefix-stable offsets t·nb) in SQL, so
+    the plan-time count job and the multi-table distinct-candidates join
+    are value-verified, not trusted. The fixed-nbits=4 leg remains a
+    pytest regression case only
+    (tests/test_similarity_multimodal.py::test_embedding_neardup_scaled_config)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    fixed = similarity.embedding_neardup_pairs(emb, threshold=0.3, nbits=4).select(
-        F.lit("fixed4").alias("cfg"), "*"
+    return similarity.embedding_neardup_pairs(
+        emb, threshold=0.3, nbits=None, n_tables=2
     )
-    auto = similarity.embedding_neardup_pairs(emb, threshold=0.3, nbits=None).select(
-        F.lit("auto").alias("cfg"), "*"
-    )
-    return fixed.unionByName(auto)
 
 
 @register(
@@ -3992,19 +4002,27 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_name_pairs",
     oracle="""
-    WITH pairs AS (
-      SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
-             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WITH g AS (
+      SELECT c_name, MIN(c_custkey) AS rep, COUNT(*) AS m
+      FROM customer GROUP BY c_name
+    ),
+    rp AS (
+      SELECT a.rep AS a_key, b.rep AS b_key,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+             a.m * b.m AS n_members
+      FROM g a JOIN g b ON a.rep < b.rep
       WHERE levenshtein(a.c_name, b.c_name) <= 1
+      UNION ALL
+      SELECT rep, rep, CAST(0 AS BIGINT), m * (m - 1) // 2
+      FROM g WHERE m >= 2
     )
     SELECT 'hist' AS leg, CAST(-1 AS BIGINT) AS a_key, CAST(-1 AS BIGINT) AS b_key,
-           dist, COUNT(*) AS n_pairs
-    FROM pairs GROUP BY dist
+           dist, CAST(SUM(n_members) AS BIGINT) AS n_pairs
+    FROM rp GROUP BY dist
     UNION ALL
     SELECT 'pair', CAST(a_key AS BIGINT), CAST(b_key AS BIGINT), dist,
-           CAST(1 AS BIGINT)
-    FROM pairs WHERE a_key % 17 = 0
+           CAST(n_members AS BIGINT)
+    FROM rp WHERE a_key % 17 = 0
     """,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4015,32 +4033,51 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's exact-key dedup (task.ts:176-190) to approximate keys.
 
     Graded-config rule (registry header): pair-list outputs that can grow
-    quadratically are graded as a keyed subset + exact global counts —
-    the 'hist' leg value-verifies the COMPLETE pair set per distance
-    (count exactness ⇒ no candidate was missed by the blocking, since
-    the Spark side is a verified superset), the 'pair' leg value-verifies
-    pair identity on the a_key % 17 keyed slice."""
+    quadratically are graded as a keyed subset + exact global counts.
+    Member-pair output is quadratic in DUPLICATE density (10× replicated
+    names ⇒ ~100× pairs — measured 26.9M member pairs at the replicated
+    sf1, BASELINE.md), so the graded form is the rep-level result
+    (fuzzy_pairs expand=False): the 'hist' leg value-verifies the
+    COMPLETE member-pair count per distance via Σ a_mult·b_mult +
+    Σ m·(m−1)/2 — exact, no expansion ever materialized (count
+    exactness ⇒ no candidate was missed by the blocking, since the
+    Spark side is a verified superset) — and the 'pair' leg
+    value-verifies rep-pair identity + multiplicity on the
+    a_key % 17 slice. On duplicate-free corpora (the driver tables)
+    this is row-identical to the old fully-expanded grading."""
     from .operators.dedup import fuzzy_pairs
 
     cust = load_table(spark, sf_dir, "customer")
-    pairs = fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1).select(
+    reps = fuzzy_pairs(
+        cust, "c_custkey", "c_name", max_dist=1, expand=False
+    ).select(
         F.col("a_id").cast("bigint").alias("a_key"),
         F.col("b_id").cast("bigint").alias("b_key"),
         "dist",
+        (
+            F.when(
+                F.col("a_id") == F.col("b_id"),
+                (F.col("a_mult") * (F.col("a_mult") - 1) / 2),
+            )
+            .otherwise(F.col("a_mult") * F.col("b_mult"))
+            .cast("bigint")
+        ).alias("n_members"),
     )
-    hist = pairs.groupBy("dist").agg(F.count("*").alias("n_pairs")).select(
+    hist = reps.groupBy("dist").agg(
+        F.sum("n_members").cast("bigint").alias("n_pairs")
+    ).select(
         F.lit("hist").alias("leg"),
         F.lit(-1).cast("bigint").alias("a_key"),
         F.lit(-1).cast("bigint").alias("b_key"),
         "dist",
         "n_pairs",
     )
-    keyed = pairs.filter(F.col("a_key") % 17 == 0).select(
+    keyed = reps.filter(F.col("a_key") % 17 == 0).select(
         F.lit("pair").alias("leg"),
         "a_key",
         "b_key",
         "dist",
-        F.lit(1).cast("bigint").alias("n_pairs"),
+        F.col("n_members").alias("n_pairs"),
     )
     return hist.unionByName(keyed)
 
@@ -4425,4 +4462,98 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_scd2(
         e, key="user_id", attr="event_type", ts_col="_ts_us",
         tiebreak="event_id",
+    )
+
+
+# =========================================================================
+# Quality-gate + chunking registry rows (round 6: driver-grade the two
+# biggest previously pytest-only operators — SURVEY §8 quantile gate and
+# content-defined chunking)
+# =========================================================================
+
+@register(
+    "quantile_filter",
+    oracle="""
+    WITH thr AS (
+      SELECT lang, quantile_cont(n_chars, 0.25) AS thr
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN thr t USING (lang)
+    WHERE d.n_chars >= t.thr
+    """,
+)
+def quantile_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-stratum quality quantile gate (operators.sampling.
+    quantile_filter): keep the top 75% of documents by length within each
+    language — the Gopher-style "top X% by score per stratum" gate. Plan:
+    ONE per-stratum percentile aggregation (one row per lang) broadcast
+    back as a filter — never a per-stratum window sort over the corpus
+    (skewed strata make that a single-task sort). Graded config uses the
+    EXACT interpolated percentile (DuckDB quantile_cont is the identical
+    (n−1)·p definition; integer scores + dyadic p=0.25 make every
+    interpolation step exact in double, so thresholds match bit-for-bit);
+    the approx_percentile sketch is the 100-TB path, pinned in
+    tests/test_sampling.py."""
+    from .operators.sampling import quantile_filter
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    return quantile_filter(d, "n_chars", 0.75, ["lang"], exact=True)
+
+
+@register(
+    "chunk_documents_cdc",
+    oracle=r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    d2 AS (SELECT doc_id, toks, len(toks) AS n FROM docs WHERE len(toks) > 0),
+    cuts AS (
+      SELECT doc_id, 0 AS k, 0 AS b, n FROM d2
+      UNION ALL
+      SELECT c.doc_id, c.k + 1,
+        LEAST(
+          COALESCE((SELECT MIN(u.i)
+                    FROM unnest(generate_series(c.b + 8, c.n)) u(i)
+                    WHERE ('0x' || substring(md5(d.toks[i]), 1, 8))::BIGINT
+                          % 32 = 0),
+                   c.n + 1000000),
+          c.b + 128, c.n) AS b,
+        c.n
+      FROM cuts c JOIN d2 d USING (doc_id)
+      WHERE c.b < c.n
+    ),
+    bounds AS (
+      SELECT doc_id, k, b,
+             lag(b) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      FROM cuts
+    )
+    SELECT d.doc_id, CAST(bo.k - 1 AS BIGINT) AS chunk_idx,
+           array_to_string(d.toks[bo.prev + 1 : bo.b], ' ') AS chunk_text,
+           CAST(bo.b - bo.prev AS BIGINT) AS n_chunk_tokens
+    FROM bounds bo JOIN d2 d USING (doc_id)
+    WHERE bo.prev IS NOT NULL
+    """,
+)
+def chunk_documents_cdc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Content-defined chunking (operators.chunk.chunk_documents_cdc):
+    cut after a token when its hash % 32 == 0, bounded to [8, 128] tokens
+    — boundaries are a function of content, so edits early in a document
+    leave the tail's chunks (and their dedup hashes) byte-identical. The
+    sequential boundary fold is ONE per-row codegen expression (no
+    shuffle, no Python); the oracle replays it as a recursive CTE over
+    the same portable md5 token hash, value-verifying every boundary,
+    chunk text, and token count. xxhash64 is the default fast hash;
+    graded config uses portable_hash=True (identical statistics,
+    DuckDB-replayable — the minhash-oracle convention)."""
+    from .operators.chunk import chunk_documents_cdc
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents_cdc(
+        d, target_tokens=32, min_tokens=8, max_tokens=128, portable_hash=True
     )

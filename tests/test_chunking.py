@@ -253,3 +253,52 @@ def test_pack_bins_whole_doc_packing(spark):
     frac_lb = sum(n for _, n, _, _, _ in rows) / budget
     assert n_bins <= 1.5 * frac_lb + 8, (n_bins, frac_lb)
     assert n_bins < len(rows) / 2
+
+
+def test_cdc_portable_hash_matches_python_reference(spark):
+    """portable_hash=True (the oracle-graded config) runs the identical
+    boundary fold over the md5-based 32-bit token hash; the reference
+    replay uses md5 flags, so this pins the portable config end to end
+    (the DuckDB recursive-CTE oracle replays the same hash at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.operators.chunk import chunk_documents_cdc
+    from etl_adsbx_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    target, mn, mx = 8, 3, 20
+    out = chunk_documents_cdc(d, target, mn, mx, portable_hash=True)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens) for r in out.collect())
+    )
+    toks_col = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    md5_cut = lambda t: (  # noqa: E731
+        F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+            F.lit(target),
+        )
+        == 0
+    )
+    flags = {
+        r.doc_id: (r.toks, r.cuts)
+        for r in d.select(
+            "doc_id",
+            toks_col.alias("toks"),
+            F.transform(toks_col, md5_cut).alias("cuts"),
+        ).collect()
+    }
+    want = sorted(
+        (doc, idx, text, n)
+        for doc, (toks, cuts) in flags.items()
+        if toks
+        for idx, text, n in _cdc_python_reference(toks, target, mn, mx, cuts)
+    )
+    assert rows == want
+    # different hash family ⇒ different boundaries than xxhash64, same
+    # statistics contract (bounds hold; full coverage checked above via
+    # the reference equality)
+    xx = {
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_documents_cdc(d, target, mn, mx).collect()
+    }
+    assert {(a, b, c) for a, b, c, _ in rows} != xx

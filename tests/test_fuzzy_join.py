@@ -77,3 +77,41 @@ def test_deletion_variants_exact_set(spark):
 def test_deletion_variants_empty_string(spark):
     rows = spark.range(1).select(deletion_variants(F.lit(""), 1).alias("v")).collect()
     assert rows[0].v == [""]
+
+
+def test_rep_level_form_consistent_with_expansion(spark, strings_df):
+    """expand=False (the graded scale form) must carry exactly the
+    information the expanded member-pair list contains: expanding the
+    rep pairs by their multiplicities reproduces the full pair set, and
+    the diagonal rows' m·(m−1)/2 equals the intra-group pair count."""
+    full = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_pairs(strings_df, "id", "s", max_dist=1).collect()
+    }
+    reps = fuzzy_pairs(strings_df, "id", "s", max_dist=1, expand=False).collect()
+    members: dict[str, list[int]] = {}
+    for r in strings_df.collect():
+        members.setdefault(r["s"], []).append(r["id"])
+    by_rep = {min(v): sorted(v) for v in members.values()}
+    want = set()
+    n_members_total = 0
+    for r in reps:
+        if r["a_id"] == r["b_id"]:  # diagonal: intra-group dist-0 pairs
+            ms = by_rep[r["a_id"]]
+            assert r["a_mult"] == r["b_mult"] == len(ms) and len(ms) >= 2
+            pairs = [
+                (x, y, 0) for i, x in enumerate(ms) for y in ms[i + 1:]
+            ]
+            assert r["a_mult"] * (r["a_mult"] - 1) // 2 == len(pairs)
+        else:
+            assert r["a_mult"] == len(by_rep[r["a_id"]])
+            assert r["b_mult"] == len(by_rep[r["b_id"]])
+            pairs = [
+                (min(x, y), max(x, y), r["dist"])
+                for x in by_rep[r["a_id"]]
+                for y in by_rep[r["b_id"]]
+            ]
+        n_members_total += len(pairs)
+        want.update(pairs)
+    assert want == full
+    assert n_members_total == len(full)  # rep rows partition the pair set
