@@ -87,6 +87,8 @@ OPTIONAL = [
     "scd2_history",
     "quantile_filter",
     "chunk_documents_cdc",
+    "scd2_point_in_time",
+    "event_paths_topk",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

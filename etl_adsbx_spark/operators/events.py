@@ -282,3 +282,88 @@ def scd2_merge(
     )
     cols = [key, "attr_value", "valid_from", "valid_to", "is_current"]
     return closed.select(*cols).unionByName(new_rows.select(*cols))
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts_ns",
+) -> DataFrame:
+    """Enrich each fact row with the SCD2 attribute valid AT the fact's
+    timestamp: join ``dim`` (a ``build_scd2``/``scd2_merge`` output with
+    [valid_from, valid_to) intervals) on the entity key plus interval
+    containment ``valid_from <= ts < coalesce(valid_to, +inf)``. Facts
+    before the entity's first change (or for unknown entities) keep a
+    NULL attribute — the standard point-in-time dimension lookup every
+    SCD2 consumer runs.
+
+    Plan: ONE entity-keyed equi-join carrying the interval predicate as
+    a residual filter — the hash key does all the data movement, and an
+    entity's dimension slice (its few change rows) meets each of its
+    facts exactly once post-filter. Validity intervals per entity are
+    disjoint by construction (build_scd2 compresses consecutive
+    duplicates), so the join is 1:≤1 — no fact duplication. At 100 TB
+    the dim side is entities × changes ≪ facts and AQE broadcasts it;
+    otherwise both sides shuffle once on the entity key."""
+    d = dim.select(
+        F.col(key).alias("_dk"),
+        F.col("attr_value"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+    )
+    out = facts.join(
+        d,
+        (F.col(key) == F.col("_dk"))
+        & (F.col("valid_from") <= F.col(ts_col))
+        & (F.col("valid_to").isNull() | (F.col(ts_col) < F.col("valid_to"))),
+        "left_outer",
+    )
+    return out.drop("_dk", "valid_from", "valid_to")
+
+
+def session_paths_topk(
+    events: DataFrame,
+    k: int = 10,
+    max_steps: int = 5,
+    key: str = "user_id",
+    ts_col: str = "ts_ns",
+    type_col: str = "event_type",
+    gap: int = 30 * 60 * 10**9,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top-k most common session journey prefixes: sessionize, take each
+    session's first ``max_steps`` event types in time order, count
+    identical paths, return the ``k`` most frequent (ties broken by path
+    string so the top-k is total-ordered). The classic product-analytics
+    "what do users do" query.
+
+    Plan: the sessionize window pass, then ONE hash-agg per (entity,
+    session) building the ordered path with ``array_sort`` over
+    (ts, tiebreak, type) structs — the sort is per-session-sized, inside
+    the aggregation buffer, never a corpus sort — then a path-keyed
+    count and a TakeOrderedAndProject top-k. No stage is keyed on
+    anything wider than the session or path."""
+    sess = sessionize(events, key=key, ts_col=ts_col, gap=gap, tiebreak=tiebreak)
+    paths = (
+        sess.groupBy(key, "session_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(tiebreak).alias("tb"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ).alias("_evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(F.transform(F.col("_evs"), lambda s: s["e"]), 1, max_steps),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    return counted.orderBy(F.desc("n_sessions"), "path").limit(k)

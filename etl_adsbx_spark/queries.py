@@ -4557,3 +4557,101 @@ def chunk_documents_cdc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents_cdc(
         d, target_tokens=32, min_tokens=8, max_tokens=128, portable_hash=True
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    k AS (SELECT * FROM c WHERE prev IS NULL OR event_type <> prev),
+    dim AS (
+      SELECT user_id, event_type AS attr_value, ts_us AS valid_from,
+             lead(ts_us) OVER w2 AS valid_to
+      FROM k
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us, d.attr_value
+    FROM events f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= epoch_us(f.ts)
+     AND (d.valid_to IS NULL OR epoch_us(f.ts) < d.valid_to)
+    WHERE f.event_type = 'purchase'
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Point-in-time SCD2 lookup — the consumer of the dimension
+    `scd2_history` builds (operators.events.point_in_time_join): each
+    purchase event is enriched with the user's last non-purchase activity
+    state valid AT purchase time (validity-interval containment on top of
+    the entity equi-key; purchases before any state keep NULL). Plan: the
+    dimension build's two shared-exchange windows, then ONE entity-keyed
+    join with the interval predicate as residual filter — 1:≤1 because
+    intervals per entity are disjoint by construction."""
+    from .operators.events import build_scd2, point_in_time_join
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_ts_us", F.unix_micros("ts")
+    )
+    dim = build_scd2(
+        e.filter(F.col("event_type") != "purchase"),
+        key="user_id", attr="event_type", ts_col="_ts_us", tiebreak="event_id",
+    )
+    facts = e.filter(F.col("event_type") == "purchase")
+    return point_in_time_join(facts, dim, key="user_id", ts_col="_ts_us").select(
+        "event_id", "user_id", F.col("_ts_us").alias("ts_us"), "attr_value"
+    )
+
+
+@register(
+    "event_paths_topk",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts_us, event_id, event_type,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ),
+    p AS (
+      SELECT user_id, sid,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts_us, event_id), 1, 5),
+               '>') AS path
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Top-10 session journey prefixes (operators.events.
+    session_paths_topk): sessionize (30-min gap, exact µs), take each
+    session's first 5 event types in (ts, event_id) order, count
+    identical paths, top-10 with a path-string tiebreak (total order —
+    the registry top-k convention). The per-session ordered path is
+    built INSIDE one hash-agg buffer via array_sort over (t, tiebreak,
+    type) structs — never a corpus sort; the final top-k is a
+    TakeOrderedAndProject over path counts."""
+    from .operators.events import session_paths_topk
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_ts_us", F.unix_micros("ts")
+    )
+    return session_paths_topk(
+        e, k=10, max_steps=5, key="user_id", ts_col="_ts_us",
+        gap=30 * 60 * 10**6, tiebreak="event_id",
+    )

@@ -243,3 +243,56 @@ def test_streaming_scd2_ticks(spark):
     assert got == want
     cur = {r[0]: r[1] for r in want if r[4]}
     assert cur == {7: "B", 8: "Y", 9: "R"}
+
+
+def test_point_in_time_join_intervals(spark):
+    """Facts look up the attribute valid AT their timestamp: before the
+    first change → NULL; inside an interval → that interval's value;
+    at/after the last change → the current value. Exactly one output row
+    per fact (disjoint intervals ⇒ 1:≤1)."""
+    from etl_adsbx_spark.operators.events import point_in_time_join
+
+    changes = spark.createDataFrame(
+        [(1, 7, 100, "A"), (2, 7, 200, "B"), (3, 8, 150, "X")],
+        "event_id long, user_id long, t long, et string",
+    )
+    dim = build_scd2(changes, key="user_id", attr="et", ts_col="t", tiebreak="event_id")
+    facts = spark.createDataFrame(
+        [(10, 7, 50), (11, 7, 100), (12, 7, 199), (13, 7, 200), (14, 7, 999),
+         (15, 8, 150), (16, 9, 100)],
+        "fact_id long, user_id long, t long",
+    )
+    out = {
+        r["fact_id"]: r["attr_value"]
+        for r in point_in_time_join(facts, dim, key="user_id", ts_col="t").collect()
+    }
+    assert out == {
+        10: None, 11: "A", 12: "A", 13: "B", 14: "B", 15: "X", 16: None,
+    }
+    assert point_in_time_join(facts, dim, key="user_id", ts_col="t").count() == 7
+
+
+def test_session_paths_topk_ordering_and_prefix(spark):
+    """Paths are time-ordered within session, truncated to max_steps, and
+    the top-k is (count desc, path) total-ordered."""
+    from etl_adsbx_spark.operators.events import session_paths_topk
+
+    rows = []
+    eid = 0
+    # 3 sessions with path a>b, 2 with b>a, 1 with a>b>c>d>e>f (truncates)
+    for u, seq, base in [
+        (1, "ab", 0), (2, "ab", 0), (3, "ab", 0),
+        (4, "ba", 0), (5, "ba", 0),
+        (6, "abcdef", 0),
+    ]:
+        for i, ch in enumerate(seq):
+            rows.append((eid, u, base + i, ch)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, t long, et string")
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in session_paths_topk(
+            df, k=3, max_steps=5, key="user_id", ts_col="t",
+            type_col="et", gap=1000, tiebreak="event_id",
+        ).collect()
+    ]
+    assert got == [("a>b", 3), ("b>a", 2), ("a>b>c>d>e", 1)]
