@@ -89,6 +89,8 @@ OPTIONAL = [
     "chunk_documents_cdc",
     "scd2_point_in_time",
     "event_paths_topk",
+    # r6 cont.: DSIR importance weighting (map-side fit/score)
+    "dsir_weights",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

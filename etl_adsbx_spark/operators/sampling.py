@@ -336,3 +336,136 @@ def robust_outlier_stats(
             ),
         )
     )
+
+
+def hashed_ngram_features(
+    text_col: Column | str = "text", m: int = 1024
+) -> Column:
+    """Hashed unigram+bigram feature-bucket array for DSIR-style
+    importance weighting (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): whitespace tokens of the
+    lowercased text plus adjacent-pair bigrams, each hashed into
+    ``m`` buckets with the portable md5-prefix hash the sampling family
+    shares — so the bucket ids (and therefore the fitted hashed
+    distributions) are DuckDB-replayable.
+
+    Pure per-row codegen: one split + one in-row transform; no UDF, no
+    shuffle. The bigram array is built with ``transform(sequence(...))``
+    guarded by ``size >= 2`` (Spark's ``sequence(1, 0)`` would count
+    DOWN, not return empty)."""
+    from ..functions.text import tokens
+
+    t = tokens(text_col)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(t, bigrams)
+    return F.transform(
+        feats,
+        lambda f: F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("bigint")
+        % F.lit(m),
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    m: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """DSIR importance log-weights: fit add-one-smoothed hashed-n-gram
+    bag models for the TARGET subset (rows where ``target_pred``) and
+    the RAW corpus (all rows), then score every document with
+    ``log p_target(doc) − log p_raw(doc)`` under the bag model — the
+    estimated importance weight data selection resamples by (documents
+    that look like the target distribution score high). Output: one row
+    per document with ``n_feats`` and ``dsir_logweight``.
+
+    Cross-engine determinism: the per-bucket log-likelihood ratio is
+    nonlinear (ln), so it is rounded to 6 dp and cast to DECIMAL(18,6)
+    BEFORE the per-document sum — decimal addition is exact and
+    order-independent, so the in-row fold below reproduces the oracle's
+    grouped SUM bit-for-bit, per the registry convention.
+
+    Plan shape (100 TB): two corpus scans, neither doc-keyed-shuffled.
+    FIT: one explode pass → one m-key hash-agg (map-side partials
+    collapse each task's contribution to ≤ m rows, m ≈ 2^10..2^20) →
+    1-row totals frame → m-row log-ratio table. SCORE: the log-ratio
+    table collapses to a ONE-ROW ``map<bucket, weight>`` broadcast and
+    each document folds its own feature array with ``F.aggregate`` +
+    ``element_at`` — the same entirely-map-side shape as
+    ``text.score_unigram_lm``, chosen over the explode→join→re-agg
+    formulation whose shuffle is FEATURE-count-sized (and which the
+    optimizer cannot exchange-reuse across the fit/score branches:
+    measured 3 full explode subtrees in that plan vs 2 scans here).
+    Buckets unseen at fit time (possible only when scoring a corpus the
+    model was not fit on) score the smoothing-floor ratio rather than
+    nulling the document."""
+    carry = carry or []
+    feats = hashed_ngram_features(text_col, m)
+    gl = (
+        docs.select(target_pred.alias("_tgt"), F.explode(feats).alias("_b"))
+        .groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), F.lit(1)).otherwise(F.lit(0))).alias("_tc"),
+            F.count("*").alias("_rc"),
+        )
+    )
+    def _ratio(tc, rc):
+        return (
+            F.round(
+                F.log((tc + F.lit(1)) / (F.col("_tt") + F.lit(m)))
+                - F.log((rc + F.lit(1)) / (F.col("_rt") + F.lit(m))),
+                6,
+            ).cast("decimal(18,6)")
+        )
+
+    # One single-row fit frame: the totals AND the per-bucket count map
+    # come out of the same SinglePartition agg over gl's ≤ m rows, and
+    # the weight map is derived IN-ROW with transform_values — so the
+    # heavy explode subtree exists exactly once in the plan (a separate
+    # totals frame re-ran it per broadcast branch: ReuseExchange cannot
+    # canonicalize across the differently-pruned branches).
+    fitrow = (
+        gl.agg(
+            F.sum("_tc").alias("_tt"),
+            F.sum("_rc").alias("_rt"),
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct("_b", F.struct("_tc", "_rc").alias("_c")))
+                )
+            ).alias("_cmap"),
+        )
+        .select(
+            F.transform_values(
+                "_cmap", lambda k, v: _ratio(v["_tc"], v["_rc"])
+            ).alias("_wmap"),
+            _ratio(F.lit(0), F.lit(0)).alias("_w0"),
+        )
+    )
+    fold = F.aggregate(
+        F.col("_f"),
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, b: (
+            acc + F.coalesce(F.element_at(F.col("_wmap"), b), F.col("_w0"))
+        ).cast("decimal(28,6)"),
+    )
+    return (
+        docs.select(F.col(id_col), *[F.col(c) for c in carry], feats.alias("_f"))
+        .where(F.size("_f") > 0)
+        .crossJoin(F.broadcast(fitrow))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.size("_f").cast("bigint").alias("n_feats"),
+            fold.cast("double").alias("dsir_logweight"),
+        )
+    )

@@ -4655,3 +4655,61 @@ def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, k=10, max_steps=5, key="user_id", ts_col="_ts_us",
         gap=30 * 60 * 10**6, tiebreak="event_id",
     )
+
+
+@register(
+    "dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, (lang = 'en') AS tgt,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, tgt, unnest(t) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, lang, tgt,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1])) AS f
+      FROM toks
+    ),
+    fb AS (
+      SELECT doc_id, lang, tgt,
+             ('0x' || substring(md5(f), 1, 8))::BIGINT % 1024 AS b,
+             COUNT(*) AS c
+      FROM feats GROUP BY doc_id, lang, tgt, b
+    ),
+    gl AS (
+      SELECT b, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS tc, SUM(c) AS rc
+      FROM fb GROUP BY b
+    ),
+    tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM gl),
+    llr AS (
+      SELECT b, round(ln((tc + 1.0) / (tt + 1024)) -
+                      ln((rc + 1.0) / (rt + 1024)), 6)::DECIMAL(18,6) AS w
+      FROM gl, tot
+    )
+    SELECT fb.doc_id, fb.lang, SUM(c)::BIGINT AS n_feats,
+           SUM(c * w)::DOUBLE AS dsir_logweight
+    FROM fb JOIN llr USING (b)
+    GROUP BY fb.doc_id, fb.lang
+    """,
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR importance weights (operators.sampling.dsir_log_weights
+    — Xie et al. 2023 hashed-n-gram importance resampling, the published
+    data-selection method behind e.g. domain-matched pretraining mixes):
+    target = English documents, raw = whole corpus; every document gets
+    log p_target − log p_raw under add-one-smoothed hashed unigram+bigram
+    bag models (m=1024 buckets, portable md5 hash). The per-bucket
+    log-ratio is round(·,6)→DECIMAL before the per-doc sum, so the score
+    is exact in both engines. Plan: FIT is one explode pass collapsed
+    map-side to an m-key hash-agg; SCORE is entirely map-side — the
+    m-row ratio table becomes a 1-row map<bucket,weight> broadcast and
+    each doc folds its own feature array (the score_unigram_lm shape, no
+    feature-sized shuffle, no doc-keyed shuffle); the target/raw totals
+    are the 1-row broadcast frame every corpus-stat query uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.dsir_log_weights(
+        docs, F.col("lang") == "en", m=1024, carry=["lang"]
+    )

@@ -309,3 +309,68 @@ def test_quantile_filter_exact_mode_matches_numpy(spark):
     }
     want = {r["doc_id"] for r in rows if r["n_chars"] >= thr[r["lang"]]}
     assert kept == want
+
+
+def test_dsir_log_weights_matches_python_reference(spark):
+    """dsir_log_weights ≡ a pure-Python DSIR reference (hashed
+    unigram+bigram bag models, add-one smoothing, round-6 HALF_UP
+    per-bucket ratios summed per doc), and the intended signal holds:
+    per-feature weights of target-language docs strictly exceed the
+    others'."""
+    import hashlib
+    import math
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from etl_adsbx_spark.operators.sampling import dsir_log_weights
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog ate the cat food"),
+        (3, "de", "der hund und die katze"),
+        (4, "fr", "le chat et le chien"),
+        (5, "en", "cat cat cat"),
+        (6, "de", "die katze sitzt auf der matte"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(
+            df, F.col("lang") == "en", m=64, carry=["lang"]
+        ).collect()
+    }
+
+    m = 64
+
+    def feats(text: str) -> list[int]:
+        t = _re.split(r"\s+", text.strip().lower())
+        fs = list(t) + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return [int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % m for f in fs]
+
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for _id, lang, text in rows:
+        for b in feats(text):
+            rc[b] = rc.get(b, 0) + 1
+            if lang == "en":
+                tc[b] = tc.get(b, 0) + 1
+    tt, rt = sum(tc.values()), sum(rc.values())
+
+    def w(b: int) -> Decimal:
+        v = math.log((tc.get(b, 0) + 1) / (tt + m)) - math.log(
+            (rc.get(b, 0) + 1) / (rt + m)
+        )
+        return Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    for _id, lang, text in rows:
+        fs = feats(text)
+        assert out[_id]["n_feats"] == len(fs)
+        assert out[_id]["lang"] == lang
+        assert abs(out[_id]["dsir_logweight"] - float(sum(w(b) for b in fs))) < 1e-9
+    en = [
+        out[i]["dsir_logweight"] / out[i]["n_feats"] for i, l, _ in rows if l == "en"
+    ]
+    other = [
+        out[i]["dsir_logweight"] / out[i]["n_feats"] for i, l, _ in rows if l != "en"
+    ]
+    assert min(en) > max(other), (en, other)

@@ -392,6 +392,7 @@ BNLJ_ALLOWED = {
     "boilerplate_strip": "1-row corpus-count threshold folded in as broadcast crossJoin (same shape as tfidf's n_docs)",
     "unigram_lm_score": "1-row vocab map + 1-row OOV logprob folded in as broadcast crossJoins (score_unigram_lm's map-side contract)",
     "bm25_topk": "1-row (n_docs, avgdl) corpus-stats scalar folded in as broadcast crossJoin (same shape as tfidf's n_docs)",
+    "dsir_weights": "1-row fitted weight-map frame (map<bucket,weight> + floor) folded in as broadcast crossJoin (score_unigram_lm's map-side contract)",
 }
 
 #: Queries allowed an Exchange SinglePartition: every one is a deliberate
@@ -413,6 +414,7 @@ SINGLEPART_ALLOWED = {
     "boilerplate_strip": "1-row corpus count for the boilerplate threshold",
     "bm25_topk": "1-row (n_docs, avgdl) corpus-stats scalar",
     "funnel_steps": "4 one-row step-total scalar aggregates (the frames under them are per-user MIN aggs, entity-partitioned)",
+    "dsir_weights": "1-row fit frame: totals + collect_list of the ≤ m-row bucket table (m=1024), never the corpus body",
 }
 
 
