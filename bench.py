@@ -89,8 +89,11 @@ OPTIONAL = [
     "chunk_documents_cdc",
     "scd2_point_in_time",
     "event_paths_topk",
-    # r6 cont.: DSIR importance weighting (map-side fit/score)
+    # r6 cont.: DSIR importance weighting (map-side fit/score), link-graph
+    # PageRank, column profiler
     "dsir_weights",
+    "domain_pagerank",
+    "column_profile",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

@@ -1,1 +1,1 @@
-from . import agg, chunk, dedup, joins, layout, multimodal, sampling, similarity, skew  # noqa: F401
+from . import agg, chunk, dedup, events, graph, joins, layout, multimodal, sampling, similarity, skew  # noqa: F401

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -545,3 +547,99 @@ def theta_set_report(
         est(F.theta_difference("_old", "_new")).alias("n_removed"),
         F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    distinct: str = "exact",
+) -> DataFrame:
+    """Single-pass column profiler — the data-quality observability scan
+    a corpus release runs before publish (null rates, cardinalities,
+    ranges, drift inputs). One row per profiled column:
+    ``(column, dtype, n_rows, n_nonnull, n_distinct, min_num, max_num,
+    avg_num, min_str, max_str)``.
+
+    Numeric columns profile the value (min/max cast to double;
+    ``avg_num = round(exact-sum :: double / n_nonnull, 6)`` — the sum is
+    exact for integer/decimal inputs in both engines, so the mean is
+    cross-engine deterministic; float/double inputs sum in partition
+    order and are honest-but-last-ulp like any distributed fp mean).
+    String columns profile lexicographic min/max (both engines compare
+    binary/UTF8) and MEAN LENGTH in ``avg_num``. Other types (timestamp,
+    array, ...) get counts and cardinality only — min/max string
+    formatting is engine-specific, so the profiler refuses to fake
+    cross-engine values for them.
+
+    ``distinct="exact"`` uses COUNT(DISTINCT): Spark plans k distinct
+    aggregates as one Expand (input replicated k×) + two-phase agg — one
+    shuffle, exact, SQL-replayable. ``distinct="approx"`` uses HLL
+    (approx_count_distinct, ~2% default error): no Expand, a single
+    narrow pass — the right default at 100 TB where the profile gates a
+    publish, not an audit. Everything else is identical between modes.
+
+    Plan: one scan -> (Expand) -> partial/final hash-agg to ONE row ->
+    explode of a literal k-element struct array. The only exchange is
+    the 1-row agg (SinglePartition by construction, k columns wide)."""
+    if distinct not in ("exact", "approx"):
+        raise ValueError("distinct must be 'exact' or 'approx'")
+    cols = list(cols or df.columns)
+    dts = dict(df.dtypes)
+    missing = [c for c in cols if c not in dts]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+
+    def _is_num(dt: str) -> bool:
+        return dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith("decimal")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if distinct == "exact"
+                else F.approx_count_distinct(c)
+            ).alias(f"_nd_{c}")
+        )
+        if _is_num(dts[c]):
+            aggs += [
+                F.min(c).cast("double").alias(f"_mn_{c}"),
+                F.max(c).cast("double").alias(f"_mx_{c}"),
+                F.sum(c).cast("double").alias(f"_sm_{c}"),
+            ]
+        elif dts[c] == "string":
+            aggs += [
+                F.min(c).alias(f"_mns_{c}"),
+                F.max(c).alias(f"_mxs_{c}"),
+                F.sum(F.length(c)).cast("double").alias(f"_sm_{c}"),
+            ]
+    row = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    entries = []
+    for c in cols:
+        num, st = _is_num(dts[c]), dts[c] == "string"
+        avg = (
+            F.when(
+                F.col(f"_nn_{c}") > 0,
+                F.round(F.col(f"_sm_{c}") / F.col(f"_nn_{c}"), 6),
+            )
+            if (num or st)
+            else null_d
+        )
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dts[c]).alias("dtype"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nonnull"),
+                F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+                (F.col(f"_mn_{c}") if num else null_d).alias("min_num"),
+                (F.col(f"_mx_{c}") if num else null_d).alias("max_num"),
+                avg.alias("avg_num"),
+                (F.col(f"_mns_{c}") if st else null_s).alias("min_str"),
+                (F.col(f"_mxs_{c}") if st else null_s).alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*entries)).alias("_p")).select("_p.*")

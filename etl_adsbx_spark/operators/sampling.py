@@ -339,23 +339,34 @@ def robust_outlier_stats(
 
 
 def hashed_ngram_features(
-    text_col: Column | str = "text", m: int = 1024
+    tokens_col: Column | str, m: int = 1024, hash: str = "md5"
 ) -> Column:
     """Hashed unigram+bigram feature-bucket array for DSIR-style
     importance weighting (Xie et al. 2023, "Data Selection for Language
-    Models via Importance Resampling"): whitespace tokens of the
-    lowercased text plus adjacent-pair bigrams, each hashed into
-    ``m`` buckets with the portable md5-prefix hash the sampling family
-    shares — so the bucket ids (and therefore the fitted hashed
+    Models via Importance Resampling"): the tokens of a PRE-MATERIALIZED
+    ``array<string>`` column plus adjacent-pair bigrams, each hashed
+    into ``m`` buckets with the portable md5-prefix hash the sampling
+    family shares — so the bucket ids (and therefore the fitted hashed
     distributions) are DuckDB-replayable.
 
-    Pure per-row codegen: one split + one in-row transform; no UDF, no
-    shuffle. The bigram array is built with ``transform(sequence(...))``
+    ``tokens_col`` MUST be a projected column (e.g.
+    ``.select(text.tokens("text").alias("_t"))``), not the raw
+    tokenization expression: higher-order-function lambdas evaluate
+    their captured children per ELEMENT in interpreted mode, so an
+    embedded ``split()`` re-tokenizes the whole document for every
+    ``element_at`` — measured 4× the scan cost (6.4s vs 1.5s at sf0.1)
+    before this was split into a projection + array ops over the
+    attribute. The bigram array is built with ``transform(sequence(...))``
     guarded by ``size >= 2`` (Spark's ``sequence(1, 0)`` would count
-    DOWN, not return empty)."""
-    from ..functions.text import tokens
+    DOWN, not return empty).
 
-    t = tokens(text_col)
+    ``hash="md5"`` is the DuckDB-replayable default; ``hash="xxhash64"``
+    is the production fast path (measured ~3× cheaper per feature at
+    sf0.1: 0.5s vs 1.4s for the feature pass) — same distributional
+    behavior, different bucket assignment, NOT oracle-replayable."""
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError("hash must be 'md5' or 'xxhash64'")
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     bigrams = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -366,6 +377,8 @@ def hashed_ngram_features(
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(t, bigrams)
+    if hash == "xxhash64":
+        return F.transform(feats, lambda f: F.pmod(F.xxhash64(f), F.lit(m)))
     return F.transform(
         feats,
         lambda f: F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("bigint")
@@ -380,6 +393,7 @@ def dsir_log_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     carry: list[str] | None = None,
+    hash: str = "md5",
 ) -> DataFrame:
     """DSIR importance log-weights: fit add-one-smoothed hashed-n-gram
     bag models for the TARGET subset (rows where ``target_pred``) and
@@ -399,9 +413,10 @@ def dsir_log_weights(
     FIT: one explode pass → one m-key hash-agg (map-side partials
     collapse each task's contribution to ≤ m rows, m ≈ 2^10..2^20) →
     1-row totals frame → m-row log-ratio table. SCORE: the log-ratio
-    table collapses to a ONE-ROW ``map<bucket, weight>`` broadcast and
-    each document folds its own feature array with ``F.aggregate`` +
-    ``element_at`` — the same entirely-map-side shape as
+    table collapses to a ONE-ROW dense m-element weight ARRAY broadcast
+    (O(1) element_at per feature) and each document folds its own
+    feature array with ``F.aggregate`` — the same entirely-map-side
+    shape as
     ``text.score_unigram_lm``, chosen over the explode→join→re-agg
     formulation whose shuffle is FEATURE-count-sized (and which the
     optimizer cannot exchange-reuse across the fit/score branches:
@@ -409,10 +424,13 @@ def dsir_log_weights(
     Buckets unseen at fit time (possible only when scoring a corpus the
     model was not fit on) score the smoothing-floor ratio rather than
     nulling the document."""
+    from ..functions.text import tokens
+
     carry = carry or []
-    feats = hashed_ngram_features(text_col, m)
+    feats = hashed_ngram_features("_t", m, hash=hash)
     gl = (
-        docs.select(target_pred.alias("_tgt"), F.explode(feats).alias("_b"))
+        docs.select(target_pred.alias("_tgt"), tokens(text_col).alias("_t"))
+        .select("_tgt", F.explode(feats).alias("_b"))
         .groupBy("_b")
         .agg(
             F.sum(F.when(F.col("_tgt"), F.lit(1)).otherwise(F.lit(0))).alias("_tc"),
@@ -430,10 +448,23 @@ def dsir_log_weights(
 
     # One single-row fit frame: the totals AND the per-bucket count map
     # come out of the same SinglePartition agg over gl's ≤ m rows, and
-    # the weight map is derived IN-ROW with transform_values — so the
+    # the weight table is derived IN-ROW from that map — so the
     # heavy explode subtree exists exactly once in the plan (a separate
     # totals frame re-ran it per broadcast branch: ReuseExchange cannot
     # canonicalize across the differently-pruned branches).
+    def _warr_entry(i):
+        entry = F.element_at(F.col("_cmap"), i.cast("bigint"))
+        return F.when(
+            entry.isNotNull(), _ratio(entry["_tc"], entry["_rc"])
+        ).otherwise(_ratio(F.lit(0), F.lit(0)))
+
+    # The weight table is materialized as a DENSE m-element ARRAY, not a
+    # map: bucket ids are 0..m-1 by construction, array element_at is an
+    # O(1) index, and Spark's map element_at is a LINEAR SCAN of the
+    # backing array — with m=1024 that is ~1024 comparisons per feature,
+    # measured 10.7s at sf0.1 for the map form. The floor weight for
+    # never-seen buckets is baked into the array, so the fold has no
+    # per-element branch.
     fitrow = (
         gl.agg(
             F.sum("_tc").alias("_tt"),
@@ -445,21 +476,23 @@ def dsir_log_weights(
             ).alias("_cmap"),
         )
         .select(
-            F.transform_values(
-                "_cmap", lambda k, v: _ratio(v["_tc"], v["_rc"])
-            ).alias("_wmap"),
-            _ratio(F.lit(0), F.lit(0)).alias("_w0"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)), _warr_entry
+            ).alias("_warr"),
         )
     )
     fold = F.aggregate(
         F.col("_f"),
         F.lit(0).cast("decimal(28,6)"),
         lambda acc, b: (
-            acc + F.coalesce(F.element_at(F.col("_wmap"), b), F.col("_w0"))
+            acc + F.element_at(F.col("_warr"), (b + F.lit(1)).cast("int"))
         ).cast("decimal(28,6)"),
     )
     return (
-        docs.select(F.col(id_col), *[F.col(c) for c in carry], feats.alias("_f"))
+        docs.select(
+            F.col(id_col), *[F.col(c) for c in carry], tokens(text_col).alias("_t")
+        )
+        .select(F.col(id_col), *[F.col(c) for c in carry], feats.alias("_f"))
         .where(F.size("_f") > 0)
         .crossJoin(F.broadcast(fitrow))
         .select(

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .functions.scalar import coalesce_falsy_str, haversine_km
-from .operators import sampling, similarity
+from .operators import graph, sampling, similarity
 from .operators.agg import topk_per_group
 from .operators.dedup import (
     MERSENNE61,
@@ -4705,11 +4705,150 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ratio is round(·,6)→DECIMAL before the per-doc sum, so the score
     is exact in both engines. Plan: FIT is one explode pass collapsed
     map-side to an m-key hash-agg; SCORE is entirely map-side — the
-    m-row ratio table becomes a 1-row map<bucket,weight> broadcast and
-    each doc folds its own feature array (the score_unigram_lm shape, no
-    feature-sized shuffle, no doc-keyed shuffle); the target/raw totals
-    are the 1-row broadcast frame every corpus-stat query uses."""
+    m-row ratio table becomes a 1-row dense weight-array broadcast
+    (O(1) indexing) and each doc folds its own feature array (the
+    score_unigram_lm shape, no feature-sized shuffle, no doc-keyed
+    shuffle); the target/raw totals are the 1-row broadcast frame every
+    corpus-stat query uses."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.dsir_log_weights(
         docs, F.col("lang") == "en", m=1024, carry=["lang"]
+    )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """DuckDB replay of graph.pagerank as ``iters`` chained CTEs (the
+    fixed-step contract is what makes this expressible)."""
+    step = """
+    r{i} AS (
+      SELECT t.dst AS node,
+             round((SELECT base FROM bf)
+                   + round(SUM(t.p * r{j}.pr), 12)::DECIMAL(14,12) * 0.85,
+                   12)::DECIMAL(14,12) AS pr
+      FROM t JOIN r{j} ON t.src = r{j}.node GROUP BY t.dst
+    )"""
+    steps = ",".join(step.format(i=i, j=i - 1) for i in range(1, iters + 1))
+    return f"""
+    WITH e0 AS (
+      SELECT source || ':' || (doc_id % 97) AS a,
+             lang || ':' ||
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 97) AS b
+      FROM documents
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL
+      SELECT b AS src, a AS dst FROM e0 WHERE a <> b
+    ),
+    e AS (SELECT src, dst, COUNT(*) AS w FROM sym GROUP BY src, dst),
+    ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+    t AS (
+      SELECT e.src, e.dst,
+             round(CAST(e.w AS DOUBLE) / ow.ow, 10)::DECIMAL(12,10) AS p
+      FROM e JOIN ow ON e.src = ow.src
+    ),
+    nf AS (SELECT COUNT(*) AS n FROM ow),
+    bf AS (SELECT round(0.15 / n, 12)::DECIMAL(14,12) AS base FROM nf),
+    r0 AS (
+      SELECT ow.src AS node, round(1.0 / n, 12)::DECIMAL(14,12) AS pr
+      FROM ow, nf
+    ),{steps}
+    SELECT node, CAST(pr AS DOUBLE) AS pagerank FROM r{iters}
+    """
+
+
+@register("domain_pagerank", oracle=_pagerank_oracle(5))
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Domain-level PageRank (operators.graph.pagerank — the
+    Common-Crawl-style link-structure quality signal: rank hosts, then
+    weight or gate documents by their host's rank). The link graph is
+    synthesized deterministically from the corpus — each document links
+    its source section (``source:doc_id%97``) to a content-derived page
+    (``lang:md5-hash%97``), symmetrized so no node is dangling — because
+    the driver tables carry no real hyperlinks; the operator under test
+    takes any edge DataFrame. 5 fixed power-iteration steps, every
+    nonlinear value rounded→DECIMAL before entering a sum, so the oracle
+    replays the whole iteration as 5 chained CTEs bit-for-bit.
+
+    100-TB shape: corpus-sized input collapses once into the GRAPH-sized
+    transition table (domains ≪ documents) which is checkpointed and
+    reused by every step; each step is one src-keyed join + one
+    dst-keyed hash-agg over graph-sized data (the connected_components
+    round hygiene — an unrolled plan would recompute the transition
+    subtree once per step)."""
+    d = load_table(spark, sf_dir, "documents")
+    e0 = d.select(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id") % 97).alias("a"),
+        F.concat(
+            F.col("lang"),
+            F.lit(":"),
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 97,
+        ).alias("b"),
+    )
+    edges = graph.symmetrize_edges(e0, "a", "b")
+    return graph.pagerank(edges, iters=5)
+
+
+@register(
+    "column_profile",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(doc_id) AS nn1, COUNT(DISTINCT doc_id) AS nd1,
+             CAST(MIN(doc_id) AS DOUBLE) AS mn1,
+             CAST(MAX(doc_id) AS DOUBLE) AS mx1,
+             CAST(SUM(doc_id) AS DOUBLE) AS sm1,
+             COUNT(text) AS nn2, COUNT(DISTINCT text) AS nd2,
+             MIN(text) AS mns2, MAX(text) AS mxs2,
+             CAST(SUM(length(text)) AS DOUBLE) AS sm2,
+             COUNT(lang) AS nn3, COUNT(DISTINCT lang) AS nd3,
+             MIN(lang) AS mns3, MAX(lang) AS mxs3,
+             CAST(SUM(length(lang)) AS DOUBLE) AS sm3,
+             COUNT(source) AS nn4, COUNT(DISTINCT source) AS nd4,
+             MIN(source) AS mns4, MAX(source) AS mxs4,
+             CAST(SUM(length(source)) AS DOUBLE) AS sm4,
+             COUNT(n_chars) AS nn5, COUNT(DISTINCT n_chars) AS nd5,
+             CAST(MIN(n_chars) AS DOUBLE) AS mn5,
+             CAST(MAX(n_chars) AS DOUBLE) AS mx5,
+             CAST(SUM(n_chars) AS DOUBLE) AS sm5
+      FROM documents
+    )
+    SELECT 'doc_id' AS "column", 'bigint' AS dtype, n AS n_rows,
+           nn1 AS n_nonnull, nd1 AS n_distinct, mn1 AS min_num,
+           mx1 AS max_num,
+           CASE WHEN nn1 > 0 THEN round(sm1 / nn1, 6) END AS avg_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM s
+    UNION ALL
+    SELECT 'text', 'string', n, nn2, nd2, NULL, NULL,
+           CASE WHEN nn2 > 0 THEN round(sm2 / nn2, 6) END, mns2, mxs2 FROM s
+    UNION ALL
+    SELECT 'lang', 'string', n, nn3, nd3, NULL, NULL,
+           CASE WHEN nn3 > 0 THEN round(sm3 / nn3, 6) END, mns3, mxs3 FROM s
+    UNION ALL
+    SELECT 'source', 'string', n, nn4, nd4, NULL, NULL,
+           CASE WHEN nn4 > 0 THEN round(sm4 / nn4, 6) END, mns4, mxs4 FROM s
+    UNION ALL
+    SELECT 'n_chars', 'bigint', n, nn5, nd5, mn5, mx5,
+           CASE WHEN nn5 > 0 THEN round(sm5 / nn5, 6) END, NULL, NULL FROM s
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Column profiler (operators.agg.profile_columns, exact-
+    distinct mode): the data-quality scan a corpus release runs before
+    publish — per-column null counts, exact cardinality, numeric
+    range/mean, lexicographic string range, mean string length. Means
+    divide an exact sum cast once to double, so both engines agree
+    bit-for-bit. Plan: one scan → Expand (k exact distincts) → two-phase
+    hash-agg to ONE row → literal struct-array explode; the approx
+    (HLL) mode drops the Expand for the single-narrow-pass 100-TB
+    profile and is pytest-bounded instead (error vs exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    from .operators.agg import profile_columns
+
+    return profile_columns(
+        d, ["doc_id", "text", "lang", "source", "n_chars"], distinct="exact"
     )

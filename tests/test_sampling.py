@@ -374,3 +374,22 @@ def test_dsir_log_weights_matches_python_reference(spark):
         out[i]["dsir_logweight"] / out[i]["n_feats"] for i, l, _ in rows if l != "en"
     ]
     assert min(en) > max(other), (en, other)
+
+
+def test_dsir_xxhash_mode(spark):
+    """The production hash path: same shape and n_feats, finite weights,
+    different bucket assignment than the portable-md5 default."""
+    from etl_adsbx_spark.operators.sampling import dsir_log_weights
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "de", "der hund und die katze"),
+        (3, "en", "the dog ate the cat food"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    a = {r["doc_id"]: r for r in dsir_log_weights(df, F.col("lang") == "en", m=64).collect()}
+    b = {r["doc_id"]: r for r in dsir_log_weights(df, F.col("lang") == "en", m=64, hash="xxhash64").collect()}
+    assert set(a) == set(b) == {1, 2, 3}
+    for i in a:
+        assert a[i]["n_feats"] == b[i]["n_feats"]
+        assert b[i]["dsir_logweight"] is not None

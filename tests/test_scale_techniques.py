@@ -415,6 +415,7 @@ SINGLEPART_ALLOWED = {
     "bm25_topk": "1-row (n_docs, avgdl) corpus-stats scalar",
     "funnel_steps": "4 one-row step-total scalar aggregates (the frames under them are per-user MIN aggs, entity-partitioned)",
     "dsir_weights": "1-row fit frame: totals + collect_list of the ≤ m-row bucket table (m=1024), never the corpus body",
+    "column_profile": "the profiler's single 1-row output agg (k columns wide, one row) — the corpus body only passes the partial/Expand side",
 }
 
 
