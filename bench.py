@@ -94,6 +94,10 @@ OPTIONAL = [
     "dsir_weights",
     "domain_pagerank",
     "column_profile",
+    # r6 cont. 2: temperature mixing, graded k-means, KN bigram LM
+    "mixture_weights",
+    "kmeans_clusters",
+    "bigram_lm_score",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

@@ -425,8 +425,14 @@ def dsir_log_weights(
     model was not fit on) score the smoothing-floor ratio rather than
     nulling the document."""
     from ..functions.text import tokens
+    from .dedup import spread_for_cpu
 
     carry = carry or []
+    # md5-per-feature work is ~100x the scan cost per byte, so input-split
+    # planning (openCostInBytes-driven) under-parallelizes small compressed
+    # files badly: measured 2 tasks on 32 cores at a 6 MB sf1 file, 53s ->
+    # 7.5s after spreading. At real scale file counts make this a no-op.
+    docs = spread_for_cpu(docs)
     feats = hashed_ngram_features("_t", m, hash=hash)
     gl = (
         docs.select(target_pred.alias("_tgt"), tokens(text_col).alias("_t"))
@@ -488,12 +494,18 @@ def dsir_log_weights(
             acc + F.element_at(F.col("_warr"), (b + F.lit(1)).cast("int"))
         ).cast("decimal(28,6)"),
     )
+    # Null-text docs have no features; every other doc has >= 1 (split of
+    # an empty string is [""]). Filter on the CHEAP equivalent predicate:
+    # a `size(_f) > 0` filter here gets predicate-pushed below the spread
+    # exchange, where it re-evaluates the whole tokenize+md5 feature
+    # pipeline per row INSIDE the (few-split) scan stage — measured 51s ->
+    # 7s at sf1 for this one-line change.
     return (
-        docs.select(
+        docs.where(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col), *[F.col(c) for c in carry], tokens(text_col).alias("_t")
         )
         .select(F.col(id_col), *[F.col(c) for c in carry], feats.alias("_f"))
-        .where(F.size("_f") > 0)
         .crossJoin(F.broadcast(fitrow))
         .select(
             F.col(id_col),
@@ -501,4 +513,84 @@ def dsir_log_weights(
             F.size("_f").cast("bigint").alias("n_feats"),
             fold.cast("double").alias("dsir_logweight"),
         )
+    )
+
+
+def mixture_allocation(
+    docs: DataFrame,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    temperature: float = 0.7,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual/multi-source
+    sampling scheme of mBERT/XLM(-R) and the PaLM/Llama data-mixing
+    recipes: a source with raw share p_s of the corpus gets mixture
+    weight p_s^tau / sum(p^tau), tau < 1 flattening the distribution so
+    head sources stop drowning the tail. Output, one row per source:
+    ``(group, n_docs, n_tokens, raw_share, temp_share, alloc_tokens,
+    sample_rate)`` where ``alloc_tokens = round(temp_share * budget)`` is
+    the source's slice of the token ``budget`` and ``sample_rate =
+    alloc/n_tokens`` is the rate to feed ``weighted_mix`` (> 1 means
+    upsampled epochs — exactly its ``weight`` semantics).
+
+    Determinism contract: shares and the post-pow weights are
+    round(·,6)-pinned before they enter the normalizing sum (pow is the
+    one libm call — rounding absorbs any cross-engine last-ulp); the
+    normalizer then divides two DECIMAL-exact quantities.
+
+    Shape: one corpus-body hash-agg to G source rows, then the dsir
+    fit-frame pattern — the G rows collapse into ONE row (collect_list +
+    total), every share/weight/normalizer is derived IN-ROW with
+    higher-order functions over that G-element array, and the result
+    explodes back to G rows. The corpus-body agg subtree appears exactly
+    once in the plan (a totals-frame crossJoin formulation would carry it
+    in every broadcast branch and ReuseExchange cannot always collapse
+    differently-pruned copies — the dsir lesson); the only
+    SinglePartition exchange is the G-row fold."""
+    g = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("bigint").alias("n_tokens"),
+    )
+    row = g.agg(
+        F.collect_list(F.struct("group", "n_docs", "n_tokens")).alias("_xs"),
+        F.sum("n_tokens").alias("_tot"),
+    )
+    dec = "decimal(10,6)"
+    with_shares = F.transform(
+        F.col("_xs"),
+        lambda x: F.struct(
+            x["group"].alias("group"),
+            x["n_docs"].alias("n_docs"),
+            x["n_tokens"].alias("n_tokens"),
+            F.round(x["n_tokens"] / F.col("_tot"), 6).cast(dec).alias("raw_share"),
+        ),
+    )
+    with_w = F.transform(
+        with_shares,
+        lambda x: x.withField(
+            "w",
+            F.round(
+                F.pow(x["raw_share"].cast("double"), F.lit(temperature)), 6
+            ).cast(dec),
+        ),
+    )
+    out = row.select(with_w.alias("_ws")).select(
+        F.col("_ws"),
+        F.aggregate(
+            F.col("_ws"),
+            F.lit(0).cast("decimal(20,6)"),
+            lambda acc, x: (acc + x["w"]).cast("decimal(20,6)"),
+        ).alias("_wt"),
+    )
+    ts = F.round(F.col("_x.w").cast("double") / F.col("_wt").cast("double"), 6)
+    alloc = F.round(ts * F.lit(budget), 0).cast("bigint")
+    return out.select(F.explode("_ws").alias("_x"), "_wt").select(
+        F.col("_x.group").alias("group"),
+        F.col("_x.n_docs").alias("n_docs"),
+        F.col("_x.n_tokens").alias("n_tokens"),
+        F.col("_x.raw_share").cast("double").alias("raw_share"),
+        ts.alias("temp_share"),
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("_x.n_tokens"), 6).alias("sample_rate"),
     )

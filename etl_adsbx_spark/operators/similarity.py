@@ -124,6 +124,7 @@ def kmeans_centroids(
     n_centroids: int = 8,
     iters: int = 2,
     sample_mod: int | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Deterministic sampled k-means coarse quantizer for IVF.
 
@@ -139,6 +140,13 @@ def kmeans_centroids(
     centroid table stays n_centroids rows — broadcast-size — throughout.
     Returns (_cent_id, _cv, _cn) like the lowid quantizer; clusters that
     lose all members drop out (standard k-means degeneracy).
+
+    ``round_dp``: round each updated centroid component to this many
+    decimals — the pagerank-style portability contract (every nonlinear
+    step rounded before it feeds the next) that lets a SQL oracle replay
+    the whole Lloyd loop; assignments already round cosine at 6 dp
+    (``ivf_assign``), so with ``round_dp`` set the fit is a pure
+    deterministic function of the input cross-engine.
     """
     fit = base
     if sample_mod is not None and sample_mod > 1:
@@ -160,10 +168,13 @@ def kmeans_centroids(
         assigned = ivf_assign(
             fit.withColumnRenamed("_bid", "m_id"), cents, "m_id", "m_id"
         )
+        mean = F.avg("val")
+        if round_dp is not None:
+            mean = F.round(mean, round_dp)
         cents = (
             assigned.select("_cid", F.posexplode("_v").alias("pos", "val"))
             .groupBy("_cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(mean.alias("m"))
             .groupBy(F.col("_cid").alias("_cent_id"))
             .agg(
                 F.transform(

@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .functions.scalar import coalesce_falsy_str, haversine_km
+from .functions.vector import as_double as vec_as_double
+from .functions.vector import dot as vec_dot
+from .functions.vector import norm as vec_norm
 from .operators import graph, sampling, similarity
 from .operators.agg import topk_per_group
 from .operators.dedup import (
@@ -4852,3 +4855,209 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         d, ["doc_id", "text", "lang", "source", "n_chars"], distinct="exact"
     )
+
+
+@register(
+    "mixture_weights",
+    oracle="""
+    WITH g AS (
+      SELECT source AS "group", COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(n_tokens) AS tot FROM g),
+    s AS (
+      SELECT g.*,
+             round(CAST(n_tokens AS DOUBLE) / tot, 6)::DECIMAL(10,6) AS raw_share
+      FROM g, t
+    ),
+    w AS (
+      SELECT s.*,
+             round(pow(CAST(raw_share AS DOUBLE), 0.7), 6)::DECIMAL(10,6) AS w
+      FROM s
+    ),
+    wt AS (SELECT CAST(SUM(w) AS DECIMAL(20,6)) AS wt FROM w),
+    f AS (
+      SELECT "group", n_docs, n_tokens, CAST(raw_share AS DOUBLE) AS raw_share,
+             round(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS temp_share
+      FROM w, wt
+    )
+    SELECT *,
+           CAST(round(temp_share * 1000000, 0) AS BIGINT) AS alloc_tokens,
+           round(CAST(round(temp_share * 1000000, 0) AS BIGINT)
+                 / CAST(n_tokens AS DOUBLE), 6) AS sample_rate
+    FROM f
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Temperature-scaled source mixing
+    (operators.sampling.mixture_allocation, tau=0.7 — the mBERT/XLM
+    multinomial-sampling recipe): per-source raw corpus share →
+    flattened mixture share → token allocation against a 1M budget →
+    the per-source sampling rate to feed weighted_mix (> 1 = upsampled
+    epochs). One corpus-body hash-agg; all share math happens in-row on
+    a G-element array inside a single 1-row frame (the dsir fit-frame
+    shape), so the corpus is touched exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.mixture_allocation(
+        d, group_col="source", size_col="n_chars", temperature=0.7,
+        budget=1_000_000,
+    )
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int = 64) -> str:
+    """DuckDB replay of the full Lloyd loop (portable round_dp=6 config)
+    as chained CTEs: md5-ranked seeds, per-iteration cosine argmax
+    assignment (round 6 dp, higher-cent-id tiebreak — the ivf_assign
+    max_by contract) and round-6 centroid means; the fixed iteration
+    count is what makes this SQL-expressible (the pagerank precedent)."""
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cent_id, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    s{i} AS (
+      SELECT e.vec_id, c.cent_id,
+        round(SUM(e.v[r.i] * c.cv[r.i])
+              / (sqrt(SUM(e.v[r.i] * e.v[r.i]))
+                 * sqrt(SUM(c.cv[r.i] * c.cv[r.i]))), 6) AS s
+      FROM e, c{i - 1} c, range(1, {dim + 1}) r(i)
+      GROUP BY 1, 2
+    ),
+    a{i} AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id DESC) AS rn
+        FROM s{i}
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+        SELECT a.cent_id, r.i AS pos, round(AVG(e.v[r.i]), 6) AS m
+        FROM a{i} a JOIN e ON e.vec_id = a.vec_id, range(1, {dim + 1}) r(i)
+        GROUP BY 1, 2
+      ) GROUP BY cent_id
+    )""")
+    return ",".join(parts) + f""",
+    sF AS (
+      SELECT e.vec_id, c.cent_id,
+        round(SUM(e.v[r.i] * c.cv[r.i])
+              / (sqrt(SUM(e.v[r.i] * e.v[r.i]))
+                 * sqrt(SUM(c.cv[r.i] * c.cv[r.i]))), 6) AS s
+      FROM e, c{iters} c, range(1, {dim + 1}) r(i)
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, cent_id AS cluster_id, s AS sim_to_centroid FROM (
+      SELECT vec_id, cent_id, s,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cent_id DESC) AS rn
+      FROM sF
+    ) WHERE rn = 1
+    """
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle(k=8, iters=3))
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Embedding k-means clustering, driver-graded end to end
+    (operators.similarity.kmeans_centroids round_dp=6 + a final
+    broadcast-argmax assignment): the topic/quality bucketing step of
+    SemDeDup-style curation, previously pytest-only (the IVF rows grade
+    the deterministic lowid quantizer; this row grades the FITTED
+    quantizer). k=8, 3 Lloyd iterations, md5-ranked seeds; every
+    centroid mean and every cosine rounds to 6 dp before feeding the
+    next step, so the DuckDB oracle replays the whole loop as chained
+    CTEs (the pagerank contract). Output: (vec_id, cluster_id,
+    sim_to_centroid) for every vector.
+
+    100-TB shape: the centroid table is k rows broadcast everywhere;
+    each iteration is one corpus-map (broadcast argmax) + one
+    k·dim-cell hash-agg — no corpus shuffle ever; fit on a deterministic
+    md5 sample (sample_mod) at real scale and let only the final
+    assignment see the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("_bid"), vec_as_double("embedding").alias("_v")
+    ).withColumn("_n", vec_norm(F.col("_v")))
+    cents = similarity.kmeans_centroids(base, n_centroids=8, iters=3, round_dp=6)
+    sim = F.round(
+        vec_dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6
+    )
+    return (
+        base.join(F.broadcast(cents))
+        .groupBy("_bid")
+        .agg(
+            F.max(F.struct(sim.alias("s"), F.col("_cent_id").alias("c"))).alias("_m")
+        )
+        .select(
+            F.col("_bid").alias("vec_id"),
+            F.col("_m.c").alias("cluster_id"),
+            F.col("_m.s").alias("sim_to_centroid"),
+        )
+    )
+
+
+@register(
+    "bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS nf FROM big GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS np FROM big GROUP BY w2),
+    tt AS (SELECT COUNT(*) AS T, COUNT(DISTINCT w2) AS vc FROM big),
+    p AS (
+      SELECT d.doc_id,
+        CASE WHEN ctx.c1 IS NULL
+             THEN (COALESCE(cont.np, 0) + 1) / (T + vc + 1.0)
+             ELSE COALESCE((b.c12 - 0.75) / ctx.c1, 0)
+                  + (0.75 * ctx.nf / ctx.c1)
+                    * ((COALESCE(cont.np, 0) + 1) / (T + vc + 1.0))
+        END AS pr
+      FROM db d
+      LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+      LEFT JOIN ctx ON d.w1 = ctx.w1
+      LEFT JOIN cont ON d.w2 = cont.w2
+      CROSS JOIN tt
+    ),
+    sc AS (
+      SELECT doc_id, round(SUM(ln(pr)) / COUNT(*), 6) AS lm2_score,
+             COUNT(*) AS n_bigrams
+      FROM p GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.lang, sc.lm2_score,
+           COALESCE(sc.n_bigrams, 0) AS n_bigrams
+    FROM toks t LEFT JOIN sc USING (doc_id)
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Kneser-Ney bigram LM quality scoring (functions.text
+    fit_bigram_kn + score_bigram_kn — the KenLM-style CCNet filter, one
+    modeling level above unigram_lm_score): interpolated
+    absolute-discounting (d=0.75) with add-one-smoothed continuation
+    probabilities; every document scores its mean per-bigram ln p.
+
+    Scale shape: the bigram model is TYPE-sized (up to V²) — beyond
+    broadcast, so the graded path is the honest explode → bigram-keyed
+    join → doc-keyed re-agg (AQE broadcasts when the model does fit);
+    the vocabulary-sized context/continuation frames and the 1-row
+    totals are broadcast. round(·,6) absorbs double accumulation order,
+    the unigram/cosine contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    big, ctx, cont, tt = T.fit_bigram_kn(docs)
+    return T.score_bigram_kn(docs, big, ctx, cont, tt, carry=["lang"])

@@ -393,3 +393,44 @@ def test_dsir_xxhash_mode(spark):
     for i in a:
         assert a[i]["n_feats"] == b[i]["n_feats"]
         assert b[i]["dsir_logweight"] is not None
+
+
+def test_mixture_allocation_python_reference(spark):
+    """Temperature mixing ≡ a pure-Python Decimal reference on a skewed
+    3-source frame, plus the flattening property: tau=0.7 moves share
+    from the head source to the tail ones."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from etl_adsbx_spark.operators.sampling import mixture_allocation
+
+    rows = [(i, "web" if i < 80 else ("books" if i < 95 else "code"), 100 + i)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    out = {r["group"]: r for r in mixture_allocation(
+        df, "source", "n_chars", temperature=0.7, budget=1_000_000
+    ).collect()}
+
+    def r6(v: float) -> Decimal:
+        return Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    toks = {}
+    for _, s, n in rows:
+        toks[s] = toks.get(s, 0) + n
+    tot = sum(toks.values())
+    raw = {s: r6(n / tot) for s, n in toks.items()}
+    w = {s: r6(float(raw[s]) ** 0.7) for s in toks}
+    wt = sum(w.values())
+    for s in toks:
+        r = out[s]
+        ts = r6(float(w[s]) / float(wt))
+        alloc = int((ts * 1_000_000).quantize(Decimal(1), ROUND_HALF_UP))
+        assert r["n_tokens"] == toks[s]
+        assert Decimal(repr(r["raw_share"])) == raw[s], s
+        assert Decimal(repr(r["temp_share"])) == ts, s
+        assert r["alloc_tokens"] == alloc, s
+        assert Decimal(repr(r["sample_rate"])) == r6(alloc / toks[s]), s
+    # flattening: the head source's tempered share < its raw share,
+    # every tail source's tempered share > its raw share
+    assert out["web"]["temp_share"] < out["web"]["raw_share"]
+    for s in ("books", "code"):
+        assert out[s]["temp_share"] > out[s]["raw_share"]

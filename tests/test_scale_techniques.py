@@ -393,6 +393,8 @@ BNLJ_ALLOWED = {
     "unigram_lm_score": "1-row vocab map + 1-row OOV logprob folded in as broadcast crossJoins (score_unigram_lm's map-side contract)",
     "bm25_topk": "1-row (n_docs, avgdl) corpus-stats scalar folded in as broadcast crossJoin (same shape as tfidf's n_docs)",
     "dsir_weights": "1-row fitted weight-map frame (map<bucket,weight> + floor) folded in as broadcast crossJoin (score_unigram_lm's map-side contract)",
+    "kmeans_clusters": "broadcast-argmax centroid assignment: 8-row fitted centroid table broadcast against the corpus (the semantic_dedup/ann_topk pattern)",
+    "bigram_lm_score": "1-row (T, vc) bigram-type totals folded in as broadcast crossJoin (tfidf's n_docs shape)",
 }
 
 #: Queries allowed an Exchange SinglePartition: every one is a deliberate
@@ -416,6 +418,8 @@ SINGLEPART_ALLOWED = {
     "funnel_steps": "4 one-row step-total scalar aggregates (the frames under them are per-user MIN aggs, entity-partitioned)",
     "dsir_weights": "1-row fit frame: totals + collect_list of the ≤ m-row bucket table (m=1024), never the corpus body",
     "column_profile": "the profiler's single 1-row output agg (k columns wide, one row) — the corpus body only passes the partial/Expand side",
+    "mixture_weights": "the G-row source-stats fold to ONE row (dsir fit-frame shape; G = distinct sources, never the corpus body)",
+    "bigram_lm_score": "the 1-row (T, vc) bigram-type totals agg (over the model-sized bigram table, never token-scale data)",
 }
 
 
@@ -438,6 +442,25 @@ def test_registry_plan_lint(spark):
             offenders.append((name, "CartesianProduct (never allowed)"))
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders.append((name, "BroadcastNestedLoopJoin not allowlisted"))
+        # A filter over an alias of an expensive expression gets
+        # predicate-pushed THROUGH the defining projection with the full
+        # expression substituted — so e.g. an md5-per-token feature
+        # pipeline re-runs inside the (few-split) scan stage just to
+        # evaluate the filter. Measured 51s -> 7s at sf1 when dsir's
+        # `size(features) > 0` became `text IS NOT NULL` (round 6). Flag
+        # scans whose DataFilters carry a PER-ELEMENT higher-order loop
+        # (transform/aggregate lambdas) — a single scalar hash call
+        # (sha2/xxhash join-key null guards) is cheap and, living in the
+        # same codegen stage as its projection, deduped by subexpression
+        # elimination; the HOF-in-filter case is not, because the
+        # projection it duplicates runs in a LATER stage.
+        for m in re.finditer(r"DataFilters: \[([^\]]*)", plan):
+            df_expr = m.group(1)
+            if re.search(r"transform\(|aggregate\(", df_expr):
+                offenders.append(
+                    (name, f"HOF loop in scan DataFilters: {df_expr[:80]}")
+                )
+                break
         if re.search(r"Exchange SinglePartition", plan) and name not in SINGLEPART_ALLOWED:
             offenders.append((name, "Exchange SinglePartition not allowlisted"))
     assert not offenders, f"plan lint: {offenders}"

@@ -378,3 +378,63 @@ def test_ivf_index_parity_and_incremental_append(spark):
     top1 = {r.query_id: (r.neighbor_id, r.cosine_sim) for r in probe.collect()}
     for q in (5, 6, 7):
         assert top1[q] == (q + 9000, 1.0), top1
+
+
+def test_kmeans_portable_matches_numpy_reference(spark):
+    """The round_dp=6 portable Lloyd loop (the kmeans_clusters graded
+    config) is a pure function of the input: a numpy reference with the
+    same md5-ranked seeds, round-6 cosine argmax (higher-cent-id
+    tiebreak) and round-6 means reproduces every assignment."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_adsbx_spark.functions.vector import as_double, norm
+    from etl_adsbx_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("_bid"), as_double("embedding").alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    k, iters = 8, 3
+    cents = kmeans_centroids(base, n_centroids=k, iters=iters, round_dp=6)
+    got = {
+        (r["_cent_id"], tuple(round(x, 6) for x in r["_cv"]))
+        for r in cents.collect()
+    }
+
+    rows = emb.select("vec_id", as_double("embedding").alias("v")).collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([r["v"] for r in rows])
+
+    def r6(x: float) -> float:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    seed_order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )[:k]
+    cids = [ids[i] for i in seed_order]
+    C = V[seed_order].copy()
+    for _ in range(iters):
+        nv = np.linalg.norm(V, axis=1)
+        nc = np.linalg.norm(C, axis=1)
+        assign = {}
+        for i in range(len(ids)):
+            sims = [
+                (r6(float(V[i] @ C[j]) / float(nv[i] * nc[j])), cids[j], j)
+                for j in range(len(cids))
+            ]
+            assign[i] = max(sims)[2]
+        new_cids, new_C = [], []
+        for j in range(len(cids)):
+            members = [i for i, a in assign.items() if a == j]
+            if not members:
+                continue  # k-means degeneracy: cluster drops out
+            new_cids.append(cids[j])
+            new_C.append([r6(float(np.mean(V[members, d]))) for d in range(V.shape[1])])
+        cids, C = new_cids, np.array(new_C)
+    want = {(cids[j], tuple(C[j])) for j in range(len(cids))}
+    assert got == want

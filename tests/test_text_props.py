@@ -417,3 +417,89 @@ def test_unigram_lm_fit_and_score(spark):
     # determinism
     again = {r.doc_id: r.lm_score for r in score_unigram_lm(docs, lm).collect()}
     assert out == again
+
+
+def test_bigram_kn_matches_python_reference(spark):
+    """KN bigram scoring ≡ a pure-Python reference on a tiny corpus,
+    including the backoff paths the registry row cannot exercise (fit
+    corpus == score corpus there): a held-out doc with an unseen bigram
+    over seen words, and one with an unseen CONTEXT word."""
+    import math
+
+    from etl_adsbx_spark.functions.text import fit_bigram_kn, score_bigram_kn
+
+    fit_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog"),
+    ]
+    fit_df = spark.createDataFrame(fit_rows, "doc_id bigint, text string")
+    score_rows = fit_rows + [
+        (4, "the mat sat"),          # unseen bigrams over seen words
+        (5, "zebra the cat"),        # unseen context word
+        (6, "hello"),                # < 2 tokens -> NULL score
+    ]
+    score_df = spark.createDataFrame(score_rows, "doc_id bigint, text string")
+    big, ctx, cont, tt = fit_bigram_kn(fit_df)
+    got = {
+        r["doc_id"]: (r["lm2_score"], r["n_bigrams"])
+        for r in score_bigram_kn(score_df, big, ctx, cont, tt).collect()
+    }
+
+    # pure-Python reference
+    d = 0.75
+    bigs: dict[tuple[str, str], int] = {}
+    for _, t in fit_rows:
+        ws = t.lower().split()
+        for a, b in zip(ws, ws[1:]):
+            bigs[(a, b)] = bigs.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    nf: dict[str, int] = {}
+    np_: dict[str, int] = {}
+    for (a, b), c in bigs.items():
+        c1[a] = c1.get(a, 0) + c
+        nf[a] = nf.get(a, 0) + 1
+        np_[b] = np_.get(b, 0) + 1
+    T, vc = len(bigs), len(np_)
+
+    def p(a: str, b: str) -> float:
+        pc = (np_.get(b, 0) + 1) / (T + vc + 1.0)
+        if a not in c1:
+            return pc
+        disc = (bigs[(a, b)] - d) / c1[a] if (a, b) in bigs else 0.0
+        return disc + (d * nf[a] / c1[a]) * pc
+
+    for did, t in score_rows:
+        ws = t.lower().split()
+        prs = [p(a, b) for a, b in zip(ws, ws[1:])]
+        if not prs:
+            assert got[did] == (None, 0), did
+        else:
+            want = round(sum(math.log(x) for x in prs) / len(prs), 6)
+            assert got[did][1] == len(prs), did
+            assert abs(got[did][0] - want) < 1e-9, (did, got[did][0], want)
+    # all fit-corpus probability mass stays in (0, 1]
+    for a, b in bigs:
+        assert 0.0 < p(a, b) <= 1.0
+
+
+def test_unigram_lm_join_method_matches_map(spark):
+    """The large-V join path of score_unigram_lm ≡ the map-side default
+    (to fp accumulation order), including OOV tokens and an empty doc."""
+    from etl_adsbx_spark.functions.text import fit_unigram_lm, score_unigram_lm
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, ""),                       # tokenizes to [""] -> OOV
+        (4, "zebra quagga okapi"),     # heavy OOV vs the fitted vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lm = fit_unigram_lm(df.where(F.col("doc_id") <= 2), vocab_size=100)
+    a = {r["doc_id"]: r["lm_score"]
+         for r in score_unigram_lm(df, lm, method="map").collect()}
+    b = {r["doc_id"]: r["lm_score"]
+         for r in score_unigram_lm(df, lm, method="join").collect()}
+    assert set(a) == set(b) == {1, 2, 3, 4}
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, (k, a[k], b[k])
