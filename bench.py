@@ -98,6 +98,7 @@ OPTIONAL = [
     "mixture_weights",
     "kmeans_clusters",
     "bigram_lm_score",
+    "corpus_diff_content",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

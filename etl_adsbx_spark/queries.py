@@ -5061,3 +5061,48 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     big, ctx, cont, tt = T.fit_bigram_kn(docs)
     return T.score_bigram_kn(docs, big, ctx, cont, tt, carry=["lang"])
+
+
+@register(
+    "corpus_diff_content",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS nh
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN oh IS NULL THEN 'added'
+                WHEN nh IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    WHERE (CASE WHEN oh IS NULL THEN 'added'
+                WHEN nh IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed'
+                ELSE 'unchanged' END) <> 'unchanged'
+    """,
+)
+def corpus_diff_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Content-aware generation diff (sinks.corpus_diff_content):
+    the re-publish review — which ids were added, removed, or REWRITTEN
+    between corpus generations. Fixture generations derive from the one
+    documents table (old = ids ∉ 7ℤ; new = ids ∉ 5ℤ with every 11th
+    text rewritten), the boilerplate_strip convention. ONE full-outer
+    equi-join over (id, md5) — both sides prune to 2 narrow columns at
+    the scan; grades the full-outer join shape no other registry row
+    exercises. Output: every non-'unchanged' id with its change tag."""
+    from .sinks import corpus_diff_content as diff
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return diff(old, new).where(F.col("change") != "unchanged")

@@ -264,3 +264,36 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id") -> DataF
             o.join(n, id_col, "left_anti").withColumn("change", F.lit("removed"))
         )
     )
+
+
+def corpus_diff_content(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Content-aware corpus delta: ``corpus_diff`` extended with
+    'changed' (same id, different content) via ONE full-outer equi-join
+    on the id comparing content fingerprints — the re-publish review
+    that also answers "which surviving documents did the new
+    normalization rewrite?". Output: (id_col, change) with change in
+    {'added','removed','changed','unchanged'}.
+
+    Scale shape: both sides prune to (id, md5) at the scan — the join
+    ships 2 narrow columns regardless of document size; one shuffle
+    keyed on the id. The full-outer join is the right primitive here
+    (the anti-join pair of ``corpus_diff`` cannot see 'changed', and a
+    3-way union of anti/anti/inner would scan each side twice)."""
+    o = old.select(F.col(id_col), F.md5(F.col(content_col)).alias("_oh"))
+    n = new.select(F.col(id_col), F.md5(F.col(content_col)).alias("_nh"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_oh").isNull(), F.lit("added"))
+            .when(F.col("_nh").isNull(), F.lit("removed"))
+            .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change"),
+        )
+    )
