@@ -99,6 +99,7 @@ OPTIONAL = [
     "kmeans_clusters",
     "bigram_lm_score",
     "corpus_diff_content",
+    "pq_ann_topk",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

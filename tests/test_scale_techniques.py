@@ -395,6 +395,7 @@ BNLJ_ALLOWED = {
     "dsir_weights": "1-row fitted weight-map frame (map<bucket,weight> + floor) folded in as broadcast crossJoin (score_unigram_lm's map-side contract)",
     "kmeans_clusters": "broadcast-argmax centroid assignment: 8-row fitted centroid table broadcast against the corpus (the semantic_dedup/ann_topk pattern)",
     "bigram_lm_score": "1-row (T, vc) bigram-type totals folded in as broadcast crossJoin (tfidf's n_docs shape)",
+    "pq_ann_topk": "broadcast query set (with per-query distance tables) joined on != (self-match exclusion — the ann_topk exact-leg pattern) + the 1-row codebook frame crossJoin",
 }
 
 #: Queries allowed an Exchange SinglePartition: every one is a deliberate
