@@ -433,9 +433,7 @@ def doc_bigrams(text_col: Column | str = "text") -> Column:
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
 
-def fit_bigram_kn(
-    corpus: DataFrame, text_col: str = "text", discount: float = 0.75
-):
+def fit_bigram_kn(corpus: DataFrame, text_col: str = "text"):
     """Interpolated Kneser-Ney (absolute-discounting) bigram LM fit — the
     KenLM-style quality model of the CCNet pipeline, one modeling level
     above ``fit_unigram_lm``. Returns four frames:
@@ -451,10 +449,10 @@ def fit_bigram_kn(
     p(w2|w1) = (c12 − d)/c1 + d·nf(w1)/c1 · pcont(w2), with
     pcont(w2) = (np(w2)+1)/(T+vc+1) add-one-smoothed so unseen
     continuations take the floor 1/(T+vc+1); an unseen context backs off
-    to pcont alone. Fit is one explode + three hash-aggs, all over the
+    to pcont alone (the discount d enters at SCORE time — the fit is
+    pure counts). Fit is one explode + three hash-aggs, all over the
     model-sized bigram-type table (only the first agg sees token-scale
     data)."""
-    del discount  # the discount enters at score time; fit is pure counts
     b = (
         corpus.select(tokens(F.lower(F.col(text_col))).alias("_t"))
         .select(F.explode(doc_bigrams(F.col("_t"))).alias("_b"))

@@ -2259,7 +2259,10 @@ def sample_select_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM doctok d LEFT JOIN lm USING (token), oov o
       GROUP BY d.doc_id
     )
-    SELECT t.doc_id, t.lang, round(s.sc, 6) AS lm_score
+    SELECT 'map' AS method, t.doc_id, t.lang, round(s.sc, 6) AS lm_score
+    FROM toks t JOIN scores s ON t.doc_id = s.doc_id
+    UNION ALL
+    SELECT 'join', t.doc_id, t.lang, round(s.sc, 6)
     FROM toks t JOIN scores s ON t.doc_id = s.doc_id
     """,
 )
@@ -2272,14 +2275,25 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast vocab map (score_unigram_lm — the fold never shuffles). The
     oracle replays fit AND score in SQL; round(·, 6) absorbs the
     fold-order-vs-SUM-order double accumulation difference, the same
-    contract every cosine query uses."""
+    contract every cosine query uses. r6 cont.: the row is a tagged
+    union grading BOTH scoring paths — 'map' (broadcast vocab map fold;
+    right while V is small — map element_at is a linear scan) and
+    'join' (explode → token-keyed join → re-agg; the honest large-V
+    shape, same values by the round-6 contract)."""
     from .functions.text import fit_unigram_lm, score_unigram_lm
 
     docs = load_table(spark, sf_dir, "documents")
     lm = fit_unigram_lm(docs, vocab_size=50_000)
-    return score_unigram_lm(docs, lm).select(
-        "doc_id", "lang", F.round("lm_score", 6).alias("lm_score")
-    )
+    legs = []
+    for method in ("map", "join"):
+        legs.append(
+            score_unigram_lm(docs, lm, method=method).select(
+                F.lit(method).alias("method"),
+                "doc_id", "lang",
+                F.round("lm_score", 6).alias("lm_score"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
 
 
 @register(
