@@ -12,8 +12,9 @@ CRASHES the first attempt of one partition in every job, and asserts
 byte-identical results vs the fault-free run for the retry-sensitive
 operators (keyed dedup, global prefix sum, MinHash-LSH pairs, SemDeDup
 semantic dedup — whose k-means fit runs several jobs per call, each of
-which sees its own injected crash — and ExactSubstr substring dedup,
-whose canonical-occurrence rank rides a digest shuffle).
+which sees its own injected crash — ExactSubstr substring dedup,
+whose canonical-occurrence rank rides a digest shuffle, the checkpointed
+PageRank loop, and PQ encoding off a lowid orderBy-limit codebook).
 """
 
 from __future__ import annotations
@@ -95,6 +96,32 @@ SCRIPT = textwrap.dedent(
             for r in weighted_k_sample(df, 20, "doc_id", "n_chars", ["lang"]).collect()
         )
 
+    def run_rank(edges_df):
+        # 5 checkpointed power-iteration steps: each step is its own job
+        # (plus the checkpoint materialization), so the injected crash
+        # fires repeatedly; the rank vector must not move
+        from etl_adsbx_spark.operators.graph import pagerank, symmetrize_edges
+
+        return sorted(
+            (r.node, str(r.pagerank))
+            for r in pagerank(symmetrize_edges(edges_df, "a_id", "b_id")).collect()
+        )
+
+    def run_pq(edf):
+        # PQ codes ride a broadcast codebook whose lowid seeds come from
+        # an orderBy().limit() — a retried scan must reproduce them
+        from etl_adsbx_spark.functions.vector import as_double
+        from etl_adsbx_spark.operators.similarity import pq_codebook, pq_encode
+        from pyspark.sql import functions as F
+
+        base = edf.select(
+            F.col("vec_id").alias("_bid"), as_double("embedding").alias("_v")
+        )
+        cb = pq_codebook(base)
+        return sorted(
+            (r.vec_id, tuple(r.codes)) for r in pq_encode(edf, cb).collect()
+        )
+
     def run_substr(df):
         # shingle-rank canonicalization + per-doc cummax spans: the
         # canonical pick is a row_number over (doc_id, pos) — content-
@@ -118,6 +145,7 @@ SCRIPT = textwrap.dedent(
 
     clean = run(docs) + (
         run_sem(emb), run_cc(chain, cnodes), run_samp(docs), run_substr(docs),
+        run_rank(chain), run_pq(emb),
     )
     injected = run(docs.repartition(4).mapInPandas(flaky, docs.schema)) + (
         run_sem(emb.repartition(4).mapInPandas(flaky, emb.schema)),
@@ -127,9 +155,11 @@ SCRIPT = textwrap.dedent(
         ),
         run_samp(docs.repartition(4).mapInPandas(flaky, docs.schema)),
         run_substr(docs.repartition(4).mapInPandas(flaky, docs.schema)),
+        run_rank(chain.repartition(4).mapInPandas(flaky, chain.schema)),
+        run_pq(emb.repartition(4).mapInPandas(flaky, emb.schema)),
     )
     names = ("dedup", "prefix", "pairs", "semantic", "cc", "weighted_sample",
-             "substring_dedup")
+             "substring_dedup", "pagerank", "pq_codes")
     for name, a, b in zip(names, clean, injected):
         assert a == b, f"{name} diverged under task retry"
     print("RETRY_DETERMINISM_OK")
