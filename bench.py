@@ -100,6 +100,7 @@ OPTIONAL = [
     "bigram_lm_score",
     "corpus_diff_content",
     "pq_ann_topk",
+    "curation_pipeline",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

@@ -5185,3 +5185,76 @@ def pq_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_ann_topk(emb, q, topk=5, method="lowid").select(
         "query_id", "neighbor_id", "adc_dist"
     )
+
+
+@register(
+    "curation_pipeline",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, text, lang,
+        len(list_filter(toks, x -> list_contains(
+            ['the','a','of','to','and','in','is','it','that','for'], x)))
+          / CAST(len(toks) AS DOUBLE) AS stop_ratio_raw,
+        (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+          / CAST(length(text) AS DOUBLE) AS punct_ratio_raw,
+        length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+          / CAST(length(text) AS DOUBLE) AS ascii_ratio
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, text, lang,
+        round(0.4 * least(length(text) / 500.0, 1.0)
+              + 0.4 * least(stop_ratio_raw * 5.0, 1.0)
+              + 0.2 * (1.0 - least(punct_ratio_raw * 10.0, 1.0)), 6) AS q,
+        CASE WHEN stop_ratio_raw > 0.02 AND ascii_ratio > 0.6
+             THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM feat
+    ),
+    gated AS (SELECT * FROM scored WHERE lang_pred = 'en' AND q >= 0.5),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS sha
+        FROM gated
+      ) GROUP BY sha
+    )
+    SELECT g.doc_id, g.lang, g.q,
+      CASE WHEN ('0x' || substring(md5(g.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+             THEN 'train'
+           WHEN ('0x' || substring(md5(g.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95
+             THEN 'val'
+           ELSE 'test' END AS split
+    FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The LLM-curation flagship composite, graded end to end: the
+    chain a real corpus release runs — quality score → language gate →
+    exact dedup → deterministic split assignment — as ONE plan, so the
+    oracle checks that the operators COMPOSE correctly (each piece is
+    also graded alone: text_stats, exact_dedup_docs). Survivors =
+    English-classified docs with quality ≥ 0.5, lowest-id winner per
+    normalized-text sha, tagged train/val/test by the md5 split bucket.
+
+    Plan: per-row codegen (score + gate + sha + split) with exactly one
+    shuffle — the dedup hash-agg on the 64-char sha — then the keep-set
+    join (AQE broadcasts it). Nothing else touches the corpus body."""
+    from .functions.text import lang_id, quality_score, split_assign
+    from .operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text", "lang",
+        quality_score("text").alias("q"),
+        lang_id("text").alias("lang_pred"),
+    )
+    gated = scored.where((F.col("lang_pred") == "en") & (F.col("q") >= 0.5))
+    deduped = exact_dedup(gated, "text", "doc_id")
+    return deduped.select(
+        "doc_id", "lang", "q", split_assign("doc_id").alias("split")
+    )
