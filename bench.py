@@ -101,6 +101,7 @@ OPTIONAL = [
     "corpus_diff_content",
     "pq_ann_topk",
     "curation_pipeline",
+    "geo_radius_join",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

@@ -432,3 +432,97 @@ def interval_overlap_counts(
         )
         .drop("_n_started", "_n_ended")
     )
+
+
+#: Conservative km-per-degree lower bound for grid sizing (a sphere degree
+#: is ~111.19 km with the haversine R=6371; under-estimating it only GROWS
+#: the candidate neighborhood — never drops a true pair).
+_KM_PER_DEG = 110.0
+
+
+def geo_radius_join(
+    points: DataFrame,
+    sites: DataFrame,
+    radius_km: float,
+    cell_deg: float = 5.0,
+    point_coords: tuple[str, str] = ("lat", "lon"),
+    site_coords: tuple[str, str] = ("lat", "lon"),
+) -> DataFrame:
+    """Spatial radius join — all (site, point) pairs within ``radius_km``
+    (exact haversine), the JOIN generalization of the reference's
+    server-side geo-radius filter (task.ts:118 `lat/lon/dst` request):
+    find every point near ANY of a table of sites, not one literal center.
+
+    Scale shape (the classic grid join): the BIG side buckets once into
+    fixed-degree (lat, lon) grid cells — one row each, a pure projection.
+    The small site side explodes to its candidate cell neighborhood and
+    equi-joins on the cell key (AQE broadcasts it); the exact haversine
+    predicate then verifies. Never an all-pairs theta join — the same
+    candidates→verify discipline as every near-dup join in this repo.
+
+    The neighborhood is LOSSLESS by construction: latitude reach is
+    ``R/(110·cell)+1`` cells (a sphere degree is ≥ ~111 km; 110 is a
+    conservative floor) and longitude reach divides by the cosine at the
+    worst latitude the pair could occupy (``|site lat| + R/110 + cell``,
+    clamped to 90° — near-polar sites fall back to the whole lon circle,
+    capped at half the ring since cells wrap via pmod). Over-generation
+    only costs verify work; misses are impossible. Output: both inputs'
+    columns plus ``dist_km`` (round 4). ``sites`` must be row-unique (a
+    keyed dimension): the candidate-cell dedup is over (site row, cell),
+    so duplicated site rows would collapse — the interval-overlap-join
+    row-uniqueness contract."""
+    import math as _math
+
+    from ..functions.scalar import haversine_km
+
+    plat, plon = point_coords
+    slat, slon = site_coords
+    n_lon = int(round(360.0 / cell_deg))
+    lat_reach = int(radius_km / (_KM_PER_DEG * cell_deg)) + 1
+
+    p = points.withColumn(
+        "_clat", F.floor(F.col(plat) / cell_deg).cast("int")
+    ).withColumn(
+        "_clon", F.pmod(F.floor(F.col(plon) / cell_deg), F.lit(n_lon)).cast("int")
+    )
+    phi_max = F.least(
+        F.lit(90.0),
+        F.abs(F.col(slat)) + F.lit(radius_km / _KM_PER_DEG + cell_deg),
+    )
+    # cap in DOUBLE before the int cast: a near-polar cosine makes the raw
+    # reach ~1e9 cells, which overflows an ANSI int cast
+    lon_reach = F.least(
+        F.lit(radius_km)
+        / (F.lit(_KM_PER_DEG * cell_deg)
+           * F.greatest(F.cos(F.radians(phi_max)), F.lit(1e-9)))
+        + F.lit(1.0),
+        F.lit(float(n_lon // 2)),
+    ).cast("int")
+    s = (
+        sites.withColumn("_sclat", F.floor(F.col(slat) / cell_deg).cast("int"))
+        .withColumn("_sclon", F.floor(F.col(slon) / cell_deg).cast("int"))
+        .withColumn("_lr", lon_reach)
+        .withColumn(
+            "_dlat",
+            F.explode(F.sequence(F.lit(-lat_reach), F.lit(lat_reach))),
+        )
+        .withColumn("_dlon", F.explode(F.sequence(-F.col("_lr"), F.col("_lr"))))
+        .withColumn("_clat", (F.col("_sclat") + F.col("_dlat")).cast("int"))
+        .withColumn(
+            "_clon",
+            F.pmod(F.col("_sclon") + F.col("_dlon"), F.lit(n_lon)).cast("int"),
+        )
+        .drop("_sclat", "_sclon", "_lr", "_dlat", "_dlon")
+        # a near-polar site's widened lon reach can emit the same wrapped
+        # cell twice — dedup the CELL LIST (site-keyed, tiny), never pairs
+        .dropDuplicates()
+    )
+    dist = F.round(
+        haversine_km(F.col(plat), F.col(plon), F.col(slat), F.col(slon)), 4
+    )
+    return (
+        p.join(s, ["_clat", "_clon"])
+        .withColumn("dist_km", dist)
+        .where(F.col("dist_km") <= F.lit(float(radius_km)))
+        .drop("_clat", "_clon")
+    )

@@ -5258,3 +5258,104 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.select(
         "doc_id", "lang", "q", split_assign("doc_id").alias("split")
     )
+
+
+@register(
+    "geo_radius_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+        CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 AS lat,
+        CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+      FROM customer
+    ),
+    sites AS (
+      SELECT s_suppkey,
+        CAST((s_suppkey * 7) % 180 AS DOUBLE) - 90.0 + 0.5 AS slat,
+        CAST((s_suppkey * 13) % 360 AS DOUBLE) - 180.0 + 0.5 AS slon
+      FROM supplier WHERE s_suppkey <= 1000
+    ),
+    d AS (
+      SELECT s_suppkey, c_custkey,
+        round(2.0 * 6371.0 * atan2(
+          sqrt(pow(sin(radians(slat - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(slat))
+               * pow(sin(radians(slon - lon) / 2), 2)),
+          sqrt(1 - (pow(sin(radians(slat - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(slat))
+               * pow(sin(radians(slon - lon) / 2), 2)))), 4) AS dist_km
+      FROM pts, sites
+    ),
+    hits AS (SELECT * FROM d WHERE dist_km <= 500.0)
+    SELECT 'pairs' AS part, s_suppkey, c_custkey, dist_km,
+           CAST(NULL AS BIGINT) AS n_within
+    FROM hits WHERE s_suppkey <= 20
+    UNION ALL
+    SELECT 'site_stats', s_suppkey, c_custkey, dist_km, n_within FROM (
+      SELECT s_suppkey, c_custkey, dist_km,
+             COUNT(*) OVER (PARTITION BY s_suppkey) AS n_within,
+             row_number() OVER (PARTITION BY s_suppkey
+                                ORDER BY dist_km, c_custkey) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """,
+)
+def geo_radius_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Spatial radius join (operators.joins.geo_radius_join): every
+    customer point within 500 km of a supplier site — the JOIN
+    generalization of R2's geo-radius request parameter (task.ts:118),
+    one literal center become a site table. Grid join: points bucket
+    once into 5-degree cells; the site side explodes to its lossless
+    candidate neighborhood (latitude reach fixed, longitude reach
+    cosine-adaptive, pmod seam wrap) and equi-joins; exact haversine
+    verifies. The oracle is the brute-force cross join — feasible only
+    at oracle scales, which is why the grid shape is the operator.
+
+    GRADED CONFIG — the range-join/interval-overlap precedent, one step
+    further: when BOTH sides scale, not just the pair OUTPUT but the
+    candidate/verify WORK is quadratic by definition (measured 13× then
+    10.7× at the third decade for the all-sites forms), so the graded
+    row pins the site table to a fixed dimension (s_suppkey ≤ 1000 —
+    constant beyond sf0.1, the real deployment contract: geofence/site
+    tables are dimension-sized and do not grow with telemetry). Tagged
+    union of (a) full pairs for s_suppkey ≤ 20 and (b) per-site
+    aggregates (n within R + nearest point, (dist, custkey) tiebreak)
+    over the pinned site set. The unrestricted pair form remains the
+    operator API."""
+    from .operators.joins import geo_radius_join
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180).cast("double") - 90.0 + 0.5).alias("lat"),
+        ((F.col("c_custkey") % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+    )
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 1000)
+    sites = s.select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 7) % 180).cast("double") - 90.0 + 0.5).alias("slat"),
+        (((F.col("s_suppkey") * 13) % 360).cast("double") - 180.0 + 0.5).alias("slon"),
+    )
+    hits = geo_radius_join(
+        pts, sites, radius_km=500.0, cell_deg=5.0,
+        point_coords=("lat", "lon"), site_coords=("slat", "slon"),
+    ).select("s_suppkey", "c_custkey", "dist_km")
+    pairs = hits.where(F.col("s_suppkey") <= 20).select(
+        F.lit("pairs").alias("part"), "s_suppkey", "c_custkey", "dist_km",
+        F.lit(None).cast("bigint").alias("n_within"),
+    )
+    stats = (
+        hits.groupBy("s_suppkey")
+        .agg(
+            F.min(
+                F.struct(F.col("dist_km").alias("d"), F.col("c_custkey").alias("c"))
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("n_within"),
+        )
+        .select(
+            F.lit("site_stats").alias("part"), "s_suppkey",
+            F.col("_m.c").alias("c_custkey"), F.col("_m.d").alias("dist_km"),
+            "n_within",
+        )
+    )
+    return pairs.unionByName(stats)

@@ -86,3 +86,49 @@ def test_range_pair_counts_matches_brute_force(spark, lrows, rrows):
         ).collect()
     }
     assert got == expect
+
+
+def test_geo_radius_join_equals_brute_force_adversarial(spark):
+    """Grid radius join ≡ brute-force haversine cross join on coordinates
+    chosen to break naive gridding: near-polar sites (longitude cells
+    shrink to nothing — reach must widen to the whole ring), dateline-
+    seam pairs (cell index must wrap via pmod), and exact cell-boundary
+    points. Any missed pair fails the set comparison."""
+    from etl_adsbx_spark.functions.scalar import haversine_km
+    from etl_adsbx_spark.operators.joins import geo_radius_join
+
+    pts = [
+        (1, 89.4, 10.0), (2, 89.2, -170.0), (3, -89.5, 45.0),   # polar
+        (4, 0.1, 179.9), (5, -0.2, -179.8), (6, 0.0, 180.0 - 1e-9),  # seam
+        (7, 45.0, 0.0), (8, 45.0, 5.0), (9, 44.999999, 4.999999),  # boundary
+        (10, 50.0, 120.0), (11, -33.3, -71.2), (12, 89.9, -5.0),
+    ]
+    sites = [
+        (101, 89.5, -120.0),    # near-pole: every longitude is close
+        (102, -0.1, -179.95),   # seam site
+        (103, 45.0, 4.0),
+        (104, -89.0, 130.0),
+        (105, 52.0, 119.0),
+    ]
+    p = spark.createDataFrame(pts, "pid bigint, lat double, lon double")
+    s = spark.createDataFrame(sites, "sid bigint, slat double, slon double")
+    for radius in (300.0, 1500.0):
+        got = {
+            (r["sid"], r["pid"])
+            for r in geo_radius_join(
+                p, s, radius_km=radius, cell_deg=5.0,
+                point_coords=("lat", "lon"), site_coords=("slat", "slon"),
+            ).collect()
+        }
+        brute = {
+            (r["sid"], r["pid"])
+            for r in p.crossJoin(s)
+            .withColumn(
+                "d",
+                F.round(haversine_km(F.col("lat"), F.col("lon"),
+                                     F.col("slat"), F.col("slon")), 4),
+            )
+            .where(F.col("d") <= radius)
+            .collect()
+        }
+        assert got == brute, (radius, got ^ brute)
