@@ -205,6 +205,33 @@ def fit_unigram_lm(
     return fitted.unionByName(oov)
 
 
+def _oov_frame(lm: DataFrame) -> DataFrame:
+    """Always-1-row ``(_oov)`` frame from a fitted LM's NULL-token row,
+    validated in-plan: the agg-without-groupBy keeps it one row even when
+    the contract is violated, and the ``when``/``raise_error`` fires at
+    execution instead of letting the crossJoin silently return 0 rows
+    (missing OOV) or duplicate every doc (multiple OOV rows)."""
+    return (
+        lm.where(F.col("token").isNull())
+        .agg(F.first("logprob").alias("_o"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.when(F.col("_n") == 1, F.col("_o"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "score_unigram_lm: lm must contain exactly one "
+                            "NULL-token OOV row (fit_unigram_lm contract); found "
+                        ),
+                        F.col("_n").cast("string"),
+                    )
+                )
+            )
+            .alias("_oov")
+        )
+    )
+
+
 def score_unigram_lm(
     docs: DataFrame,
     lm: DataFrame,
@@ -230,9 +257,15 @@ def score_unigram_lm(
     re-agg (two token-scale shuffles, O(1) per token; the same shape
     ``score_bigram_kn`` grades, since a bigram table is never
     broadcastable). Scores agree to fp-accumulation order (round before
-    comparing); ``id_col`` is only required by the join path."""
+    comparing); ``id_col`` is only required by the join path.
+
+    ``lm`` must contain EXACTLY ONE NULL-token OOV row (the
+    ``fit_unigram_lm`` contract). Both paths crossJoin that 1-row frame,
+    so a missing row would silently zero the output and a duplicate
+    would multiply every doc — validated lazily via ``raise_error``
+    inside the plan (no extra driver job)."""
+    oov = _oov_frame(lm)
     if method == "join":
-        oov = lm.where(F.col("token").isNull()).select(F.col("logprob").alias("_oov"))
         vocab = lm.where(F.col("token").isNotNull())
         toksj = docs.select(
             F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
@@ -262,7 +295,6 @@ def score_unigram_lm(
             F.array_sort(F.collect_list(F.struct("token", "logprob")))
         ).alias("_vocab")
     )
-    oov = lm.where(F.col("token").isNull()).select(F.col("logprob").alias("_oov"))
     toks = tokens(F.lower(F.col(text_col)))
     total = F.aggregate(
         toks,

@@ -65,9 +65,11 @@ def pagerank(
     Arithmetic (exact in both engines): transition probability
     ``p(u→v) = round(w_uv / outw_u, 10)::DECIMAL(12,10)`` (the only
     double division); rank update
-    ``r'(v) = round(base + 0.85 * round(Σ_in p·r, 12), 12)`` with every
-    intermediate an exact decimal operation; ``base = round(0.15/n, 12)``
-    and ``r0 = round(1/n, 12)`` from a 1-row broadcast node-count frame.
+    ``r'(v) = round(base + d * round(Σ_in p·r, 12), 12)`` with every
+    intermediate an exact decimal operation; ``base = round((1-d)/n, 12)``
+    and ``r0 = round(1/n, 12)`` from a 1-row broadcast node-count frame
+    (both terms derive from the same ``damping``, so Σ rank stays 1 up to
+    rounding for ANY damping, not just 0.85).
 
     100-TB shape: the edge list aggregates once into the transition
     table (one (src,dst)-keyed hash-agg + one src-keyed hash-agg —
@@ -87,7 +89,11 @@ def pagerank(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    d = F.lit(Decimal(damping)).cast("decimal(3,2)")
+    d_dec = Decimal(damping)
+    if not (Decimal(0) < d_dec < Decimal(1)):
+        raise ValueError("damping must be in (0, 1)")
+    d = F.lit(d_dec).cast("decimal(3,2)")
+    teleport = Decimal(1) - d_dec  # base = (1-d)/n, NOT a hardcoded 0.15
     w = F.col(weight) if weight else F.lit(1)
     e = edges.groupBy(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
@@ -105,7 +111,9 @@ def pagerank(
     nodes = outw.select(F.col("_src").alias("node"))
     nf = nodes.agg(F.count("*").alias("_n"))
     basef = nf.select(
-        F.round(F.lit(0.15) / F.col("_n"), 12).cast("decimal(14,12)").alias("_base")
+        F.round(F.lit(float(teleport)) / F.col("_n"), 12)
+        .cast("decimal(14,12)")
+        .alias("_base")
     )
     if checkpoint:
         basef = basef.localCheckpoint(eager=True)

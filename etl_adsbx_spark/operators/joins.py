@@ -10,10 +10,36 @@ scale (a raw theta join is a nested-loop cross product).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import normalize_key
+
+#: Fixed-offset session timezones (no DST): calendar-interval stepping from a
+#: date_trunc origin stays on date_trunc boundaries under exactly these.
+_FIXED_OFFSET_TZ = re.compile(
+    r"^(UTC|GMT|Z|Etc/(UTC|GMT([+-]\d{1,2})?)|[+-]\d{2}:\d{2}|"
+    r"UTC[+-]\d{1,2}(:\d{2})?|GMT[+-]\d{1,2}(:\d{2})?)$"
+)
+
+
+def _require_fixed_offset_tz(df: DataFrame, opname: str) -> None:
+    """Bucket-explode joins step ``date_trunc(origin) + k·INTERVAL`` and
+    dedup on ``_bucket == date_trunc(...)``; in a DST zone day/week steps
+    can drift off trunc boundaries so the dedup filter silently drops
+    pairs. Fail loudly instead (the repo session pins UTC — session.py —
+    but these operators accept any session)."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if not _FIXED_OFFSET_TZ.match(tz or ""):
+        raise ValueError(
+            f"{opname} requires a fixed-offset session timezone "
+            f"(spark.sql.session.timeZone={tz!r} may observe DST; "
+            "calendar-bucket boundaries would drift and the first-shared-"
+            "bucket dedup could drop overlapping pairs). Set it to 'UTC' "
+            "or a fixed offset like '+02:00'."
+        )
 
 
 def includes_join(
@@ -162,6 +188,7 @@ def bucketed_range_join(
     entity) or aggregate (``range_pair_counts``); the key also spreads
     the shuffle across (bucket, key) instead of hot time buckets.
     """
+    _require_fixed_offset_tz(left, "bucketed_range_join")
     lo = F.expr(f"INTERVAL {lower_interval}")
     hi = F.expr(f"INTERVAL {upper_interval}")
     lbuck = left.withColumn(
@@ -294,6 +321,7 @@ def interval_overlap_join(
     buckets. Generalizes ``bucketed_range_join`` (point-in-window) to
     window-vs-window — the missing member of the range-join family
     (R23's equi-join generalized twice, task.ts:217-240)."""
+    _require_fixed_offset_tz(left, "interval_overlap_join")
     step = F.expr(f"INTERVAL 1 {bucket.upper()}")
     keys = list(extra_keys or [])
 
@@ -362,6 +390,7 @@ def interval_overlap_counts(
     ~15% faster than hour at 100× density, with the cumulative table
     still broadcast-tiny at 43 200 rows/month — BASELINE.md).
     """
+    _require_fixed_offset_tz(left, "interval_overlap_counts")
     step = F.expr(f"INTERVAL 1 {bucket.upper()}")
     bounds = right.agg(
         F.date_trunc(bucket, F.min(right_start)).alias("_s_lo"),
@@ -478,6 +507,15 @@ def geo_radius_join(
     plat, plon = point_coords
     slat, slon = site_coords
     n_lon = int(round(360.0 / cell_deg))
+    # the pmod longitude wrap assumes an integral cell ring: a non-divisor
+    # cell size (e.g. 7°) misaligns the seam at the antimeridian and
+    # seam-crossing pairs could be lost — reject it up front
+    if abs(n_lon * cell_deg - 360.0) > 1e-9 * 360.0:
+        raise ValueError(
+            f"cell_deg={cell_deg} must divide 360 exactly (got "
+            f"{n_lon} cells × {cell_deg}° = {n_lon * cell_deg}°); use e.g. "
+            "0.25, 0.5, 1, 2, 2.5, 3, 4, 5, 6, 8, 9, 10"
+        )
     lat_reach = int(radius_km / (_KM_PER_DEG * cell_deg)) + 1
 
     p = points.withColumn(

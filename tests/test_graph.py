@@ -104,3 +104,25 @@ def test_pagerank_lazy_equals_checkpointed(spark):
         for r in pagerank(df, iters=3, checkpoint=False).collect()
     }
     assert a == b
+
+
+def test_pagerank_nondefault_damping_conserves_mass(spark):
+    """The teleport term derives from ``damping`` (base = (1-d)/n), so the
+    rank vector sums to 1 for ANY damping — the round-6 advice bug was a
+    hardcoded 0.15 teleport that broke every damping except 0.85."""
+    df = spark.createDataFrame(_sym(EDGES), "src string, dst string")
+    for d in ("0.50", "0.85", "0.95"):
+        out = {
+            r["node"]: r["pagerank"]
+            for r in pagerank(df, iters=6, damping=d, checkpoint=False).collect()
+        }
+        assert abs(sum(out.values()) - 1.0) < 1e-8, (d, sum(out.values()))
+
+
+def test_pagerank_rejects_out_of_range_damping(spark):
+    df = spark.createDataFrame(_sym(EDGES), "src string, dst string")
+    import pytest
+
+    for d in ("0", "1", "1.5"):
+        with pytest.raises(ValueError):
+            pagerank(df, iters=1, damping=d)

@@ -118,3 +118,38 @@ def test_extra_keys_scope_pairs(spark):
         ).collect()
     }
     assert got == {(1, 10)}  # only the shared-key overlapping pair
+
+
+def test_bucket_joins_reject_dst_session_timezone(spark):
+    """Calendar-bucket explode joins dedup on ``_bucket == date_trunc(...)``;
+    in a DST zone day/week steps can drift off trunc boundaries and drop
+    pairs silently — the operator must fail loudly instead (round-6 advice)."""
+    import pytest
+
+    from etl_adsbx_spark.operators.joins import (
+        bucketed_range_join,
+        interval_overlap_counts,
+        interval_overlap_join,
+    )
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="fixed-offset"):
+            interval_overlap_join(df, df, "a", "b", "c", "d")
+        with pytest.raises(ValueError, match="fixed-offset"):
+            bucketed_range_join(df, df, "a", "b", "1 HOUR", "1 HOUR")
+        with pytest.raises(ValueError, match="fixed-offset"):
+            interval_overlap_counts(df, df, ["x"], "a", "b", "c", "d")
+        # fixed offsets are fine: the guard passes (plan building then fails
+        # later on the fake bigint columns, which is not the guard's concern)
+        spark.conf.set("spark.sql.session.timeZone", "+05:30")
+        try:
+            interval_overlap_join(df, df, "x", "x", "x", "x")
+        except ValueError as e:  # pragma: no cover
+            raise AssertionError(f"fixed offset rejected: {e}")
+        except Exception:
+            pass
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -132,3 +132,22 @@ def test_geo_radius_join_equals_brute_force_adversarial(spark):
             .collect()
         }
         assert got == brute, (radius, got ^ brute)
+
+
+def test_geo_radius_join_rejects_non_divisor_cell(spark):
+    """``cell_deg`` must divide 360 exactly or the pmod longitude wrap
+    misaligns at the antimeridian and seam pairs can be lost (round-6
+    advice) — reject up front; divisors still work."""
+    import pytest
+
+    from etl_adsbx_spark.operators.joins import geo_radius_join
+
+    pts = spark.createDataFrame([(0.0, 179.9)], ["lat", "lon"])
+    sites = spark.createDataFrame([(0.0, -179.9)], ["slat", "slon"])
+    with pytest.raises(ValueError, match="divide 360"):
+        geo_radius_join(pts, sites, 50.0, cell_deg=7.0, site_coords=("slat", "slon"))
+    # a valid non-integer divisor still catches the seam-crossing pair
+    out = geo_radius_join(
+        pts, sites, 50.0, cell_deg=2.5, site_coords=("slat", "slon")
+    ).collect()
+    assert len(out) == 1 and out[0]["dist_km"] < 50.0

@@ -503,3 +503,26 @@ def test_unigram_lm_join_method_matches_map(spark):
     assert set(a) == set(b) == {1, 2, 3, 4}
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9, (k, a[k], b[k])
+
+
+def test_score_unigram_lm_validates_oov_row(spark):
+    """Both scoring paths crossJoin the lm's single NULL-token OOV row; a
+    missing row must raise (not silently return 0 rows) and a duplicated
+    row must raise (not duplicate every doc) — round-6 advice on the join
+    path's unvalidated assumption."""
+    import pytest
+
+    from etl_adsbx_spark.functions.text import fit_unigram_lm, score_unigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spam ham")], ["doc_id", "text"]
+    )
+    lm = fit_unigram_lm(docs, vocab_size=10).localCheckpoint()
+    no_oov = lm.where(F.col("token").isNotNull())
+    dup_oov = lm.unionByName(lm.where(F.col("token").isNull()))
+    for method in ("map", "join"):
+        ok = score_unigram_lm(docs, lm, method=method).collect()
+        assert len(ok) == 2
+        for bad in (no_oov, dup_oov):
+            with pytest.raises(Exception, match="exactly one"):
+                score_unigram_lm(docs, bad, method=method).collect()
