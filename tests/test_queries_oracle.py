@@ -37,3 +37,21 @@ def test_approx_distinct_error_bound(spark):
     assert rows
     for r in rows:
         assert r["approx_within_10pct"] == 1, (r["c_mktsegment"], r["n_nations"])
+
+
+def test_driver_priority_rotation():
+    """The driver's CORRECTNESS gate grades the FIRST 50 ``queries()``
+    keys; ``_DRIVER_PRIORITY`` floats never/stale-graded keys into that
+    sample (round-6 verdict #1). Pin: the list is valid (every name
+    registered, no dupes), fits the 50-slot window, and ``queries()`` /
+    ``oracle_sql()`` lead with it."""
+    qs, osql = registry.queries(), registry.oracle_sql()
+    prio = registry._DRIVER_PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate names in _DRIVER_PRIORITY"
+    assert set(prio) <= set(qs), set(prio) - set(qs)
+    assert len(prio) <= 50, "priority list overflows the driver's graded-50 window"
+    assert list(qs)[: len(prio)] == prio
+    assert list(osql)[: len(prio)] == [n for n in prio if n in osql]
+    # reorder must not change membership
+    assert set(qs) == set(registry._QUERIES)
+    assert set(osql) == set(registry._ORACLE)
