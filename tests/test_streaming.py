@@ -611,3 +611,92 @@ def test_streaming_sketch_maintenance_across_ticks(spark):
     lens = sorted(len(t) for t in all_texts)
     assert med in lens  # a KLL quantile is always an observed value
     assert abs(med - lens[len(lens) // 2]) <= 4
+
+
+def test_incremental_sessionize_three_tick_parity(spark):
+    """A 3-tick time split of the events fixture, sessionized incrementally
+    with cross-tick state, must equal ONE batch sessionize pass — a session
+    spanning two ticks keeps one session_idx, and a gap elapsing between
+    ticks opens a new one (round-6 verdict #4: the R29 micro-batch model
+    generalized to the session surface)."""
+    from etl_adsbx_spark.operators.events import sessionize
+    from etl_adsbx_spark.streaming.sessionize import IncrementalSessionizer
+    from etl_adsbx_spark.tables import load_table
+
+    from .conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts_ns", "event_id"
+    )
+    lo, hi = ev.agg(F.min("ts_ns"), F.max("ts_ns")).first()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    ticks = [
+        ev.where(F.col("ts_ns") <= c1),
+        ev.where((F.col("ts_ns") > c1) & (F.col("ts_ns") <= c2)),
+        ev.where(F.col("ts_ns") > c2),
+    ]
+    gap = 30 * 60 * 10**9
+    inc = IncrementalSessionizer(key="user_id", ts_col="ts_ns", gap=gap)
+    got = {}
+    for t in ticks:
+        for r in inc.process(t).collect():
+            got[(r["user_id"], r["event_id"])] = r["session_idx"]
+    want = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(ev, gap=gap).collect()
+    }
+    assert got == want
+    # the split is non-trivial: some entity must actually span ticks
+    n_by_tick = [t.select("user_id").distinct() for t in ticks]
+    assert n_by_tick[0].intersect(n_by_tick[1]).count() > 0
+
+
+def test_incremental_sessionize_span_and_gap_cases(spark):
+    """Deterministic micro-fixture through the real foreachBatch runner:
+    one session spanning ticks 1-2 (single idx) and a cross-tick gap
+    opening session 2."""
+    import json
+    import os
+
+    from etl_adsbx_spark.streaming.sessionize import IncrementalSessionizer
+    from etl_adsbx_spark.streaming.windows import run_micro_batches
+
+    gap = 100
+    batches = [
+        [{"user_id": "u1", "ts_ns": 0, "event_id": "a"},
+         {"user_id": "u1", "ts_ns": 50, "event_id": "b"},
+         {"user_id": "u2", "ts_ns": 0, "event_id": "c"}],
+        [{"user_id": "u1", "ts_ns": 120, "event_id": "d"},   # within gap of b → same session
+         {"user_id": "u2", "ts_ns": 500, "event_id": "e"}],  # gap elapsed → session 2
+        [{"user_id": "u1", "ts_ns": 1000, "event_id": "f"}], # gap elapsed → session 2
+    ]
+    d = tempfile.mkdtemp()
+    for i, batch in enumerate(batches):
+        p = os.path.join(d, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+        # the file source orders micro-batches by mtime; make it unambiguous
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = (
+        spark.readStream.schema("user_id string, ts_ns long, event_id string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    inc = IncrementalSessionizer(key="user_id", ts_col="ts_ns", gap=gap)
+    out = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            out[r["event_id"]] = (r["user_id"], r["session_idx"])
+
+    q = run_micro_batches(
+        src, inc.foreach_batch_fn(sink), tempfile.mkdtemp(), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert out == {
+        "a": ("u1", 1), "b": ("u1", 1), "d": ("u1", 1), "f": ("u1", 2),
+        "c": ("u2", 1), "e": ("u2", 2),
+    }
+    st = {r["key"]: (r["last_ts"], r["n_sessions"]) for r in inc.state.collect()}
+    assert st == {"u1": (1000, 2), "u2": (500, 2)}
