@@ -328,6 +328,229 @@ def bpe_encode(
     )
 
 
+# =========================================================================
+# Pretrained GPT-2-format BPE (public merges.txt / vocab.json)
+# =========================================================================
+#
+# The fitted tokenizer above uses the Sennrich EOW formulation; real
+# corpora are usually budgeted against a PUBLISHED tokenizer. This loads
+# the public GPT-2 byte-level BPE artifact format (merges.txt: one
+# "a b" pair per line in merge order after an optional "#version" header;
+# vocab.json: token -> id), so packing/budget ops can count real tokens.
+# All semantics below are the published algorithm (Radford et al. 2019
+# encoder: byte-to-unicode table, ordered-alternation pretokenizer,
+# min-rank pair merging, case-preserved) — no external tokenizer library
+# needed; the standard regex is re-expressed as a hand-rolled scanner
+# because \p{L}/\p{N} classes need only unicodedata categories.
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte->unicode printable mapping: printable latin
+    bytes map to themselves, the rest to U+0100.. in order, so every byte
+    string becomes a lossless printable string."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_GPT2_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def gpt2_pretokenize(text: str) -> list[str]:
+    """The GPT-2 pretokenizer — the published ordered-alternation pattern
+    ``'s|'t|'re|'ve|'m|'ll|'d| ?L+| ?N+| ?[^\\sLN]+|\\s+(?!\\S)|\\s+``
+    as a scanner (L/N = unicode letter/number categories). Whitespace
+    backtracking leaves exactly one space to prefix the next word, which
+    is how GPT-2 encodes word boundaries (the Ġ convention after byte
+    mapping)."""
+    import unicodedata
+
+    def is_l(ch: str) -> bool:
+        return unicodedata.category(ch).startswith("L")
+
+    def is_n(ch: str) -> bool:
+        return unicodedata.category(ch).startswith("N")
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        hit = next(
+            (c for c in _GPT2_CONTRACTIONS if text.startswith(c, i)), None
+        )
+        if hit is not None:
+            out.append(hit)
+            i += len(hit)
+            continue
+        start = i
+        j = i
+        if text[j] == " " and j + 1 < n and not text[j + 1].isspace():
+            j += 1  # the optional single-space lead of the word alternatives
+        ch = text[j]
+        if not ch.isspace():
+            if is_l(ch):
+                k = j
+                while k < n and is_l(text[k]):
+                    k += 1
+            elif is_n(ch):
+                k = j
+                while k < n and is_n(text[k]):
+                    k += 1
+            else:
+                k = j
+                while (
+                    k < n
+                    and not text[k].isspace()
+                    and not is_l(text[k])
+                    and not is_n(text[k])
+                ):
+                    k += 1
+            out.append(text[start:k])
+            i = k
+        else:
+            k = j
+            while k < n and text[k].isspace():
+                k += 1
+            if k < n and k - start > 1:
+                # \s+(?!\S): backtrack to leave one char for the next token
+                out.append(text[start : k - 1])
+                i = k - 1
+            else:
+                out.append(text[start:k])
+                i = k
+    return out
+
+
+def load_gpt2_merges(path: str) -> dict[tuple[str, str], int]:
+    """Parse a public-format merges.txt into the rank dict: one "a b"
+    line per merge, rank = position; lines starting with "#" and blanks
+    are skipped (the "#version: 0.2" header)."""
+    ranks: dict[tuple[str, str], int] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(f"malformed merges line: {line!r}")
+            ranks[(parts[0], parts[1])] = len(ranks)
+    if not ranks:
+        raise ValueError(f"no merges found in {path}")
+    return ranks
+
+
+def load_gpt2_vocab(path: str) -> dict[str, int]:
+    """Parse a public-format vocab.json (token -> id)."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        vocab = json.load(f)
+    if not isinstance(vocab, dict) or not vocab:
+        raise ValueError(f"vocab.json must be a non-empty object: {path}")
+    return {str(k): int(v) for k, v in vocab.items()}
+
+
+def _gpt2_encode_pretoken(
+    tok: str, ranks: dict[tuple[str, str], int], byte_enc: dict[int, str]
+) -> list[str]:
+    """Byte-map one pretoken and apply the published merge rule: merge
+    ALL occurrences of the lowest-rank adjacent pair, repeat until no
+    ranked pair remains (``_encode_word``'s loop, minus the EOW
+    marker)."""
+    syms = [byte_enc[b] for b in tok.encode("utf-8")]
+    while len(syms) >= 2:
+        best_rank, best_i = None, -1
+        for i, p in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        a, b = syms[best_i], syms[best_i + 1]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_pretrained(
+    docs: DataFrame,
+    merges_path: str,
+    vocab_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a PRETRAINED public-format BPE artifact:
+    returns (id_col, bpe_tokens array<string>, n_bpe_tokens int[,
+    token_ids array<bigint> when ``vocab_path`` is given]). Token counts
+    then feed the packing/budget ops directly (``n_bpe_tokens`` is the
+    same column contract as the fitted encoder's).
+
+    Same execution shape as ``bpe_encode``: the rank dict (~50k pairs,
+    a few MB) ships once per task via closure broadcast and the kernel
+    is a map-side Arrow ``mapInPandas`` with a per-batch pretoken memo —
+    no shuffle, corpus-linear. Unlike the fitted encoder this is
+    CASE-PRESERVING and byte-level (lossless on any input), per the
+    published algorithm. Unknown-token ids are -1 (a vocab/merges
+    mismatch is surfaced, not dropped)."""
+    ranks = load_gpt2_merges(merges_path)
+    vocab = load_gpt2_vocab(vocab_path) if vocab_path is not None else None
+    byte_enc = gpt2_bytes_to_unicode()
+    fields = [
+        StructField("_id", LongType()),
+        StructField("bpe_tokens", ArrayType(StringType())),
+        StructField("n_bpe_tokens", IntegerType()),
+    ]
+    if vocab is not None:
+        fields.append(StructField("token_ids", ArrayType(LongType())))
+    out_schema = StructType(fields)
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+        for pdf in it:
+            toks_out, counts, ids_out = [], [], []
+            for text in pdf["_text"]:
+                doc_toks: list[str] = []
+                for w in gpt2_pretokenize(text or ""):
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = _gpt2_encode_pretoken(w, ranks, byte_enc)
+                        memo[w] = enc
+                    doc_toks.extend(enc)
+                toks_out.append(doc_toks)
+                counts.append(len(doc_toks))
+                if vocab is not None:
+                    ids_out.append([vocab.get(t, -1) for t in doc_toks])
+            cols = {"_id": pdf["_id"], "bpe_tokens": toks_out, "n_bpe_tokens": counts}
+            if vocab is not None:
+                cols["token_ids"] = ids_out
+            yield pd.DataFrame(cols)
+
+    src = docs.select(
+        F.col(id_col).cast("bigint").alias("_id"), F.col(text_col).alias("_text")
+    )
+    return src.mapInPandas(encode_batches, out_schema).withColumnRenamed(
+        "_id", id_col
+    )
+
+
 def bpe_decode_tokens(tokens_col: Column | str = "bpe_tokens") -> Column:
     """Inverse of encode, as a pure expression: concatenate tokens and
     turn each EOW marker back into a space — reconstructs the lowercased

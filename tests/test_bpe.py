@@ -230,3 +230,152 @@ def test_unicode_corpus_fit_and_roundtrip(spark):
     )
     for r in enc.collect():
         assert r["decoded"] == " ".join(texts[r["doc_id"]].lower().split())
+
+
+# --- pretrained GPT-2-format artifact path (round-7) ---
+
+
+def _ref_openai_bpe(token, ranks, byte_enc):
+    """Independent reference: the classic published encoder loop —
+    get_pairs + min-rank bigram + occurrence merge, structured differently
+    from the implementation under test (tuple word, pair-set recompute)."""
+    word = tuple(byte_enc[b] for b in token.encode("utf-8"))
+    if len(word) < 2:
+        return list(word)
+    while True:
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        bigram = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if bigram not in ranks:
+            break
+        a, b = bigram
+        new = []
+        i = 0
+        while i < len(word):
+            if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                new.append(a + b)
+                i += 2
+            else:
+                new.append(word[i])
+                i += 1
+        word = tuple(new)
+        if len(word) == 1:
+            break
+    return list(word)
+
+
+def test_gpt2_pretokenizer_cases_and_losslessness():
+    from etl_adsbx_spark.functions.bpe import gpt2_pretokenize
+
+    cases = {
+        "Hello world": ["Hello", " world"],
+        "it's fine": ["it", "'s", " fine"],
+        "don't": ["don", "'t"],
+        "a  b": ["a", " ", " b"],
+        "tab\tx": ["tab", "\t", "x"],
+        "123abc": ["123", "abc"],
+        "x!!!": ["x", "!!!"],
+        "café costs €5": ["café", " costs", " €", "5"],
+        "x  ": ["x", "  "],
+        "we'll we've I'm you're": ["we", "'ll", " we", "'ve", " I", "'m", " you", "'re"],
+        "!!!'s": ["!!!'", "s"],
+        "line\nnext": ["line", "\n", "next"],
+    }
+    for text, want in cases.items():
+        got = gpt2_pretokenize(text)
+        assert got == want, (text, got, want)
+        assert "".join(got) == text
+    # losslessness on a messy mixed string
+    messy = "  Ab3!?\t\t xßé中  9a'  's\n\n end  "
+    assert "".join(gpt2_pretokenize(messy)) == messy
+
+
+def _fixture_artifacts(tmpdir):
+    """Write a small public-format merges.txt + vocab.json covering the
+    space-prefix (Ġ-style), mid-word, and unicode merge shapes."""
+    import json
+    import os
+
+    from etl_adsbx_spark.functions.bpe import gpt2_bytes_to_unicode
+
+    be = gpt2_bytes_to_unicode()
+    sp = be[0x20]  # the mapped space char
+    merges = [
+        ("t", "h"), ("th", "e"), (sp, "the"), ("l", "l"), ("e", "ll"),
+        ("h", "ell"), ("hell", "o"), (sp, "hello"), ("1", "2"), ("12", "3"),
+        ("'", "s"), (sp, "w"), ("o", "r"), ("or", "l"), ("orl", "d"),
+        (sp + "w", "orld"),
+    ]
+    mp = os.path.join(tmpdir, "merges.txt")
+    with open(mp, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    # vocab: every single mapped byte char + every merged token
+    toks = set(be.values())
+    for a, b in merges:
+        toks.add(a + b)
+    vocab = {t: i for i, t in enumerate(sorted(toks))}
+    vp = os.path.join(tmpdir, "vocab.json")
+    with open(vp, "w", encoding="utf-8") as f:
+        json.dump(vocab, f)
+    return mp, vp, vocab
+
+
+def test_pretrained_encode_matches_reference_and_feeds_packing(spark, tmp_path):
+    from etl_adsbx_spark.functions.bpe import (
+        bpe_encode_pretrained,
+        gpt2_bytes_to_unicode,
+        gpt2_pretokenize,
+        load_gpt2_merges,
+    )
+    from etl_adsbx_spark.operators.agg import global_running_sum
+
+    mp, vp, vocab = _fixture_artifacts(str(tmp_path))
+    ranks = load_gpt2_merges(mp)
+    be = gpt2_bytes_to_unicode()
+    texts = [
+        "the hello world",
+        "The theory of hello's world",
+        "123 hello the中the",
+        "",
+        "  spaces   and\ttabs ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"], r["token_ids"])
+        for r in bpe_encode_pretrained(docs, mp, vp).collect()
+    }
+    for i, text in enumerate(texts):
+        want = []
+        for pt in gpt2_pretokenize(text):
+            want.extend(_ref_openai_bpe(pt, ranks, be))
+        toks, n, ids = out[i]
+        assert toks == want, (text, toks, want)
+        assert n == len(want)
+        assert ids == [vocab[t] for t in want]  # fixture vocab is total
+    # unknown tokens surface as -1, not silently dropped
+    import json
+    import os
+
+    small_vp = os.path.join(str(tmp_path), "small_vocab.json")
+    with open(small_vp, "w") as f:
+        json.dump({"the": 7}, f)
+    ids0 = (
+        bpe_encode_pretrained(docs, mp, small_vp)
+        .where(F.col("doc_id") == 0)
+        .first()["token_ids"]
+    )
+    assert -1 in ids0 and 7 in ids0
+    # the real-token counts feed the packing prefix sum unchanged
+    counts = bpe_encode_pretrained(docs, mp).select(
+        "doc_id", F.col("n_bpe_tokens").cast("bigint").alias("n_tokens")
+    )
+    cum = global_running_sum(counts, ["doc_id"], "n_tokens", out_col="_cum")
+    rows = {r["doc_id"]: r["_cum"] for r in cum.collect()}
+    expect, acc = {}, 0
+    for i in range(len(texts)):
+        acc += out[i][1]
+        expect[i] = acc  # inclusive running sum
+    assert rows == expect
