@@ -137,6 +137,182 @@ def index_ivf(
     )
 
 
+def bm25_rank(
+    corpus_text: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    text_col: str = "chunk_text",
+    id_col: str = "chunk_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-query BM25 lexical ranking (Robertson-Sparck Jones) — the
+    multi-query generalization of the graded single-query ``bm25_topk``
+    registry row. Returns (query_id, id_col, bm25 double, lex_rank) with
+    lex_rank ≤ k per query.
+
+    100-TB shape: the corpus token stream is semi-joined against the
+    (broadcast-size) distinct query-term set BEFORE the tf aggregation —
+    only matching postings shuffle; df and the (n_docs, avgdl) scalar are
+    tiny broadcasts; per-query top-k is one window over the
+    candidate-sized scored frame."""
+    from ..functions.text import tokens
+
+    toks = corpus_text.select(
+        id_col, F.explode(tokens(text_col)).alias("term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    stats = dl.agg(F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl"))
+    qterms = queries.select(
+        query_id_col, F.explode(tokens(query_text_col)).alias("term")
+    ).distinct()
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    comp = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                )
+                * F.col("_tf")
+                * F.lit(k1 + 1)
+                / (
+                    F.col("_tf")
+                    + F.lit(k1)
+                    * (F.lit(1 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("_c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = comp.groupBy(query_id_col, id_col).agg(
+        F.sum("_c").cast("double").alias("bm25")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("lex_rank", F.row_number().over(w)).where(
+        F.col("lex_rank") <= k
+    )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    k: int = 5,
+    k0: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "chunk_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector result list:
+    ``score = Σ_legs 1/(k0 + rank)`` (Cormack et al.'s standard k0=60),
+    full-outer on (query, id) so a doc ranked by only one leg still
+    scores. Inputs: ``lex`` = (query_id, id, lex_rank), ``vec`` =
+    (query_id, id, vec_rank). Returns the per-query top-``k`` by
+    (rrf_score desc, id) with both ranks carried (null = that leg missed
+    it). Rank-only fusion needs no score calibration between legs, which
+    is exactly why RRF is the default hybrid in production retrieval."""
+    from pyspark.sql import Window
+
+    keys = [query_id_col, id_col]
+    fused = (
+        lex.select(*keys, "lex_rank")
+        .join(vec.select(*keys, "vec_rank"), keys, "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(k0) + F.col("vec_rank")), F.lit(0.0)
+                ),
+                8,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return fused.withColumn("rrf_rank", F.row_number().over(w)).where(
+        F.col("rrf_rank") <= k
+    )
+
+
+def hybrid_search(
+    index: DataFrame,
+    corpus_text: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    depth: int = 20,
+    k0: int = 60,
+    dim: int = 64,
+    embed_fn: Callable[[pd.Series], np.ndarray] | None = None,
+    exact: bool = False,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    **search_kwargs,
+) -> DataFrame:
+    """BM25 ⊕ embedding retrieval fused by reciprocal rank — the standard
+    hybrid a RAG deployment runs first (lexical catches exact terms the
+    embedder abstracts away; the embedder catches paraphrases lexical
+    can't see; RRF needs no score calibration between them). Both legs
+    retrieve to ``depth`` (> k: fusion needs headroom below each leg's
+    top-k), then ``rrf_fuse`` takes the top-``k``.
+
+    ``index`` = chunk_embed_index output (chunk_id + embedding);
+    ``corpus_text`` = (chunk_id, chunk_text) — the text side kept
+    separate so the persisted vector index stays narrow. Returns
+    (query_id, chunk_id, rrf_score, rrf_rank, lex_rank, vec_rank)."""
+    from pyspark.sql import Window
+
+    lex = bm25_rank(
+        corpus_text,
+        queries,
+        k=depth,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    )
+    hits = search_index(
+        index,
+        queries,
+        k=depth,
+        dim=dim,
+        embed_fn=embed_fn,
+        exact=exact,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        **search_kwargs,
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    vec = hits.select(
+        F.col("query_id").alias(query_id_col),
+        F.col("neighbor_id").alias("chunk_id"),
+        F.row_number().over(wv).alias("vec_rank"),
+    )
+    return rrf_fuse(
+        lex, vec, k=k, k0=k0, query_id_col=query_id_col, id_col="chunk_id"
+    )
+
+
 def search_index(
     index: DataFrame,
     queries: DataFrame,

@@ -137,6 +137,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q14_promo_share",
     "q22_dormant_customers",
     # --- round-7 additions (appended as they are registered) ---
+    "hybrid_rrf_topk",
 ]
 
 
@@ -5426,3 +5427,136 @@ def geo_radius_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.unionByName(stats)
+
+
+# =========================================================================
+# [EXT] Hybrid retrieval: BM25 ⊕ embedding top-k fused by reciprocal rank
+# =========================================================================
+
+@register(
+    "hybrid_rrf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'merge', 'filter') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    comp AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * t.tf * (1.2 + 1)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)), 6)
+             AS DECIMAL(18,6)) AS c
+      FROM tf t
+      JOIN dl d USING (doc_id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN stats s
+    ),
+    bm AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25 FROM comp GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+        FROM bm
+      ) WHERE lex_rank <= 20
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    dots AS (
+      SELECT e.vec_id,
+             SUM(q[i] * v[i]) AS dp,
+             SUM(q[i] * q[i]) AS qn,
+             SUM(v[i] * v[i]) AS cn
+      FROM e CROSS JOIN qv CROSS JOIN range(1, 65) r(i)
+      WHERE e.vec_id != 0
+      GROUP BY 1
+    ),
+    vec AS (
+      SELECT vec_id, vec_rank FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY round(dp / (sqrt(qn) * sqrt(cn)), 6) DESC, vec_id DESC
+               ) AS vec_rank
+        FROM dots
+      ) WHERE vec_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+             CAST(l.lex_rank AS BIGINT) AS lex_rank,
+             CAST(v.vec_rank AS BIGINT) AS vec_rank,
+             round(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+                   + COALESCE(1.0 / (60 + v.vec_rank), 0.0), 8) AS rrf_score
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+    )
+    SELECT doc_id, rrf_score, CAST(rrf_rank AS BIGINT) AS rrf_rank,
+           lex_rank, vec_rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rrf_rank
+      FROM fused
+    ) WHERE rrf_rank <= 10
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Hybrid retrieval composite (plans.rag.bm25_rank → rrf_fuse):
+    BM25 lexical top-20 for a fixed 3-term query ⊕ exact cosine top-20
+    for a fixed query vector (vec_id 0 over the embeddings table), fused
+    by reciprocal rank (k0=60), final top-10. The standard first RAG
+    composite — rank-only fusion needs no score calibration between legs.
+
+    100-TB shape: the lexical leg is the graded ``bm25_topk`` pipeline
+    (query-term pushdown before the tf shuffle, broadcast stats); the
+    vector leg broadcasts the 1-vector query side and streams the corpus
+    (swap in the LSH/IVF/PQ graded paths at scale); the fusion joins two
+    ≤depth-row rank lists — nothing downstream of the legs is ever
+    corpus-sized. Determinism: integer ranks from totally-ordered
+    windows; rrf = two exact double divisions + round 8."""
+    from .operators.similarity import cosine_topk
+    from .plans.rag import bm25_rank, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_rank(
+        docs,
+        docs.sparkSession.createDataFrame(
+            [(0, "spark merge filter")], "query_id int, query_text string"
+        ),
+        k=20,
+        text_col="text",
+        id_col="doc_id",
+    ).select("doc_id", F.col("lex_rank").cast("bigint").alias("lex_rank"))
+    wv = Window.orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").desc())
+    vec = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.row_number().over(wv).cast("bigint").alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
+                ),
+                8,
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rrf_rank") <= 10)
+        .select("doc_id", "rrf_score", "rrf_rank", "lex_rank", "vec_rank")
+    )
