@@ -102,6 +102,9 @@ OPTIONAL = [
     "pq_ann_topk",
     "curation_pipeline",
     "geo_radius_join",
+    # r7: hybrid lexical⊕vector retrieval, multiset set ops
+    "hybrid_rrf_topk",
+    "set_ops_all",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on
@@ -142,21 +145,33 @@ def main() -> None:
     except ValueError:
         sys.exit(f"SPARK_GRAFT_BENCH_RUNS must be an integer, got {raw_runs!r}")
 
-    def timed(fn) -> float:
+    def timed(fn) -> tuple[float, list[float]]:
         samples = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             run_df(fn())
             samples.append(time.perf_counter() - t0)
-        return round(statistics.median(samples), 3)
+        spread = [round(min(samples), 3), round(statistics.median(samples), 3),
+                  round(max(samples), 3)]
+        return spread[1], spread
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
-        timings[name] = timed(lambda: qs[name](spark, sf_dir))
+        timings[name], spreads[name] = timed(lambda: qs[name](spark, sf_dir))
 
-    timings["flagship_pipeline"] = timed(lambda: flagship(spark, sf_dir))
+    timings["flagship_pipeline"], spreads["flagship_pipeline"] = timed(
+        lambda: flagship(spark, sf_dir)
+    )
 
     total = round(sum(timings.values()), 3)
+    # load-skew self-identification (round-6 verdict #8: a driver-loaded box
+    # ran 44% over a clean run on identical code): report each query's
+    # [min, median, max] and the worst max/min ratio — a clean run sits near
+    # 1; a skewed run is visibly >1.5 without needing a rerun to tell.
+    worst = max(
+        ((s[2] / s[0] if s[0] > 0 else 1.0), n) for n, s in spreads.items()
+    )
     print(
         json.dumps(
             {
@@ -164,6 +179,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spreads": spreads,
+                "worst_spread_ratio": round(worst[0], 2),
+                "worst_spread_query": worst[1],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": n_runs,
                 "stat": "median",

@@ -138,6 +138,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q22_dormant_customers",
     # --- round-7 additions (appended as they are registered) ---
     "hybrid_rrf_topk",
+    "set_ops_all",
 ]
 
 
@@ -5559,4 +5560,61 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rrf_rank", F.row_number().over(wr).cast("bigint"))
         .where(F.col("rrf_rank") <= 10)
         .select("doc_id", "rrf_score", "rrf_rank", "lex_rank", "vec_rank")
+    )
+
+
+@register(
+    "set_ops_all",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+    ),
+    urgent AS (
+      SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT * FROM (
+      SELECT 'intersect_all' AS tag, k, COUNT(*) AS n FROM (
+        SELECT k FROM big INTERSECT ALL SELECT k FROM urgent
+      ) GROUP BY k
+      UNION ALL
+      SELECT 'except_all' AS tag, k, COUNT(*) AS n FROM (
+        SELECT k FROM big EXCEPT ALL SELECT k FROM urgent
+      ) GROUP BY k
+    )
+    ORDER BY tag ASC, n DESC, k ASC
+    LIMIT 200
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops — INTERSECT ALL / EXCEPT ALL (the dup-preserving
+    variants ``set_ops`` doesn't exercise), on two genuinely-multiset
+    order-custkey streams (a customer places many orders, so both inputs
+    carry duplicate keys and the ALL semantics differ from DISTINCT:
+    min(m, n) copies survive an INTERSECT ALL, m−n an EXCEPT ALL). The
+    result is re-aggregated to (tag, key, multiplicity) so the grading
+    hash value-verifies the multiset counts without row explosion; final
+    global top-k over a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("k")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    ia = (
+        big.intersectAll(urgent)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("tag"), "k", "n")
+    )
+    ea = (
+        big.exceptAll(urgent)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("tag"), "k", "n")
+    )
+    return (
+        ia.unionByName(ea)
+        .orderBy(F.col("tag").asc(), F.col("n").desc(), F.col("k").asc())
+        .limit(200)
     )
