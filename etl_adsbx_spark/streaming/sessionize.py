@@ -109,6 +109,113 @@ def sessionize_tick(
     return out, new_state
 
 
+SESSION_STATE_SCHEMA = "session_start long, last_ts long, n_events long, ordinal long"
+
+
+def stateful_sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    watermark: str = "10 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """TRUE-streaming sessionization via ``applyInPandasWithState`` with
+    event-time timeouts — emits each CLOSED session exactly once:
+    (key, session_idx, session_start, session_end, n_events).
+
+    A session closes when (a) a later event of the same entity arrives
+    more than ``gap_seconds`` after its last event, or (b) the watermark
+    passes last_event + gap (the event-time TIMER — this is what
+    ``foreachBatch``-style incremental state cannot express and the
+    built-in ``F.session_window`` aggregate hides: an open session with
+    no successor still closes, exactly once, when enough event time has
+    provably passed). State per entity is one 4-field row; memory is
+    bounded by the live-entity count, evicted on close.
+
+    Unlike the seeded-window ``sessionize_tick`` (which trusts tick
+    ordering), this handles late data up to the watermark delay: rows
+    are buffered nowhere — each batch's events fold into the open
+    session in event-time order, and rows older than the watermark are
+    dropped by the engine before reaching the state function.
+
+    ``df`` must be a STREAMING frame with an event-time ``ts_col``
+    (TimestampType). Output mode must be 'append'.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = int(gap_seconds) * 1000
+    key_type = dict(df.dtypes)[key]
+    out_schema = (
+        f"{key} {key_type}, session_idx long, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        def closed_row(ordinal, start_ms, end_ms, n):
+            return pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "session_idx": [ordinal],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_ms, last_ms, n, ordinal = state.get
+            state.remove()
+            yield closed_row(ordinal, start_ms, last_ms, n)
+            return
+
+        if state.exists:
+            start_ms, last_ms, n, ordinal = state.get
+        else:
+            start_ms = last_ms = None
+            n, ordinal = 0, 0
+
+        events = []
+        for pdf in pdfs:
+            events.extend(int(t.value // 10**6) for t in pdf[ts_col])
+        events.sort()
+        for t in events:
+            if last_ms is None:
+                ordinal += 1
+                start_ms, last_ms, n = t, t, 1
+            elif t - last_ms > gap_ms:
+                yield closed_row(ordinal, start_ms, last_ms, n)
+                ordinal += 1
+                start_ms, last_ms, n = t, t, 1
+            else:
+                last_ms = max(last_ms, t)
+                n += 1
+
+        deadline = last_ms + gap_ms
+        wm = state.getCurrentWatermarkMs()
+        if deadline <= wm:
+            # already provably over — close now; a timer in the past is
+            # rejected by the engine
+            state.remove()
+            yield closed_row(ordinal, start_ms, last_ms, n)
+        else:
+            state.update((start_ms, last_ms, n, ordinal))
+            state.setTimeoutTimestamp(deadline)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 class IncrementalSessionizer:
     """Stateful wrapper for ``foreachBatch``: call ``process(df)`` per
     tick; sessionized output accumulates via the supplied ``sink_fn`` (or

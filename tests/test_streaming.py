@@ -700,3 +700,62 @@ def test_incremental_sessionize_span_and_gap_cases(spark):
     }
     st = {r["key"]: (r["last_ts"], r["n_sessions"]) for r in inc.state.collect()}
     assert st == {"u1": (1000, 2), "u2": (500, 2)}
+
+
+def test_stateful_sessionize_emits_closed_sessions_once(spark):
+    """applyInPandasWithState sessionization with event-time timers: a
+    session closes exactly once — by a later over-gap event of the same
+    entity, or by the watermark passing last_event + gap (the timeout
+    path, which seeded foreachBatch state cannot express). Entities whose
+    deadline the watermark has not reached stay open (not emitted)."""
+    import json
+    import os
+
+    from etl_adsbx_spark.streaming.sessionize import stateful_sessionize
+
+    batches = [
+        [{"user_id": "u1", "ts": "2026-01-15 12:00:00"},
+         {"user_id": "u1", "ts": "2026-01-15 12:00:30"},
+         {"user_id": "u2", "ts": "2026-01-15 12:00:00"}],
+        # u1 within gap (same session); u2 over gap (closes session 1)
+        [{"user_id": "u1", "ts": "2026-01-15 12:01:00"},
+         {"user_id": "u2", "ts": "2026-01-15 12:05:00"}],
+        # sentinel advances the watermark far past every deadline
+        [{"user_id": "zz", "ts": "2026-01-15 13:00:00"}],
+    ]
+    d = tempfile.mkdtemp()
+    for i, batch in enumerate(batches):
+        p = os.path.join(d, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    out = stateful_sessionize(src, gap_seconds=60, watermark="0 seconds")
+    rows = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["session_start"].strftime("%H:%M:%S"),
+            r["session_end"].strftime("%H:%M:%S"),
+            r["n_events"],
+        )
+        for r in rows
+    }
+    assert got == {
+        ("u2", 1): ("12:00:00", "12:00:00", 1),   # closed by the over-gap event
+        ("u1", 1): ("12:00:00", "12:01:00", 3),   # closed by the event-time timer
+        ("u2", 2): ("12:05:00", "12:05:00", 1),   # closed by the event-time timer
+        # zz stays open: its deadline (13:01) is past the final watermark
+    }
+    assert len(rows) == len(got)  # exactly-once per closed session
