@@ -102,9 +102,10 @@ OPTIONAL = [
     "pq_ann_topk",
     "curation_pipeline",
     "geo_radius_join",
-    # r7: hybrid lexical⊕vector retrieval, multiset set ops
+    # r7: hybrid lexical⊕vector retrieval, multiset set ops, quality-keep
     "hybrid_rrf_topk",
     "set_ops_all",
+    "cluster_keep_best",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

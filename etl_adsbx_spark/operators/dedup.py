@@ -1510,3 +1510,43 @@ def fuzzy_pairs(
         )
     )
     return cross.unionByName(intra)
+
+
+def cluster_keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-aware canonical selection over a ``connected_components``
+    output: per cluster, KEEP the member with the highest ``score_col``
+    (ties → lowest id), instead of the min-id member — the curation rule
+    real pipelines want ("keep the longest / highest-quality duplicate",
+    the RefinedWeb-style keep policy), decoupled from the cluster-label
+    convention.
+
+    ``scores`` is an (id, score) frame — any per-doc signal: length, a
+    learned quality probability, an LM score. Plan: one id-keyed equi
+    join to attach scores, ONE cluster-keyed hash agg computing the
+    argmax as ``max(struct(score, -id))`` (exact, no window over the
+    corpus), and a cluster-keyed join back (cluster count ≤ doc count;
+    AQE broadcasts small cluster tables). Output: ``clusters`` columns +
+    ``kept_doc_id`` + ``is_kept``.
+    """
+    scored = clusters.join(
+        scores.select(
+            F.col(id_col), F.col(score_col).alias("_score")
+        ),
+        id_col,
+    )
+    best = scored.groupBy(cluster_col).agg(
+        F.max(F.struct(F.col("_score"), (-F.col(id_col)).alias("_nid"))).alias("_m")
+    ).select(
+        cluster_col, (-F.col("_m._nid")).cast("long").alias("kept_doc_id")
+    )
+    return (
+        scored.join(best, cluster_col)
+        .withColumn("is_kept", (F.col(id_col) == F.col("kept_doc_id")).cast("int"))
+        .drop("_score")
+    )

@@ -139,6 +139,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- round-7 additions (appended as they are registered) ---
     "hybrid_rrf_topk",
     "set_ops_all",
+    "cluster_keep_best",
 ]
 
 
@@ -1121,7 +1122,7 @@ def incremental_minhash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admitted.select("doc_id", "lang")
 
 
-_DEDUP_CLUSTERS_SQL = f"""
+_CC_CTE_PREFIX = f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -1163,6 +1164,9 @@ _DEDUP_CLUSTERS_SQL = f"""
       SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
     ),
     cc AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node)
+"""
+
+_DEDUP_CLUSTERS_SQL = _CC_CTE_PREFIX + """
     SELECT doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
            CAST(doc_id = cluster_id AS INT) AS is_canonical
@@ -5618,3 +5622,40 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tag").asc(), F.col("n").desc(), F.col("k").asc())
         .limit(200)
     )
+
+
+@register(
+    "cluster_keep_best",
+    oracle=_CC_CTE_PREFIX + """
+    , best AS (
+      SELECT cluster_id, doc_id AS kept_doc_id FROM (
+        SELECT cc.cluster_id, cc.doc_id,
+               row_number() OVER (
+                 PARTITION BY cc.cluster_id
+                 ORDER BY d.n_chars DESC, cc.doc_id ASC
+               ) AS rn
+        FROM cc JOIN documents d USING (doc_id)
+      ) WHERE rn = 1
+    )
+    SELECT cc.doc_id, cc.cluster_id,
+           CAST(best.kept_doc_id AS BIGINT) AS kept_doc_id,
+           CAST(cc.doc_id = best.kept_doc_id AS INT) AS is_kept
+    FROM cc JOIN best USING (cluster_id)
+    """,
+)
+def cluster_keep_best_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Quality-aware canonical selection per near-dup cluster
+    (operators.dedup.cluster_keep_best): the keep/drop decision a real
+    curation pipeline makes — per MinHash-LSH connected component, keep
+    the LONGEST member (n_chars, ties → lowest doc_id) rather than the
+    min-id label, decoupling the keep policy from the cluster-label
+    convention. Same cluster fixpoint as `dedup_clusters` (shared oracle
+    CTE prefix); selection adds one id-keyed score join + one
+    cluster-keyed argmax agg (max(struct(score, -id)) — no corpus
+    window) + one cluster-keyed join back."""
+    from .operators.dedup import cluster_keep_best, connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    cc = connected_components(pairs, d, id_col="doc_id")
+    return cluster_keep_best(cc, d.select("doc_id", "n_chars"), score_col="n_chars")

@@ -526,3 +526,28 @@ def test_score_unigram_lm_validates_oov_row(spark):
         for bad in (no_oov, dup_oov):
             with pytest.raises(Exception, match="exactly one"):
                 score_unigram_lm(docs, bad, method=method).collect()
+
+
+def test_cluster_keep_best_policy(spark):
+    """Quality-aware canonical selection: per cluster the HIGHEST-score
+    member is kept (ties → lowest id), independent of the min-id cluster
+    label; singletons keep themselves."""
+    from etl_adsbx_spark.operators.dedup import cluster_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0), (9, 2.0), (10, 2.0)],
+        "doc_id bigint, score double",
+    )
+    out = {
+        r["doc_id"]: (r["kept_doc_id"], r["is_kept"])
+        for r in cluster_keep_best(clusters, scores).collect()
+    }
+    assert out == {
+        1: (2, 0), 2: (2, 1), 3: (2, 0),   # best score wins; tie -> lowest id
+        7: (7, 1),                         # singleton keeps itself
+        9: (9, 1), 10: (9, 0),             # tie at 2.0 -> lowest id
+    }
