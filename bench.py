@@ -106,6 +106,7 @@ OPTIONAL = [
     "hybrid_rrf_topk",
     "set_ops_all",
     "cluster_keep_best",
+    "line_dedup_global",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

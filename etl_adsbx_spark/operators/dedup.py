@@ -1550,3 +1550,67 @@ def cluster_keep_best(
         .withColumn("is_kept", (F.col(id_col) == F.col("kept_doc_id")).cast("int"))
         .drop("_score")
     )
+
+
+def dedup_lines_global(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide FIRST-OCCURRENCE line dedup with reassembly — the C4
+    span-dedup rule at line granularity: every distinct (normalized)
+    non-blank line survives only at its first occurrence across the WHOLE
+    corpus, ordered by (doc id, position); later occurrences are removed
+    from their documents. Complements ``strip_boilerplate_lines`` (which
+    removes frequent lines from EVERY document, including the first):
+    this keeps exactly one copy. Blank lines are structural, never
+    deduped. Returns (id_col, text, n_lines_removed); documents reduced
+    to nothing keep an empty text.
+
+    Scale shape: posexplode (order survives as the position column) → one
+    hash-agg per normalized-line hash computing the global argmin
+    occurrence as ``min(struct(id, pos))`` — the only corpus-body shuffle
+    besides the per-doc reassembly agg; the winner set joins back by line
+    hash (corpus-lines-sized equi join, AQE-planned). Reassembly sorts
+    line structs per document inside the agg — never a global sort.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    ).withColumn("_lh", F.md5(F.lower(F.trim(F.col("_line")))))
+    blank = F.trim(F.col("_line")) == ""
+    first = (
+        lines.filter(~blank)
+        .groupBy("_lh")
+        .agg(F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"))
+    )
+    kept = (
+        lines.join(first, "_lh", "left")
+        .filter(
+            blank
+            | (
+                (F.col(f"_first.{id_col}") == F.col(id_col))
+                & (F.col("_first._pos") == F.col("_pos"))
+            )
+        )
+        .drop("_first")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            line_sep,
+        ).alias("text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("_n_total"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("text", F.lit("")).alias("text"),
+        (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0))).alias(
+            "n_lines_removed"
+        ),
+    )

@@ -140,6 +140,7 @@ _DRIVER_PRIORITY: list[str] = [
     "hybrid_rrf_topk",
     "set_ops_all",
     "cluster_keep_best",
+    "line_dedup_global",
 ]
 
 
@@ -5659,3 +5660,80 @@ def cluster_keep_best_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
     cc = connected_components(pairs, d, id_col="doc_id")
     return cluster_keep_best(cc, d.select("doc_id", "n_chars"), score_col="n_chars")
+
+
+@register(
+    "line_dedup_global",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             text || chr(10) || '© example corp — all rights reserved' || chr(10) ||
+             CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+                  ELSE 'ref #' || doc_id::VARCHAR END AS aug
+      FROM documents
+    ),
+    split AS (SELECT doc_id, string_split(aug, chr(10)) AS ls FROM a),
+    flat AS (
+      SELECT doc_id, s['pos'] AS pos, s['l'] AS l FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ls)),
+                      i -> {'pos': i, 'l': ls[i]})) AS s
+        FROM split
+      )
+    ),
+    hashed AS (SELECT doc_id, pos, l, md5(lower(trim(l))) AS lh FROM flat),
+    first AS (
+      SELECT lh, MIN({'d': doc_id, 'p': pos}) AS f
+      FROM hashed WHERE trim(l) != '' GROUP BY lh
+    ),
+    kept AS (
+      SELECT h.doc_id, h.pos, h.l
+      FROM hashed h LEFT JOIN first f ON h.lh = f.lh
+      WHERE trim(h.l) = ''
+         OR (h.doc_id = (f.f).d AND h.pos = (f.f).p)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_total FROM hashed GROUP BY doc_id)
+    SELECT t.doc_id, md5(COALESCE(r.text, '')) AS text_md5,
+           CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_removed
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Corpus-wide first-occurrence line dedup + reassembly
+    (operators.dedup.dedup_lines_global) — C4's span-dedup rule at line
+    granularity: every distinct normalized non-blank line survives ONLY
+    at its first (doc_id, position) occurrence across the corpus. The
+    keep-one complement of `boilerplate_strip`'s remove-everywhere rule:
+    the shared footer here survives in exactly one document (the min
+    doc_id) instead of vanishing. Same constructed-boilerplate
+    augmentation as that row (both engines build it identically) so
+    removals are real at every SF: the footer dedups to 1 copy, the
+    even-doc banner to 1 copy, odd ref lines all survive (and any
+    repeated text line would collapse to its first carrier). Output text
+    is md5'd to keep graded rows narrow (the chunk-query convention);
+    the hash value-verifies full reassembly."""
+    from .operators.dedup import dedup_lines_global
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("© example corp — all rights reserved"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter")
+            ).otherwise(F.concat(F.lit("ref #"), F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    out = dedup_lines_global(aug)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_lines_removed").cast("bigint").alias("n_lines_removed"),
+    )

@@ -551,3 +551,32 @@ def test_cluster_keep_best_policy(spark):
         7: (7, 1),                         # singleton keeps itself
         9: (9, 1), 10: (9, 0),             # tie at 2.0 -> lowest id
     }
+
+
+def test_dedup_lines_global_first_occurrence_semantics(spark):
+    """Corpus-wide line dedup: a repeated line survives only at its first
+    (doc_id, position); blank lines are structural and never deduped;
+    within-doc repeats also collapse to the first; empty docs reassemble
+    to ''. Contrast with strip_boilerplate_lines, which removes frequent
+    lines from EVERY document including the first."""
+    from etl_adsbx_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared\n\nalpha"),      # within-doc repeat of alpha
+            (2, "shared\nbeta"),                 # shared seen at doc1 pos2
+            (3, "Shared  \ngamma"),              # normalized variant -> dup
+            (4, "shared"),                       # reduced to nothing
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in dedup_lines_global(docs).collect()
+    }
+    assert out == {
+        1: ("alpha\nshared\n", 1),   # 2nd alpha removed; blank kept
+        2: ("beta", 1),
+        3: ("gamma", 1),
+        4: ("", 1),
+    }
