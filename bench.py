@@ -107,6 +107,7 @@ OPTIONAL = [
     "set_ops_all",
     "cluster_keep_best",
     "line_dedup_global",
+    "tfidf_cosine_pairs",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

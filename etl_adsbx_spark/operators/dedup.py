@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens as _text_tokens
+
 
 def _keyed_pick(df: DataFrame, keys: list[str], order_col: str | Column, agg_fn) -> DataFrame:
     order = F.col(order_col) if isinstance(order_col, str) else order_col
@@ -1613,4 +1615,82 @@ def dedup_lines_global(
         (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0))).alias(
             "n_lines_removed"
         ),
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF cosine all-pairs similarity join — the WEIGHTED
+    complement of ``ngram_jaccard_pairs``: pairs whose tf-idf vectors
+    have cosine ≥ ``threshold``. Weighting: ``(1+ln(tf)) · ln(N/df)``
+    (standard log-tf · idf), L2-normalized per document, per-term partial
+    products summed per pair.
+
+    The quadratic guard — the whole reason this shape survives scale —
+    is DF-CAP PRUNING: terms appearing in more than ``max_df_frac·N``
+    documents are dropped BEFORE the postings self-join (the standard
+    all-pairs-similarity stop-term rule: a term in p docs contributes
+    p·(p−1)/2 candidate partials, so frequent terms dominate cost while
+    contributing ~zero idf weight — their idf is ln(1/frac) ≈ 0 anyway).
+    Work is then Σ_term df² over RARE terms only. Shuffles: tf agg, df
+    agg (broadcast back), one term-keyed postings self-join, one pair
+    agg. At 100 TB tighten the cap (1%), or route through MinHash-LSH
+    banding first and use this as the exact verify on candidates.
+
+    Determinism contract: weights round 6 → decimal partials; norms and
+    the final ratio in double, round 6 (the registry cosine rule).
+    Returns (a_id, b_id, cosine).
+    """
+    toks = spread_for_cpu(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(_text_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("_tf"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") <= F.col("_n") * F.lit(max_df_frac))
+    )
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "_id",
+            "term",
+            F.round(
+                (F.lit(1.0) + F.log(F.col("_tf")))
+                * F.log(F.col("_n") / F.col("_df")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("_w"),
+        )
+    )
+    norms = w.groupBy("_id").agg(
+        F.sqrt(F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,12)")).cast("double")).alias("_norm")
+    )
+    dots = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.term") == F.col("b.term")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .agg(F.sum((F.col("a._w") * F.col("b._w")).cast("decimal(38,12)")).alias("_dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("_id", "a_id").withColumnRenamed("_norm", "a_norm"), "a_id")
+        .join(norms.withColumnRenamed("_id", "b_id").withColumnRenamed("_norm", "b_norm"), "b_id")
+        .withColumn(
+            "cosine",
+            F.round(F.col("_dot").cast("double") / (F.col("a_norm") * F.col("b_norm")), 6),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("a_id", "b_id", "cosine")
     )

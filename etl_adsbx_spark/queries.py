@@ -141,6 +141,7 @@ _DRIVER_PRIORITY: list[str] = [
     "set_ops_all",
     "cluster_keep_best",
     "line_dedup_global",
+    "tfidf_cosine_pairs",
 ]
 
 
@@ -5737,3 +5738,88 @@ def line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.col("n_lines_removed").cast("bigint").alias("n_lines_removed"),
     )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    kept AS (SELECT f.term, f.df FROM dfreq f, n WHERE f.df <= n.n * 0.2),
+    w AS (
+      SELECT t.doc_id, t.term,
+             CAST(round((1 + ln(t.tf)) * ln(n.n / k.df), 6) AS DECIMAL(18,6)) AS w
+      FROM tf t JOIN kept k USING (term) CROSS JOIN n
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             SUM(CAST(a.w * b.w AS DECIMAL(38,12))) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    , pairs AS (
+      SELECT a_id, b_id,
+             round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+      FROM dots
+      JOIN norms na ON na.doc_id = a_id
+      JOIN norms nb ON nb.doc_id = b_id
+      WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.5
+    )
+    SELECT 'hist' AS leg, CAST(-1 AS BIGINT) AS a_id, CAST(-1 AS BIGINT) AS b_id,
+           round(cosine, 2) AS cosine, COUNT(*) AS n_pairs
+    FROM pairs GROUP BY round(cosine, 2)
+    UNION ALL
+    SELECT 'pair', CAST(a_id AS BIGINT), CAST(b_id AS BIGINT), cosine,
+           CAST(1 AS BIGINT)
+    FROM pairs WHERE a_id % 17 = 0
+    """,
+)
+def tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Sparse TF-IDF cosine all-pairs similarity join
+    (operators.dedup.tfidf_cosine_pairs) — the WEIGHTED complement of
+    `ngram_jaccard_pairs`: pairs with log-tf·idf cosine ≥ 0.5. The
+    quadratic guard is df-cap pruning (terms in > 20% of docs drop
+    BEFORE the postings self-join — the standard all-pairs stop-term
+    rule: frequent terms dominate join cost while their idf ≈ 0).
+    Weights round-6 → decimal partial products (exact sums both
+    engines); norms and the final ratio in double round 6 (the registry
+    cosine rule).
+
+    Graded-config rule (registry header): the pair list is QUADRATIC in
+    duplicate density (sf0.1 measured a 250-doc rare-term clique →
+    31 125 pairs), so the graded form is the tagged union — the 'hist'
+    leg value-verifies the COMPLETE pair count per rounded-cosine bucket
+    (exactness ⇒ no candidate missed), the 'pair' leg value-verifies
+    pair identity + cosine on the a_id % 17 slice (the fuzzy_name_pairs
+    precedent). 300 real pairs at the gate SF."""
+    from .operators.dedup import tfidf_cosine_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = tfidf_cosine_pairs(d, threshold=0.5, max_df_frac=0.2)
+    hist = pairs.groupBy(F.round("cosine", 2).alias("cosine")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).select(
+        F.lit("hist").alias("leg"),
+        F.lit(-1).cast("bigint").alias("a_id"),
+        F.lit(-1).cast("bigint").alias("b_id"),
+        "cosine",
+        "n_pairs",
+    )
+    keyed = pairs.filter(F.col("a_id") % 17 == 0).select(
+        F.lit("pair").alias("leg"),
+        F.col("a_id").cast("bigint"),
+        F.col("b_id").cast("bigint"),
+        "cosine",
+        F.lit(1).cast("bigint").alias("n_pairs"),
+    )
+    return hist.unionByName(keyed)

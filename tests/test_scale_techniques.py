@@ -397,6 +397,7 @@ BNLJ_ALLOWED = {
     "bigram_lm_score": "1-row (T, vc) bigram-type totals folded in as broadcast crossJoin (tfidf's n_docs shape)",
     "pq_ann_topk": "broadcast query set (with per-query distance tables) joined on != (self-match exclusion — the ann_topk exact-leg pattern) + the 1-row codebook frame crossJoin",
     "hybrid_rrf_topk": "vector leg = cosine_topk's broadcast 1-query set joined on != (the ann_topk exact-leg pattern); lexical leg = bm25's 1-row (n_docs, avgdl) stats crossJoin",
+    "tfidf_cosine_pairs": "1-row corpus-count frame folded into the df-cap filter as broadcast crossJoin (inequality filter keeps it a BNLJ — the q11/q20 shape)",
 }
 
 #: Queries allowed an Exchange SinglePartition: every one is a deliberate
@@ -423,6 +424,7 @@ SINGLEPART_ALLOWED = {
     "mixture_weights": "the G-row source-stats fold to ONE row (dsir fit-frame shape; G = distinct sources, never the corpus body)",
     "bigram_lm_score": "the 1-row (T, vc) bigram-type totals agg (over the model-sized bigram table, never token-scale data)",
     "hybrid_rrf_topk": "bm25's 1-row (n_docs, avgdl) corpus-stats scalar + the unpartitioned rank windows over the two ≤depth-row (20) rank lists — fusion inputs are rank lists by construction, never corpus-sized",
+    "tfidf_cosine_pairs": "the 1-row corpus-count scalar for the df-cap threshold (tfidf's n_docs shape)",
 }
 
 

@@ -580,3 +580,63 @@ def test_dedup_lines_global_first_occurrence_semantics(spark):
         3: ("gamma", 1),
         4: ("", 1),
     }
+
+
+def test_tfidf_cosine_pairs_matches_numpy_brute_force(spark):
+    """Sparse tf-idf cosine join ≡ dense numpy computation on a crafted
+    corpus, including the df-cap rule (terms in > max_df_frac·N docs are
+    excluded from the vector space on BOTH sides of the comparison)."""
+    import math
+
+    import numpy as np
+
+    from etl_adsbx_spark.operators.dedup import tfidf_cosine_pairs
+
+    texts = {
+        1: "rare alpha beta common common",
+        2: "rare alpha beta common",
+        3: "alpha gamma delta common",
+        4: "epsilon zeta eta common",
+        5: "rare rare alpha common common common",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    max_df_frac, thr = 0.7, 0.1
+    got = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            docs, threshold=thr, max_df_frac=max_df_frac
+        ).collect()
+    }
+    # numpy reference
+    n = len(texts)
+    tf = {d: {} for d in texts}
+    for d, t in texts.items():
+        for w in t.lower().split():
+            tf[d][w] = tf[d].get(w, 0) + 1
+    df_count = {}
+    for d in texts:
+        for w in tf[d]:
+            df_count[w] = df_count.get(w, 0) + 1
+    vocab = sorted(w for w, c in df_count.items() if c <= max_df_frac * n)
+    assert "common" not in vocab  # df 5/5 > 0.7 -> capped out
+    vecs = {}
+    for d in texts:
+        v = np.array(
+            [
+                round((1 + math.log(tf[d][w])) * math.log(n / df_count[w]), 6)
+                if w in tf[d]
+                else 0.0
+                for w in vocab
+            ]
+        )
+        vecs[d] = v
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b and np.linalg.norm(vecs[a]) > 0 and np.linalg.norm(vecs[b]) > 0:
+                c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+                if round(c, 6) >= thr:
+                    want[(a, b)] = round(c, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
