@@ -86,11 +86,23 @@ def probes(spark, sf_dir, merges_path):
             F.sum("n_bpe_tokens")
         ).collect()
 
+    def keep_best():
+        qs["cluster_keep_best"](spark, sf_dir).count()
+
+    def line_dedup():
+        qs["line_dedup_global"](spark, sf_dir).count()
+
+    def tfidf_pairs():
+        qs["tfidf_cosine_pairs"](spark, sf_dir).count()
+
     return {
         "hybrid_rrf_topk": hybrid,
         "set_ops_all": setops_all,
         "incremental_sessionize_3tick": inc_sessionize,
         "bpe_encode_pretrained": bpe_pretrained,
+        "cluster_keep_best": keep_best,
+        "line_dedup_global": line_dedup,
+        "tfidf_cosine_pairs": tfidf_pairs,
     }
 
 

@@ -640,3 +640,58 @@ def test_tfidf_cosine_pairs_matches_numpy_brute_force(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+
+
+def test_tfidf_simhash_rep_pairs_complete_vs_exact(spark):
+    """The graded composition (rep collapse → weighted-SimHash screen →
+    verify) against the exact all-pairs form: identical-vector pairs
+    (hamming 0 — completeness is a theorem) are recovered EXACTLY as one
+    intra row, never expanded; every emitted rep pair matches the exact
+    result; mid-similarity pairs (cosine ~0.7 → expected hamming ≈ 8 of
+    32) are legitimately outside the hamming ≤ 3 screen — the documented
+    simhash recall behavior, like every LSH graded row."""
+    from etl_adsbx_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+        tfidf_simhash_rep_pairs,
+    )
+
+    base = "quasar nebula pulsar quark meteor comet"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " the and of"),      # identical capped vectors (common
+            (2, base + " a an is"),         # words differ but are df-capped out
+            (3, base + " to in on"),
+            (4, base + " blazar the and"),  # near: one extra rare term
+            (5, "unrelated words entirely different content here"),
+            (6, "the and of a an is to in on"),  # empty capped vector
+            # filler: push the common words over the df cap while the base
+            # terms (df=4 of 10) stay under it
+            (7, "the and of a an is to in on filler seven text"),
+            (8, "the and of a an is to in on filler eight text"),
+            (9, "the and of a an is to in on filler nine text"),
+            (10, "the a to and an in of is on"),
+        ],
+        "doc_id bigint, text string",
+    )
+    thr, frac = 0.5, 0.45
+    exact = tfidf_cosine_pairs(docs, threshold=thr, max_df_frac=frac)
+    want = {(r["a_id"], r["b_id"]): r["cosine"] for r in exact.collect()}
+    rep_rows = tfidf_simhash_rep_pairs(
+        docs, threshold=thr, max_df_frac=frac
+    ).collect()
+    # identical group {1,2,3} -> one intra row with 3 member pairs
+    intra = [r for r in rep_rows if r["a_id"] == r["b_id"]]
+    assert len(intra) == 1 and intra[0]["a_id"] == 1
+    assert intra[0]["n_members"] == 3 and intra[0]["cosine"] == 1.0
+    # subset-correctness: every emitted rep pair is a real exact pair
+    for r in rep_rows:
+        if r["a_id"] != r["b_id"]:
+            assert (r["a_id"], r["b_id"]) in want
+            assert abs(r["cosine"] - want[(r["a_id"], r["b_id"])]) < 1e-6
+    # completeness for the identical-vector regime (cosine 1.0): the
+    # intra row's member count equals the exact pair count at 1.0
+    exact_ones = sum(1 for c in want.values() if c == 1.0)
+    assert intra[0]["n_members"] == exact_ones == 3
+    # the 0.698 pair exists in exact and is screened out here (expected
+    # hamming ~8 > 3) — the fixture exercises both regimes
+    assert any(c < 0.95 for c in want.values())
