@@ -175,22 +175,41 @@ def main() -> None:
     worst = max(
         ((s[2] / s[0] if s[0] > 0 else 1.0), n) for n, s in spreads.items()
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spreads": spreads,
-                "worst_spread_ratio": round(worst[0], 2),
-                "worst_spread_query": worst[1],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": n_runs,
-                "stat": "median",
-            }
-        )
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "spreads": spreads,
+        "worst_spread_ratio": round(worst[0], 2),
+        "worst_spread_query": worst[1],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": n_runs,
+        "stat": "median",
+    }
+    # Full per-query table (medians + spreads) goes to a repo file; the
+    # stdout line stays compact. BENCH_r07.json came back "parsed": null
+    # because the one-line JSON (68 medians + 68 spread triples) outgrew the
+    # driver's stdout capture — medians are redundant (spreads[k][1]), so
+    # they live only in the detail file now.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump({**record, "queries": timings}, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    line = json.dumps(record, separators=(",", ":"))
+    if len(line) > 4000:
+        # Never let the final line outgrow the driver's ~4 KB capture again:
+        # degrade spreads → medians-only → totals-only (the detail file
+        # keeps everything either way).
+        record.pop("spreads")
+        record["queries"] = timings
+        record["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(record, separators=(",", ":"))
+        if len(line) > 4000:
+            record.pop("queries")
+            line = json.dumps(record, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -432,13 +432,17 @@ def gpt2_pretokenize(text: str) -> list[str]:
 
 def load_gpt2_merges(path: str) -> dict[tuple[str, str], int]:
     """Parse a public-format merges.txt into the rank dict: one "a b"
-    line per merge, rank = position; lines starting with "#" and blanks
-    are skipped (the "#version: 0.2" header)."""
+    line per merge, rank = position. Only a leading "#version..." header
+    line and blanks are skipped — the real GPT-2 merges.txt contains
+    legitimate merge lines that START with '#' ("# #", "## #", ... build
+    the '##'/'###' vocab tokens), so a blanket '#' comment rule would
+    silently mis-tokenize any text with '#' runs (markdown headings,
+    hashtags, C preprocessor)."""
     ranks: dict[tuple[str, str], int] = {}
     with open(path, encoding="utf-8") as f:
-        for line in f:
+        for lineno, line in enumerate(f):
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            if not line or (lineno == 0 and line.startswith("#version")):
                 continue
             parts = line.split(" ")
             if len(parts) != 2:

@@ -1529,21 +1529,33 @@ def cluster_keep_best(
     convention.
 
     ``scores`` is an (id, score) frame — any per-doc signal: length, a
-    learned quality probability, an LM score. Plan: one id-keyed equi
-    join to attach scores, ONE cluster-keyed hash agg computing the
-    argmax as ``max(struct(score, -id))`` (exact, no window over the
-    corpus), and a cluster-keyed join back (cluster count ≤ doc count;
-    AQE broadcasts small cluster tables). Output: ``clusters`` columns +
-    ``kept_doc_id`` + ``is_kept``.
+    learned quality probability, an LM score. Cluster members MISSING a
+    score row still survive to the output (LEFT join, not inner — the
+    contract is "clusters columns + kept_doc_id" for EVERY cluster row):
+    an unscored member never wins the argmax against any scored one
+    (null-flag field ranks first in the struct ordering), and a cluster
+    whose members are ALL unscored falls back to lowest-id keep. Plan:
+    one id-keyed equi join to attach scores, ONE cluster-keyed hash agg
+    computing the argmax as ``max(struct(has_score, score, -id))``
+    (exact, no window over the corpus), and a cluster-keyed join back
+    (cluster count ≤ doc count; AQE broadcasts small cluster tables).
+    Output: ``clusters`` columns + ``kept_doc_id`` + ``is_kept``.
     """
     scored = clusters.join(
         scores.select(
             F.col(id_col), F.col(score_col).alias("_score")
         ),
         id_col,
+        "left",
     )
     best = scored.groupBy(cluster_col).agg(
-        F.max(F.struct(F.col("_score"), (-F.col(id_col)).alias("_nid"))).alias("_m")
+        F.max(
+            F.struct(
+                F.col("_score").isNotNull().cast("int").alias("_has"),
+                F.col("_score"),
+                (-F.col(id_col)).alias("_nid"),
+            )
+        ).alias("_m")
     ).select(
         cluster_col, (-F.col("_m._nid")).cast("long").alias("kept_doc_id")
     )
@@ -1568,7 +1580,9 @@ def dedup_lines_global(
     removes frequent lines from EVERY document, including the first):
     this keeps exactly one copy. Blank lines are structural, never
     deduped. Returns (id_col, text, n_lines_removed); documents reduced
-    to nothing keep an empty text.
+    to nothing keep an empty text, and a NULL-text document is treated
+    as empty (returned with text='' and n_lines_removed=0) rather than
+    silently dropped from the output.
 
     Scale shape: posexplode (order survives as the position column) → one
     hash-agg per normalized-line hash computing the global argmin
@@ -1579,7 +1593,12 @@ def dedup_lines_global(
     """
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+        # NULL text would posexplode to ZERO rows, vanishing the doc from
+        # totals and the result — coalesce to '' so it yields one blank
+        # (structural, kept) line and survives as text=''
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)
+        ).alias("_pos", "_line"),
     ).withColumn("_lh", F.md5(F.lower(F.trim(F.col("_line")))))
     blank = F.trim(F.col("_line")) == ""
     first = (

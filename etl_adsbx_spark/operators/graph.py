@@ -69,7 +69,9 @@ def pagerank(
     intermediate an exact decimal operation; ``base = round((1-d)/n, 12)``
     and ``r0 = round(1/n, 12)`` from a 1-row broadcast node-count frame
     (both terms derive from the same ``damping``, so Σ rank stays 1 up to
-    rounding for ANY damping, not just 0.85).
+    rounding for any 2-dp damping, not just 0.85; dampings with more
+    than 2 decimal places are rejected — the DECIMAL(3,2) rank update
+    would silently round them away from the teleport term).
 
     100-TB shape: the edge list aggregates once into the transition
     table (one (src,dst)-keyed hash-agg + one src-keyed hash-agg —
@@ -92,6 +94,16 @@ def pagerank(
     d_dec = Decimal(damping)
     if not (Decimal(0) < d_dec < Decimal(1)):
         raise ValueError("damping must be in (0, 1)")
+    # the rank update multiplies by d as DECIMAL(3,2); a damping with >2
+    # decimal places would be silently rounded there (0.855 -> 0.86) while
+    # the teleport base used the unrounded value, breaking the per-step
+    # mass identity base + d*1 = 1 — reject rather than desync the terms
+    if d_dec != d_dec.quantize(Decimal("0.01")):
+        raise ValueError(
+            f"damping must have at most 2 decimal places (got {damping!r}): "
+            "the decimal rank update uses DECIMAL(3,2) and would silently "
+            "round it away from the teleport term"
+        )
     d = F.lit(d_dec).cast("decimal(3,2)")
     teleport = Decimal(1) - d_dec  # base = (1-d)/n, NOT a hardcoded 0.15
     w = F.col(weight) if weight else F.lit(1)

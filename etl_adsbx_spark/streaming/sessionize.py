@@ -135,8 +135,13 @@ def stateful_sessionize(
     Unlike the seeded-window ``sessionize_tick`` (which trusts tick
     ordering), this handles late data up to the watermark delay: rows
     are buffered nowhere — each batch's events fold into the open
-    session in event-time order, and rows older than the watermark are
-    dropped by the engine before reaching the state function.
+    session in event-time order (extending session_start backwards when
+    a late event precedes it), and rows older than the watermark are
+    dropped by the engine before reaching the state function. One
+    documented approximation: a late event more than ``gap`` older than
+    the open session's start is MERGED into it rather than retro-split
+    into its own session — an already-emitted predecessor session is
+    never re-opened (append-mode emissions are immutable).
 
     ``df`` must be a STREAMING frame with an event-time ``ts_col``
     (TimestampType). Output mode must be 'append'.
@@ -189,6 +194,13 @@ def stateful_sessionize(
                 ordinal += 1
                 start_ms, last_ms, n = t, t, 1
             else:
+                # late cross-batch event may precede the open session's
+                # start — extend the session backwards so session_start /
+                # n_events stay correct for late-but-within-watermark data.
+                # An event more than `gap` older than start_ms is MERGED
+                # rather than retro-split (a closed predecessor session is
+                # never re-opened; documented contract).
+                start_ms = min(start_ms, t)
                 last_ms = max(last_ms, t)
                 n += 1
 

@@ -379,3 +379,40 @@ def test_pretrained_encode_matches_reference_and_feeds_packing(spark, tmp_path):
         acc += out[i][1]
         expect[i] = acc  # inclusive running sum
     assert rows == expect
+
+
+def test_gpt2_merges_keeps_hash_merge_lines(tmp_path):
+    """The real GPT-2 merges.txt contains merge lines that START with '#'
+    ("# #", "## #", ... build the '##'/'###' vocab tokens). Only a leading
+    '#version' header may be skipped — dropping '#'-led merges silently
+    mis-tokenizes markdown headings / hashtags / C-preprocessor text."""
+    import os
+
+    from etl_adsbx_spark.functions.bpe import (
+        gpt2_bytes_to_unicode,
+        load_gpt2_merges,
+        _gpt2_encode_pretoken,
+    )
+
+    mp = os.path.join(str(tmp_path), "merges.txt")
+    with open(mp, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        f.write("# #\n")        # -> '##'
+        f.write("## #\n")       # -> '###'
+        f.write("## ##\n")      # -> '####'
+        f.write("t h\n")
+    ranks = load_gpt2_merges(mp)
+    assert ranks == {
+        ("#", "#"): 0, ("##", "#"): 1, ("##", "##"): 2, ("t", "h"): 3,
+    }
+    be = gpt2_bytes_to_unicode()
+    # '####' merges pairwise: (# #)(# #) -> (## ##) -> '####'
+    assert _gpt2_encode_pretoken("####", ranks, be) == ["####"]
+    assert _gpt2_encode_pretoken("###", ranks, be) == ["###"]
+    # a '#version'-less file (some dumps omit the header) still loads: the
+    # first line is only skipped when it IS a version header
+    mp2 = os.path.join(str(tmp_path), "merges2.txt")
+    with open(mp2, "w", encoding="utf-8") as f:
+        f.write("# #\n")
+        f.write("t h\n")
+    assert load_gpt2_merges(mp2) == {("#", "#"): 0, ("t", "h"): 1}

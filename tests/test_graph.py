@@ -126,3 +126,9 @@ def test_pagerank_rejects_out_of_range_damping(spark):
     for d in ("0", "1", "1.5"):
         with pytest.raises(ValueError):
             pagerank(df, iters=1, damping=d)
+    # >2-dp damping would be silently rounded by the DECIMAL(3,2) rank
+    # update (0.855 -> 0.86) while the teleport base used the unrounded
+    # value, breaking base + d*1 = 1 — rejected instead
+    for d in ("0.855", "0.1234"):
+        with pytest.raises(ValueError, match="2 decimal places"):
+            pagerank(df, iters=1, damping=d)

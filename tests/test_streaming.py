@@ -759,3 +759,53 @@ def test_stateful_sessionize_emits_closed_sessions_once(spark):
         # zz stays open: its deadline (13:01) is past the final watermark
     }
     assert len(rows) == len(got)  # exactly-once per closed session
+
+
+def test_stateful_sessionize_late_event_extends_session_start(spark):
+    """A late-but-within-watermark event that PRECEDES the open session's
+    start must extend session_start backwards (and count in n_events) —
+    regression for the fold that kept start_ms pinned to the first-seen
+    event."""
+    import json
+    import os
+
+    from etl_adsbx_spark.streaming.sessionize import stateful_sessionize
+
+    batches = [
+        [{"user_id": "u1", "ts": "2026-01-15 12:05:00"}],
+        # late arrival: 30s EARLIER than the session's current start,
+        # inside the 10-minute watermark allowance
+        [{"user_id": "u1", "ts": "2026-01-15 12:04:30"}],
+        # sentinel advances the watermark past u1's deadline (12:06)
+        [{"user_id": "zz", "ts": "2026-01-15 14:00:00"}],
+    ]
+    d = tempfile.mkdtemp()
+    for i, batch in enumerate(batches):
+        p = os.path.join(d, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    out = stateful_sessionize(src, gap_seconds=60, watermark="10 minutes")
+    rows = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["session_start"].strftime("%H:%M:%S"),
+            r["session_end"].strftime("%H:%M:%S"),
+            r["n_events"],
+        )
+        for r in rows
+    }
+    assert got == {("u1", 1): ("12:04:30", "12:05:00", 2)}

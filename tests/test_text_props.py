@@ -553,6 +553,33 @@ def test_cluster_keep_best_policy(spark):
     }
 
 
+def test_cluster_keep_best_members_missing_scores_survive(spark):
+    """Cluster members with NO score row still appear in the output
+    (left join, not inner), never win the argmax against a scored
+    member, and an all-unscored cluster falls back to lowest-id keep —
+    regression for the inner join that silently dropped them."""
+    from etl_adsbx_spark.operators.dedup import cluster_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    # doc 3 unscored (even though its cluster-mates score low);
+    # cluster 8 entirely unscored
+    scores = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "doc_id bigint, score double"
+    )
+    out = {
+        r["doc_id"]: (r["kept_doc_id"], r["is_kept"])
+        for r in cluster_keep_best(clusters, scores).collect()
+    }
+    assert out == {
+        1: (2, 0), 2: (2, 1),
+        3: (2, 0),            # unscored member present, loses to any scored
+        8: (8, 1), 9: (8, 0),  # all-unscored cluster -> lowest id kept
+    }
+
+
 def test_dedup_lines_global_first_occurrence_semantics(spark):
     """Corpus-wide line dedup: a repeated line survives only at its first
     (doc_id, position); blank lines are structural and never deduped;
@@ -580,6 +607,16 @@ def test_dedup_lines_global_first_occurrence_semantics(spark):
         3: ("gamma", 1),
         4: ("", 1),
     }
+    # NULL text is treated as empty, not dropped from the output
+    with_null = docs.unionByName(
+        spark.createDataFrame([(5, None)], "doc_id bigint, text string")
+    )
+    out5 = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in dedup_lines_global(with_null).collect()
+    }
+    assert out5[5] == ("", 0)
+    assert {k: out5[k] for k in out} == out
 
 
 def test_tfidf_cosine_pairs_matches_numpy_brute_force(spark):
