@@ -563,3 +563,164 @@ def score_bigram_kn(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         )
     )
+
+
+def char_ngrams(col: Column | str = "text", n: int = 2) -> Column:
+    """Character n-grams of the lowercased text → array<string> (empty
+    when the text is shorter than ``n``, INCLUDING NULL text — the
+    NULL-as-empty convention of ``dedup_lines_global``). Built over a
+    PROJECTED string
+    attribute via ``transform(sequence(...))`` — the ``doc_bigrams``
+    pattern; callers pass a column, not an embedded expression, so the
+    lambda does not re-evaluate a subtree per element. NOTE Spark's
+    ``sequence(1, 0)`` yields [1, 0] (it auto-steps down), so the
+    short-text case MUST be guarded, not relied on to produce []."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: F.substring(c, i.cast("int"), n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fit_lang_id(
+    corpus: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n: int = 2,
+    vocab_size: int = 4096,
+):
+    """Fit a char-n-gram Naive Bayes language identifier on a LABELED
+    corpus — the fastText/langid.py model family reduced to its
+    SQL-replayable core: class priors + per-class add-one-smoothed
+    n-gram log-likelihoods over a global top-``vocab_size`` gram
+    vocabulary. Every log-probability is rounded to 6 dp and cast to
+    DECIMAL(12,6) at fit time, so downstream scoring sums are EXACT
+    decimal arithmetic (the portable-decimal contract of ``pagerank`` /
+    ``kmeans``) — engine-independent up to a 1-ulp ``ln`` at a rounding
+    boundary.
+
+    Returns ``(gram_lp, lang_stats)``:
+
+    - ``gram_lp``: (lang, gram, lp DECIMAL(12,6)) — COMPLETE over
+      vocab × languages (a gram unseen in some language still gets its
+      smoothed floor row), so scoring joins are total and n_matched is
+      language-independent.
+    - ``lang_stats``: (lang, prior DECIMAL(12,6), oov DECIMAL(12,6),
+      n_docs) — log class prior and the log-prob every out-of-vocab
+      gram scores in that language.
+
+    100-TB shape: one explode + one (lang, gram) hash-agg over the
+    corpus (map-side partial agg; gram-vocabulary-sized output), a
+    top-V ordered limit on the GRAM-count table (vocab-sized, not
+    corpus-sized), and vocab × language completion via a tiny crossJoin
+    — the model is KBs and broadcastable regardless of corpus size.
+    """
+    s = F.lower(F.col(text_col))
+    grams = corpus.select(
+        F.col(label_col).alias("lang"), char_ngrams(s, n).alias("_g")
+    ).select("lang", F.explode("_g").alias("gram"))
+    lg_counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = (
+        lg_counts.groupBy("gram")
+        .agg(F.sum("_c").alias("_tc"))
+        .orderBy(F.col("_tc").desc(), F.col("gram").asc())
+        .limit(vocab_size)
+        .select("gram")
+    )
+    langs = corpus.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # complete vocab × lang grid; unseen (lang, gram) keeps c = 0
+    grid = langs.select("lang").crossJoin(vocab)
+    cg = grid.join(lg_counts, ["lang", "gram"], "left").select(
+        "lang", "gram", F.coalesce("_c", F.lit(0)).alias("_c")
+    )
+    vtot = cg.groupBy("lang").agg(
+        F.sum("_c").alias("_tot"), F.count(F.lit(1)).alias("_v")
+    )
+    gram_lp = cg.join(vtot, "lang").select(
+        "lang",
+        "gram",
+        F.round(F.log((F.col("_c") + 1) / (F.col("_tot") + F.col("_v") + 1)), 6)
+        .cast("decimal(12,6)")
+        .alias("lp"),
+    )
+    nd = langs.agg(F.sum("n_docs").alias("_nd"))
+    lang_stats = (
+        langs.crossJoin(F.broadcast(nd))
+        .join(vtot, "lang")
+        .select(
+            "lang",
+            F.round(F.log(F.col("n_docs") / F.col("_nd")), 6)
+            .cast("decimal(12,6)")
+            .alias("prior"),
+            F.round(F.log(1 / (F.col("_tot") + F.col("_v") + 1)), 6)
+            .cast("decimal(12,6)")
+            .alias("oov"),
+            "n_docs",
+        )
+    )
+    return gram_lp, lang_stats
+
+
+def score_lang_id(
+    docs: DataFrame,
+    gram_lp: DataFrame,
+    lang_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Score documents under a ``fit_lang_id`` model and predict the
+    argmax language. Per (doc, lang):
+
+        score = prior + Σ_{matched grams} lp + (n_grams − n_matched)·oov
+
+    — every term a DECIMAL(12,6) fit artifact, so the sum is exact and
+    the argmax engine-independent. Ties (exact, decimal) break to the
+    lexicographically GREATEST language — ``max(struct(score, lang))``,
+    the window-free argmax (no corpus-wide row_number). Documents with
+    zero grams score prior-only. Returns ``docs`` columns +
+    ``out_col`` + ``lang_score`` (the winning decimal score).
+
+    100-TB shape: explode → gram-keyed equi-join against the
+    vocab × lang model (KB-sized — AQE broadcasts it) → ONE
+    (doc, lang)-keyed hash-agg → L-row-per-doc completion crossJoin →
+    doc-keyed argmax agg. No windows, no corpus-side shuffle beyond the
+    doc-keyed aggs.
+    """
+    s = F.lower(F.col(text_col))
+    base = docs.select(F.col(id_col), char_ngrams(s, n).alias("_g")).select(
+        id_col, F.explode_outer("_g").alias("gram"), F.size("_g").alias("_ng")
+    )
+    ngrams_per_doc = base.groupBy(id_col).agg(F.first("_ng").alias("_ng"))
+    matched = (
+        base.join(gram_lp, "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("lp").alias("_s"), F.count(F.lit(1)).alias("_nm"))
+    )
+    per = (
+        ngrams_per_doc.crossJoin(F.broadcast(lang_stats.select("lang", "prior", "oov")))
+        .join(matched, [id_col, "lang"], "left")
+        .select(
+            id_col,
+            "lang",
+            (
+                F.col("prior")
+                + F.coalesce(F.col("_s"), F.lit(0).cast("decimal(12,6)"))
+                + (F.col("_ng") - F.coalesce(F.col("_nm"), F.lit(0))) * F.col("oov")
+            ).cast("decimal(24,6)").alias("_score"),
+        )
+    )
+    best = per.groupBy(id_col).agg(
+        F.max(F.struct(F.col("_score"), F.col("lang"))).alias("_m")
+    ).select(
+        id_col,
+        F.col("_m.lang").alias(out_col),
+        F.col("_m._score").alias("lang_score"),
+    )
+    return docs.join(best, id_col, "left")

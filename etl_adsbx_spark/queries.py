@@ -5881,3 +5881,157 @@ def tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").alias("n_pairs"),
     )
     return hist.unionByName(keyed)
+
+
+#: Language-characteristic marker phrases for the lang_id_model row's
+#: constructed augmentation (the boilerplate_strip precedent: the synthetic
+#: corpus's text is language-independent word salad, so the discriminative
+#: signal is BUILT in-query, identically in both engines). Part of the
+#: graded contract — the oracle embeds the same table.
+_LANG_MARKERS = {
+    "en": "the of and to in that it is was for",
+    "fr": "le la les de et à être que ne pas",
+    "es": "el la los de y que ser un por con ñ",
+    "de": "der die das und zu ist nicht von ß ü",
+    "zh": "的 是 不 了 在 人 有 我 他 这",
+}
+
+
+@register(
+    "lang_id_model",
+    oracle="""
+    WITH markers AS (
+      SELECT * FROM (VALUES
+        ('en', 'the of and to in that it is was for'),
+        ('fr', 'le la les de et à être que ne pas'),
+        ('es', 'el la los de y que ser un por con ñ'),
+        ('de', 'der die das und zu ist nicht von ß ü'),
+        ('zh', '的 是 不 了 在 人 有 我 他 这')
+      ) AS t(lang, marker)
+    ),
+    aug AS (
+      SELECT d.doc_id, d.lang,
+             lower(COALESCE(d.text, '')) ||
+             repeat(' ' || m.marker, CAST(d.doc_id % 3 + 1 AS INT)) AS s
+      FROM documents d JOIN markers m USING (lang)
+    ),
+    train AS (SELECT * FROM aug WHERE doc_id % 5 != 0),
+    test  AS (SELECT * FROM aug WHERE doc_id % 5 = 0),
+    tgrams AS (
+      SELECT lang, unnest(list_transform(generate_series(1, len(s) - 1),
+                          i -> substr(s, i, 2))) AS gram
+      FROM train
+    ),
+    lg AS (SELECT lang, gram, COUNT(*) AS c FROM tgrams GROUP BY 1, 2),
+    vocab AS (
+      SELECT gram FROM (SELECT gram, SUM(c) AS tc FROM lg GROUP BY 1)
+      ORDER BY tc DESC, gram ASC LIMIT 1024
+    ),
+    langs AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1),
+    grid AS (SELECT l.lang, v.gram FROM langs l CROSS JOIN vocab v),
+    cg AS (
+      SELECT g.lang, g.gram, COALESCE(lg.c, 0) AS c
+      FROM grid g LEFT JOIN lg ON g.lang = lg.lang AND g.gram = lg.gram
+    ),
+    vtot AS (SELECT lang, SUM(c) AS tot, COUNT(*) AS v FROM cg GROUP BY 1),
+    gram_lp AS (
+      SELECT cg.lang, cg.gram,
+             CAST(round(ln((cg.c + 1) / (vtot.tot + vtot.v + 1.0)), 6)
+                  AS DECIMAL(12,6)) AS lp
+      FROM cg JOIN vtot USING (lang)
+    ),
+    lang_stats AS (
+      SELECT l.lang,
+             CAST(round(ln(l.n_docs / CAST(nd.nd AS DOUBLE)), 6)
+                  AS DECIMAL(12,6)) AS prior,
+             CAST(round(ln(1 / (vtot.tot + vtot.v + 1.0)), 6)
+                  AS DECIMAL(12,6)) AS oov
+      FROM langs l
+      CROSS JOIN (SELECT SUM(n_docs) AS nd FROM langs) nd
+      JOIN vtot USING (lang)
+    ),
+    dgrams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(s) - 1),
+                            i -> substr(s, i, 2))) AS gram
+      FROM test
+    ),
+    ng AS (SELECT doc_id, GREATEST(len(s) - 1, 0) AS n_grams FROM test),
+    matched AS (
+      SELECT d.doc_id, g.lang, SUM(g.lp) AS s_lp, COUNT(*) AS nm
+      FROM dgrams d JOIN gram_lp g USING (gram)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT ng.doc_id, ls.lang,
+             CAST(ls.prior + COALESCE(m.s_lp, 0)
+                  + (ng.n_grams - COALESCE(m.nm, 0)) * ls.oov
+                  AS DECIMAL(18,6)) AS score
+      FROM ng CROSS JOIN lang_stats ls
+      LEFT JOIN matched m ON m.doc_id = ng.doc_id AND m.lang = ls.lang
+    ),
+    best AS (
+      SELECT doc_id, lang AS lang_pred, score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, lang DESC
+        ) AS rn FROM per
+      ) WHERE rn = 1
+    )
+    SELECT t.doc_id, t.lang AS lang_true, b.lang_pred,
+           CAST(b.score AS DOUBLE) AS lang_score,
+           CAST(t.lang = b.lang_pred AS INT) AS is_correct
+    FROM test t JOIN best b USING (doc_id)
+    """,
+)
+def lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] FITTED multilingual language identification
+    (functions.text.fit_lang_id / score_lang_id) — char-bigram Naive
+    Bayes: class priors + per-class add-one-smoothed gram
+    log-likelihoods over a global top-1024 gram vocabulary, all
+    log-probs rounded to DECIMAL(12,6) at fit time so scoring sums are
+    exact decimal arithmetic and the argmax is engine-independent
+    (ties, exact, break to the GREATEST language — max(struct)). This
+    replaces consuming the labeled ``lang`` column as a given: the
+    model is FIT on the 80% train split (doc_id % 5 != 0) and graded on
+    its HELD-OUT predictions (doc_id % 5 = 0). The synthetic corpus's
+    text is language-independent word salad, so the discriminative
+    signal is constructed in-query (the boilerplate_strip precedent):
+    each doc gains its language's marker phrase repeated (doc_id % 3 +
+    1) times, built identically in both engines — base-text grams wash
+    out across classes; marker grams carry the decision.
+
+    100-TB shape: fit = one explode + one (lang, gram) hash-agg
+    (map-side partials) + a vocab-sized top-V; the model is KBs.
+    Scoring = explode → broadcast-able gram join → one (doc, lang)
+    hash-agg → doc-keyed argmax. No windows over the corpus."""
+    from .functions.text import fit_lang_id, score_lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    marker = None
+    for lg, m in _LANG_MARKERS.items():
+        marker = (
+            F.when(F.col("lang") == lg, F.lit(m))
+            if marker is None
+            else marker.when(F.col("lang") == lg, F.lit(m))
+        )
+    aug = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.repeat(
+                F.concat(F.lit(" "), marker),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    train = aug.filter(F.col("doc_id") % 5 != 0)
+    test = aug.filter(F.col("doc_id") % 5 == 0)
+    gram_lp, lang_stats = fit_lang_id(train, vocab_size=1024)
+    scored = score_lang_id(test, gram_lp, lang_stats)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        "lang_pred",
+        F.col("lang_score").cast("double").alias("lang_score"),
+        (F.col("lang") == F.col("lang_pred")).cast("int").alias("is_correct"),
+    )

@@ -732,3 +732,76 @@ def test_tfidf_simhash_rep_pairs_complete_vs_exact(spark):
     # the 0.698 pair exists in exact and is screened out here (expected
     # hamming ~8 > 3) — the fixture exercises both regimes
     assert any(c < 0.95 for c in want.values())
+
+
+def test_char_ngrams_short_text_guard(spark):
+    """Spark's sequence(1, 0) yields [1, 0] (auto-steps down) — the
+    short-text branch must be guarded to return [], not garbage grams."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "ab"), (4, "AbC"), (5, None)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", T.char_ngrams("text").alias("g")).collect()
+    }
+    # NULL text falls to the otherwise-branch: [] (NULL-as-empty, the
+    # dedup_lines_global convention), not NULL
+    assert out == {1: [], 2: [], 3: ["ab"], 4: ["ab", "bc"], 5: []}
+
+
+_LANG_SENTS = {
+    "en": ["the quick brown fox jumps over the lazy dog and runs away",
+           "it is a truth universally acknowledged that things happen",
+           "we hold these truths to be self evident in every way"],
+    "fr": ["le renard brun saute par dessus le chien paresseux très vite",
+           "c'est une vérité universellement reconnue que les choses arrivent",
+           "nous tenons ces vérités pour évidentes à chaque façon"],
+    "es": ["el zorro marrón salta sobre el perro perezoso y corre lejos",
+           "es una verdad universalmente reconocida que las cosas pasan",
+           "sostenemos que estas verdades son evidentes en cada manera"],
+    "de": ["der schnelle braune fuchs springt über den faulen hund weg",
+           "es ist eine allgemein anerkannte wahrheit dass dinge geschehen",
+           "wir halten diese wahrheiten für selbstverständlich überall"],
+    "zh": ["敏捷的棕色狐狸跳过了懒惰的狗然后跑开了去远方",
+           "这是一个普遍公认的真理事情总是会发生的呀",
+           "我们认为这些真理是不言而喻的在任何地方都是"],
+}
+
+
+def test_fit_lang_id_held_out_accuracy(spark):
+    """Char-bigram Naive Bayes on real multilingual sentences: fit on
+    two sentences per language, predict the HELD-OUT third — must get
+    every language right (the floor is 5/5; bigram NB on clean
+    single-language text is an easy problem, which is the point: the
+    test guards the plumbing, priors, smoothing, and argmax, not model
+    research). Also: zero-gram docs fall back to the max-prior language
+    and still appear in the output."""
+    from etl_adsbx_spark.functions.text import fit_lang_id, score_lang_id
+
+    rows, held = [], []
+    i = 0
+    for lang, sents in _LANG_SENTS.items():
+        for s in sents[:2]:
+            rows.append((i, s, lang)); i += 1
+        held.append((i, sents[2], lang)); i += 1
+    train = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    test = spark.createDataFrame(
+        held + [(99, "", "en")], "doc_id bigint, text string, lang string"
+    )
+    gram_lp, lang_stats = fit_lang_id(train, vocab_size=512)
+    st = {r["lang"]: (float(r["prior"]), r["n_docs"]) for r in lang_stats.collect()}
+    assert set(st) == set(_LANG_SENTS) and all(v[1] == 2 for v in st.values())
+    # equal class sizes -> equal priors
+    assert len({v[0] for v in st.values()}) == 1
+    # model grid is COMPLETE: every (lang, vocab-gram) pair has a row
+    n_vocab = gram_lp.select("gram").distinct().count()
+    assert gram_lp.count() == n_vocab * 5
+    out = {
+        r["doc_id"]: (r["lang"], r["lang_pred"])
+        for r in score_lang_id(test, gram_lp, lang_stats).collect()
+    }
+    for doc_id, _, lang in held:
+        assert out[doc_id] == (lang, lang), (doc_id, out[doc_id])
+    # empty doc: prior-only score; equal priors tie -> greatest lang wins
+    assert out[99][1] == "zh"
