@@ -724,3 +724,114 @@ def score_lang_id(
         F.col("_m._score").alias("lang_score"),
     )
     return docs.join(best, id_col, "left")
+
+
+def token_char_total(tok_col: Column) -> Column:
+    """Σ token lengths (separator-free character mass) — the denominator
+    of every Gopher repetition fraction. Pass a PROJECTED token array."""
+    return F.aggregate(
+        tok_col, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def word_ngrams_joined(tok_col: Column, n: int) -> Column:
+    """Space-joined word n-grams of a PROJECTED token array →
+    array<string> (empty when fewer than ``n`` tokens — guarded: Spark's
+    ``sequence(1, 0)`` yields [1, 0]). An n-gram's separator-free char
+    mass is ``length(g) − (n−1)`` since tokens are whitespace-split and
+    cannot contain the space separator."""
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_frac(tok_col: Column, grams_col: Column, n: int) -> Column:
+    """Gopher top-n-gram character fraction (n ∈ {2,3,4} in the published
+    battery): the character mass of the most frequently-occurring word
+    n-gram — count × per-occurrence chars — over the document's total
+    token chars. Count ties break toward the LARGER char product (the
+    fraction is max over values of count·chars, which is what the filter
+    thresholds anyway). Computed as one ``array_sort`` + one linear
+    fold (equal-run counting over the sorted gram array) — O(m log m)
+    per doc, never O(m²); no shuffle, pure codegen. Pass PROJECTED
+    token + gram arrays (HOF lambdas re-evaluate captured subtrees per
+    element)."""
+    total = token_char_total(tok_col)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        clen = (F.length(x) - (n - 1)).cast("bigint")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * clen).alias("best"),
+        )
+
+    best = F.aggregate(F.array_sort(grams_col), acc0, step, lambda a: a["best"])
+    return F.when(total > 0, F.round(best / total, 6)).otherwise(F.lit(0.0))
+
+
+def dup_ngram_starts(sorted_grams_col: Column) -> Column:
+    """Distinct n-gram values occurring ≥ 2 times in the doc, from a
+    PROJECTED ``array_sort``-ed gram array (adjacent-equal scan)."""
+    m = F.size(sorted_grams_col)
+    return F.when(
+        m >= 2,
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(2), m),
+                    lambda i: F.when(
+                        F.element_at(sorted_grams_col, i.cast("int"))
+                        == F.element_at(sorted_grams_col, (i - 1).cast("int")),
+                        F.element_at(sorted_grams_col, i.cast("int")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_char_frac(
+    tok_col: Column, grams_col: Column, dups_col: Column, n: int
+) -> Column:
+    """Gopher duplicate-n-gram character fraction (n ∈ {5..10} in the
+    published battery): the fraction of the document's token characters
+    covered by AT LEAST ONE occurrence of a duplicated n-gram (one
+    occurring ≥ 2 times in the doc) — a character UNION, each token
+    counted once no matter how many duplicated grams overlap it. Token
+    t is covered iff some duplicated gram starts at j ∈ [t−n+1, t].
+    Per-token cost is O(n · |dup values|) — |dup values| is tiny on
+    natural text; documents are bounded (post-chunking) in the
+    pipelines that apply this gate. All three array args must be
+    PROJECTED attributes."""
+    m = F.size(grams_col)
+    total = token_char_total(tok_col)
+    covered = F.aggregate(
+        F.sequence(F.lit(1), F.size(tok_col)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.when(
+            F.exists(
+                F.sequence(F.greatest(F.lit(1), t - (n - 1)), F.least(t, m)),
+                lambda j: F.array_contains(
+                    dups_col, F.element_at(grams_col, j.cast("int"))
+                ),
+            ),
+            F.length(F.element_at(tok_col, t.cast("int"))).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.when(
+        (total > 0) & (m >= 1) & (F.size(dups_col) > 0),
+        F.round(covered / total, 6),
+    ).otherwise(F.lit(0.0))

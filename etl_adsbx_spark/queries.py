@@ -1318,6 +1318,73 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
                     x -> x <> '') AS nb_lines
       FROM t
+    ),
+    ns AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+    gtok AS (
+      SELECT doc_id, toks, len(toks) AS tn,
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_chars
+      FROM t
+    ),
+    grams AS (
+      SELECT doc_id, n, s AS j,
+             array_to_string(list_slice(toks, s, s + n - 1), ' ') AS g
+      FROM (
+        SELECT g0.doc_id, ns.n, g0.toks,
+               unnest(list_transform(generate_series(1, g0.tn - ns.n + 1), i -> i)) AS s
+        FROM gtok g0 CROSS JOIN ns
+        WHERE g0.tn >= ns.n
+      )
+    ),
+    gcounts AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+    gtop AS (
+      SELECT doc_id, n, MAX(c * (length(g) - (n - 1))) AS best
+      FROM gcounts GROUP BY 1, 2
+    ),
+    gdupstart AS (
+      SELECT gr.doc_id, gr.n, gr.j
+      FROM grams gr
+      JOIN gcounts gc ON gc.doc_id = gr.doc_id AND gc.n = gr.n AND gc.g = gr.g
+      WHERE gc.c >= 2
+    ),
+    gtokpos AS (
+      SELECT doc_id, s AS tpos, length(toks[s]) AS tl
+      FROM (
+        SELECT doc_id, toks,
+               unnest(list_transform(generate_series(1, tn), i -> i)) AS s
+        FROM gtok WHERE tn >= 1
+      )
+    ),
+    gcov AS (
+      SELECT DISTINCT tp.doc_id, ds.n, tp.tpos, tp.tl
+      FROM gtokpos tp
+      JOIN gdupstart ds ON ds.doc_id = tp.doc_id
+                       AND ds.j BETWEEN tp.tpos - ds.n + 1 AND tp.tpos
+    ),
+    gdup AS (SELECT doc_id, n, SUM(tl) AS cov FROM gcov GROUP BY 1, 2),
+    gfr AS (
+      SELECT g0.doc_id, ns.n,
+             round(CASE WHEN g0.total_chars > 0
+                        THEN COALESCE(gtop.best, 0) / CAST(g0.total_chars AS DOUBLE)
+                        ELSE 0.0 END, 6) AS topf,
+             round(CASE WHEN g0.total_chars > 0
+                        THEN COALESCE(gdup.cov, 0) / CAST(g0.total_chars AS DOUBLE)
+                        ELSE 0.0 END, 6) AS dupf
+      FROM gtok g0 CROSS JOIN ns
+      LEFT JOIN gtop ON gtop.doc_id = g0.doc_id AND gtop.n = ns.n
+      LEFT JOIN gdup ON gdup.doc_id = g0.doc_id AND gdup.n = ns.n
+    ),
+    gop AS (
+      SELECT doc_id,
+        MAX(CASE WHEN n = 2 THEN topf END) AS top_2gram_frac,
+        MAX(CASE WHEN n = 3 THEN topf END) AS top_3gram_frac,
+        MAX(CASE WHEN n = 4 THEN topf END) AS top_4gram_frac,
+        MAX(CASE WHEN n = 5 THEN dupf END) AS dup_5gram_frac,
+        MAX(CASE WHEN n = 6 THEN dupf END) AS dup_6gram_frac,
+        MAX(CASE WHEN n = 7 THEN dupf END) AS dup_7gram_frac,
+        MAX(CASE WHEN n = 8 THEN dupf END) AS dup_8gram_frac,
+        MAX(CASE WHEN n = 9 THEN dupf END) AS dup_9gram_frac,
+        MAX(CASE WHEN n = 10 THEN dupf END) AS dup_10gram_frac
+      FROM gfr GROUP BY 1
     )
     SELECT doc_id, n_tokens, n_bpe,
       round(stop_ratio_raw, 6) AS stop_ratio,
@@ -1357,8 +1424,11 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN ('0x' || substring(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
                 < (CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
                              WHEN 'fr' THEN 0.5 ELSE 0.25 END * 1000000)::BIGINT
-           THEN 1 ELSE 0 END AS mix_keep
-    FROM feat
+           THEN 1 ELSE 0 END AS mix_keep,
+      gop.top_2gram_frac, gop.top_3gram_frac, gop.top_4gram_frac,
+      gop.dup_5gram_frac, gop.dup_6gram_frac, gop.dup_7gram_frac,
+      gop.dup_8gram_frac, gop.dup_9gram_frac, gop.dup_10gram_frac
+    FROM feat JOIN gop USING (doc_id)
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,13 +1445,43 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_token_frac/dup_line_frac), and PII scrubbing (email/IPv4/phone
     counts + redacted length — functions.text pii_counts/redact_pii;
     patterns restricted to the Java-regex ∩ RE2 dialect so the oracle
-    computes byte-identical results) — all built-in expressions."""
+    computes byte-identical results) — all built-in expressions.
+
+    r8 adds the REST of the published Gopher repetition battery
+    (functions.text top_ngram_char_frac / dup_ngram_char_frac): the
+    top-{2,3,4}-gram character fractions (char mass of the most
+    frequent word n-gram over total token chars — sort + linear
+    equal-run fold, O(m log m)/doc, can exceed 1 on overlap-degenerate
+    text, uncapped per the published filters) and the
+    dup-{5..10}-gram character fractions (UNION of characters covered
+    by any ≥2×-occurring n-gram — each token counted once). All pure
+    codegen over PROJECTED arrays (HOF lambdas re-evaluate captured
+    subtrees per element — the dsir lesson), staged select-by-select:
+    tokens → grams → sorted grams → dup-value sets → fracs."""
     from .operators.sampling import RESOLUTION, sample_bucket, stratum_rate
 
     mix_rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5}
     rate = stratum_rate("lang", mix_rates, default=0.25)
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    gram_ns = (2, 3, 4, 5, 6, 7, 8, 9, 10)
+    dup_ns = (5, 6, 7, 8, 9, 10)
+    carry = ["doc_id", "lang", "text"]
+    staged = (
+        d.select(*carry, T.tokens("text").alias("_t"))
+        .select(
+            *carry, "_t",
+            *[T.word_ngrams_joined(F.col("_t"), n).alias(f"_g{n}") for n in gram_ns],
+        )
+        .select(
+            *carry, "_t", *[f"_g{n}" for n in gram_ns],
+            *[F.array_sort(F.col(f"_g{n}")).alias(f"_s{n}") for n in dup_ns],
+        )
+        .select(
+            *carry, "_t", *[f"_g{n}" for n in gram_ns],
+            *[T.dup_ngram_starts(F.col(f"_s{n}")).alias(f"_d{n}") for n in dup_ns],
+        )
+    )
+    return staged.select(
         "doc_id",
         T.token_count("text").cast("bigint").alias("n_tokens"),
         T.bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
@@ -1403,6 +1503,18 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             sample_bucket("doc_id", "mix") < (rate * RESOLUTION).cast("bigint"),
             F.lit(1),
         ).otherwise(F.lit(0)).alias("mix_keep"),
+        *[
+            T.top_ngram_char_frac(F.col("_t"), F.col(f"_g{n}"), n).alias(
+                f"top_{n}gram_frac"
+            )
+            for n in (2, 3, 4)
+        ],
+        *[
+            T.dup_ngram_char_frac(
+                F.col("_t"), F.col(f"_g{n}"), F.col(f"_d{n}"), n
+            ).alias(f"dup_{n}gram_frac")
+            for n in (5, 6, 7, 8, 9, 10)
+        ],
     )
 
 

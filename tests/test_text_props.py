@@ -805,3 +805,64 @@ def test_fit_lang_id_held_out_accuracy(spark):
         assert out[doc_id] == (lang, lang), (doc_id, out[doc_id])
     # empty doc: prior-only score; equal priors tie -> greatest lang wins
     assert out[99][1] == "zh"
+
+
+def test_gopher_ngram_fractions_hand_computed(spark):
+    """Gopher repetition battery vs hand-computed values. Note the
+    published top-n-gram fraction is count × chars / total and CAN
+    exceed 1 on degenerate overlap-heavy repetition (occurrences
+    overlap; the filter thresholds at ~0.2 so implementations leave it
+    uncapped) — row 'ab4' pins that. The dup-n-gram fraction is a char
+    UNION (token counted once) and stays ≤ 1."""
+    texts = {
+        "ab": "a b a b a b",
+        "xy": "x y z w v x y z w v u",
+        "pq": "p q p q p q p q p q",
+        "one": "hello",
+        "empty": "",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "k string, text string"
+    )
+    staged = (
+        df.select("k", T.tokens("text").alias("_t"))
+        .select(
+            "k", "_t",
+            *[T.word_ngrams_joined(F.col("_t"), n).alias(f"_g{n}")
+              for n in (2, 3, 4, 5, 6)],
+        )
+        .select(
+            "k", "_t", "_g2", "_g3", "_g4", "_g5", "_g6",
+            *[F.array_sort(F.col(f"_g{n}")).alias(f"_s{n}") for n in (5, 6)],
+        )
+        .select(
+            "k", "_t", "_g2", "_g3", "_g4", "_g5", "_g6",
+            *[T.dup_ngram_starts(F.col(f"_s{n}")).alias(f"_d{n}")
+              for n in (5, 6)],
+        )
+    )
+    out = {
+        r["k"]: r
+        for r in staged.select(
+            "k",
+            *[T.top_ngram_char_frac(F.col("_t"), F.col(f"_g{n}"), n)
+               .alias(f"top{n}") for n in (2, 3, 4)],
+            *[T.dup_ngram_char_frac(
+                F.col("_t"), F.col(f"_g{n}"), F.col(f"_d{n}"), n
+            ).alias(f"dup{n}") for n in (5, 6)],
+        ).collect()
+    }
+    # "a b a b a b": top2 = 3·2/6, top3 = 2·3/6, top4 = 2·4/6 (>1); no 5-dup
+    assert (out["ab"]["top2"], out["ab"]["top3"], out["ab"]["top4"]) == (
+        1.0, 1.0, round(8 / 6, 6))
+    assert out["ab"]["dup5"] == 0.0
+    # "x y z w v x y z w v u": "x y z w v" dups at starts 1,6 -> tokens
+    # 1-10 covered of 11 chars; no 6-gram dups
+    assert out["xy"]["dup5"] == round(10 / 11, 6)
+    assert out["xy"]["dup6"] == 0.0
+    # fully periodic: every 5-gram duplicated -> full coverage
+    assert out["pq"]["dup5"] == 1.0
+    # single token / empty text -> all zero
+    for k in ("one", "empty"):
+        for c in ("top2", "top3", "top4", "dup5", "dup6"):
+            assert out[k][c] == 0.0, (k, c, out[k][c])
