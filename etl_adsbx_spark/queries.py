@@ -89,59 +89,65 @@ def register(name: str, oracle: str | None = None):
 #: regardless of position (tests/test_queries_oracle.py runs all of them).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # --- never driver-graded (r5-continuation + r6 additions) ---
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_priority",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_blocking_supplier",
-    "substring_dedup",
-    "window_analytics",
-    "resample_timeseries",
-    "interval_overlap",
-    "fuzzy_name_pairs",
-    "bm25_topk",
-    "url_domain_stats",
-    "mad_outlier_gate",
-    "sessionization_report",
-    "funnel_steps",
-    "retention_cohorts",
-    "scd2_history",
-    "scd2_point_in_time",
-    "event_paths_topk",
-    "quantile_filter",
-    "chunk_documents_cdc",
-    "dsir_weights",
-    "domain_pagerank",
-    "column_profile",
-    "mixture_weights",
-    "kmeans_clusters",
-    "bigram_lm_score",
-    "corpus_diff_content",
-    "pq_ann_topk",
-    "curation_pipeline",
-    "geo_radius_join",
-    # --- last driver-graded in r1-r5 (refresh their evidence) ---
-    "percentile_histogram",
-    "salted_skew",
-    "window_rank_frames",
-    "q10_returned_revenue",
-    "q14_promo_share",
-    "q22_dormant_customers",
-    # --- round-7 additions (appended as they are registered) ---
-    "hybrid_rrf_topk",
-    "set_ops_all",
-    "cluster_keep_best",
-    "line_dedup_global",
-    "tfidf_cosine_pairs",
+    # === ROUND-8 WINDOW === Every key's last driver-green row should stay
+    # ≤2 rounds old: r7 graded the 50 keys of the r7 list, so r8 floats
+    # (a) the keys NEW or CHANGED this round, then (b) the 50 keys whose
+    # last driver row is r6 — minus q1_pricing_summary and
+    # q3_shipping_priority, the two longest-green keys (graded every
+    # round r1-r6), which overflow the 50-slot window and rotate in r9.
+    # --- new in r8 ---
+    "lang_id_model",
+    "html_extract",
+    # --- changed in r8 (Gopher repetition columns added) ---
+    "text_stats",
+    # --- last driver-graded r6, oldest evidence first-come ---
+    "q5_regional_revenue",
+    "distinct_agg",
+    "rollup_agg",
+    "filter_predicates",
+    "case_value_mapping",
+    "string_funcs",
+    "datetime_funcs",
+    "json_extract",
+    "haversine_geo",
+    "dim_enrich_join",
+    "semi_anti_join",
+    "asof_join_events",
+    "range_join_events",
+    "first_last_events",
+    "window_running",
+    "topk_per_group",
+    "set_ops",
+    "exact_dedup_docs",
+    "minhash_pairs",
+    "incremental_minhash_admit",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "tfidf_top_terms",
+    "decontaminate",
+    "pack_sequences",
+    "ann_topk",
+    "multimodal_meta",
+    "time_windows",
+    "session_windows",
+    "cot_pipeline",
+    "cot_pipeline_nofilter",
+    "embedding_neardup",
+    "semantic_dedup",
+    "sample_select_ops",
+    "unigram_lm_score",
+    "boilerplate_strip",
+    "cube_grouping_sets",
+    "pivot_unpivot",
+    "map_funcs",
+    "collect_agg",
+    "media_kernels",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "stats_agg",
 ]
 
 

@@ -297,3 +297,58 @@ def corpus_diff_content(
             .alias("change"),
         )
     )
+
+
+def exactly_once_batch_sink(
+    path: str,
+    partition_by: list[str] | None = None,
+    **write_kwargs,
+):
+    """``foreachBatch`` sink with EXACTLY-ONCE publication per batchId —
+    the task-retry story at the sink. Structured Streaming's foreachBatch
+    is at-least-once: after a driver failure the restarted query RE-FIRES
+    the last unacknowledged batch with the SAME batchId. The committed
+    unit here is a per-batch directory whose atomic ``os.rename`` from
+    staging IS the commit record:
+
+    - batch dir ``<path>/batch=<id>`` already exists → the batch is
+      committed; the replay is a NO-OP (the corpus stays byte-identical).
+    - else: write to ``<path>/.staging-<id>`` (an interrupted previous
+      attempt's leftover staging is removed first — its batch was, by
+      the rename protocol, never committed), then rename into place.
+
+    Readers see only fully-committed batches: ``read_committed`` globs
+    ``batch=*`` dirs, never staging. On POSIX/HDFS the rename is atomic;
+    on object stores swap the rename for a manifest/catalog pointer flip
+    exactly as ``write_corpus_atomic`` documents.
+
+    Returns the (df, batch_id) callable for
+    ``writeStream.foreachBatch(...)``. ``partition_by`` routes through
+    the small-file-safe ``write_corpus``; without it the batch is a
+    plain parquet write."""
+    import os
+    import shutil
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(path, f"batch={batch_id}")
+        if os.path.exists(final):
+            return  # committed by a previous attempt — idempotent replay
+        staging = os.path.join(path, f".staging-{batch_id}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        if partition_by:
+            write_corpus(df, staging, partition_by, **write_kwargs)
+        else:
+            df.write.mode("overwrite").parquet(staging, **write_kwargs)
+        os.makedirs(path, exist_ok=True)
+        os.rename(staging, final)
+
+    return sink
+
+
+def read_committed_batches(spark, path: str) -> DataFrame:
+    """Read every COMMITTED batch of an ``exactly_once_batch_sink``
+    corpus (staging dirs are dot-prefixed, which Spark's file index
+    skips; the ``batch=<id>`` dirs read back as a hive partition
+    column)."""
+    return spark.read.option("basePath", path).parquet(path + "/batch=*")

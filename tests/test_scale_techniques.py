@@ -398,6 +398,7 @@ BNLJ_ALLOWED = {
     "pq_ann_topk": "broadcast query set (with per-query distance tables) joined on != (self-match exclusion — the ann_topk exact-leg pattern) + the 1-row codebook frame crossJoin",
     "hybrid_rrf_topk": "vector leg = cosine_topk's broadcast 1-query set joined on != (the ann_topk exact-leg pattern); lexical leg = bm25's 1-row (n_docs, avgdl) stats crossJoin",
     "tfidf_cosine_pairs": "1-row corpus-count frame folded into the df-cap filter as broadcast crossJoin (inequality filter keeps it a BNLJ — the q11/q20 shape)",
+    "lang_id_model": "model-sized crossJoins only: 5-lang × top-1024-gram grid completion, the 1-row n_docs prior scalar, and the 5-row lang_stats frame broadcast against per-doc rows — the model is KBs by construction, never the corpus",
 }
 
 #: Queries allowed an Exchange SinglePartition: every one is a deliberate
@@ -425,6 +426,7 @@ SINGLEPART_ALLOWED = {
     "bigram_lm_score": "the 1-row (T, vc) bigram-type totals agg (over the model-sized bigram table, never token-scale data)",
     "hybrid_rrf_topk": "bm25's 1-row (n_docs, avgdl) corpus-stats scalar + the unpartitioned rank windows over the two ≤depth-row (20) rank lists — fusion inputs are rank lists by construction, never corpus-sized",
     "tfidf_cosine_pairs": "the 1-row corpus-count scalar for the df-cap threshold (tfidf's n_docs shape)",
+    "lang_id_model": "the top-V vocab ordered limit over the GRAM-COUNT table (vocab-sized, ≤ distinct bigrams, never the corpus body) + the 1-row n_docs scalar",
 }
 
 
