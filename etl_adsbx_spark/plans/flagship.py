@@ -107,3 +107,41 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_time=BATCH_TIME,
     )
     return to_features(flat)
+
+
+def flagship_stream_sessions(
+    obs_stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """TRUE-streaming leg of the flagship demo: per-aircraft CONTACT
+    SESSIONS over the observation stream — the reference's scheduled-tick
+    model (task.ts:97-98, 261-264) promoted from the foreachBatch runner
+    onto the engine's stateful path. A "contact" is a maximal run of
+    observations of one airframe with no ``gap_seconds`` silence; it is
+    emitted EXACTLY ONCE when it provably closes — by a later over-gap
+    observation, or by the event-time TIMER once the watermark passes
+    last_seen + gap (the case per-batch state cannot express: an
+    aircraft that simply leaves coverage). Late observations within the
+    watermark fold in (extending the session start backwards when they
+    precede it).
+
+    ``obs_stream``: a STREAMING frame of (hex, obs_ts timestamp) — build
+    it by projecting ``events_as_aircraft`` over a streaming events
+    source plus the event-time column. Returns (hex, session_idx,
+    session_start, session_end, n_events) in append mode.
+
+    100-TB shape: state is one 4-field row per LIVE airframe (bounded by
+    fleet size, not observation volume), hash-partitioned by hex; the
+    watermark evicts closed entities. Exactly the
+    ``streaming.sessionize.stateful_sessionize`` kernel keyed on the
+    airframe."""
+    from ..streaming.sessionize import stateful_sessionize
+
+    return stateful_sessionize(
+        obs_stream,
+        gap_seconds=gap_seconds,
+        watermark=watermark,
+        key="hex",
+        ts_col="obs_ts",
+    )

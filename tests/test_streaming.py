@@ -906,3 +906,89 @@ def test_exactly_once_sink_through_real_stream_restart(spark):
         for r in read_committed_batches(spark, root).collect()
     ]
     assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]  # no duplicates
+
+
+def test_flagship_stream_sessions_parity_with_batch(spark):
+    """The flagship true-streaming leg (plans.flagship
+    flagship_stream_sessions): per-aircraft contact sessions over a
+    multi-tick observation stream must equal a pure-Python batch
+    sessionization of the same observations, for every session whose
+    close is provable under the final watermark. Ticks split
+    mid-session to force cross-batch state, and one observation arrives
+    late (earlier event time in a later tick)."""
+    import json
+    import os
+
+    from etl_adsbx_spark.plans.flagship import flagship_stream_sessions
+
+    def t(m, s=0):  # minutes/seconds past 12:00
+        return f"2026-01-15 12:{m:02d}:{s:02d}"
+
+    batches = [
+        [("ae0001", t(0)), ("ae0001", t(2)), ("ae0002", t(1))],
+        # ae0001 continues (cross-batch same session); ae0002 over-gap
+        # (closes session 1); ae0001 gets a LATE observation at 12:01
+        [("ae0001", t(4)), ("ae0001", t(1)), ("ae0002", t(20))],
+        # over-gap observations close both; sentinel drives the watermark
+        [("ae0001", t(30)), ("zz9999", t(59))],
+    ]
+    d = tempfile.mkdtemp()
+    for i, batch in enumerate(batches):
+        p = os.path.join(d, f"b{i}.json")
+        with open(p, "w") as f:
+            for hexid, ts in batch:
+                f.write(json.dumps({"hex": hexid, "obs_ts": ts}) + "\n")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    src = (
+        spark.readStream.schema("hex string, obs_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    out = flagship_stream_sessions(src, gap_seconds=300, watermark="10 minutes")
+    rows = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["hex"], r["session_idx"]): (
+            r["session_start"].strftime("%H:%M:%S"),
+            r["session_end"].strftime("%H:%M:%S"),
+            r["n_events"],
+        )
+        for r in rows
+    }
+    # batch reference: sort all observations per hex, split on gap>300s
+    import datetime as dt
+
+    all_obs: dict[str, list] = {}
+    for batch in batches:
+        for hexid, ts in batch:
+            all_obs.setdefault(hexid, []).append(
+                dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S")
+            )
+    final_wm = max(x for v in all_obs.values() for x in v) - dt.timedelta(minutes=10)
+    expected = {}
+    for hexid, obs in all_obs.items():
+        obs.sort()
+        sessions, cur = [], [obs[0]]
+        for x in obs[1:]:
+            if (x - cur[-1]).total_seconds() > 300:
+                sessions.append(cur)
+                cur = [x]
+            else:
+                cur.append(x)
+        sessions.append(cur)
+        for i, s in enumerate(sessions, 1):
+            if s[-1] + dt.timedelta(seconds=300) <= final_wm or i < len(sessions):
+                expected[(hexid, i)] = (
+                    s[0].strftime("%H:%M:%S"),
+                    s[-1].strftime("%H:%M:%S"),
+                    len(s),
+                )
+    assert got == expected
+    # the late 12:01 observation folded into ae0001's first session
+    assert got[("ae0001", 1)] == ("12:00:00", "12:04:00", 4)
