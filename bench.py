@@ -108,6 +108,9 @@ OPTIONAL = [
     "cluster_keep_best",
     "line_dedup_global",
     "tfidf_cosine_pairs",
+    # r8: fitted language ID, HTML→text extraction
+    "lang_id_model",
+    "html_extract",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on
