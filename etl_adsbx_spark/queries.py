@@ -91,13 +91,18 @@ def register(name: str, oracle: str | None = None):
 _DRIVER_PRIORITY: list[str] = [
     # === ROUND-8 WINDOW === Every key's last driver-green row should stay
     # ≤2 rounds old: r7 graded the 50 keys of the r7 list, so r8 floats
-    # (a) the keys NEW or CHANGED this round, then (b) the 50 keys whose
-    # last driver row is r6 — minus q1_pricing_summary and
-    # q3_shipping_priority, the two longest-green keys (graded every
-    # round r1-r6), which overflow the 50-slot window and rotate in r9.
+    # (a) the keys NEW or CHANGED this round, then (b) the keys whose
+    # last driver row is r6 — minus the overflow beyond the 50-slot
+    # window (q1_pricing_summary + q3_shipping_priority, the two
+    # longest-green keys graded every round r1-r6, plus
+    # q17_small_qty_revenue / q18_large_orders / stats_agg displaced by
+    # the five r8-new keys), all of which rotate in r9.
     # --- new in r8 ---
     "lang_id_model",
     "html_extract",
+    "text_normalize",
+    "split_leakage_audit",
+    "corr_matrix",
     # --- changed in r8 (Gopher repetition columns added) ---
     "text_stats",
     # --- last driver-graded r6, oldest evidence first-come ---
@@ -145,9 +150,6 @@ _DRIVER_PRIORITY: list[str] = [
     "collect_agg",
     "media_kernels",
     "q13_customer_distribution",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "stats_agg",
 ]
 
 
@@ -6235,4 +6237,262 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.size(F.split("text", "\n")).cast("int").alias("n_lines"),
         F.length("text").cast("bigint").alias("n_chars_out"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')) AS body
+      FROM documents
+    ),
+    expected AS (
+      SELECT doc_id,
+             'Doc ' || doc_id::VARCHAR || chr(10) ||
+             'file: ' || lang ||
+             CASE WHEN body = '' THEN '' ELSE chr(10) || body END ||
+             chr(10) || 'No ' || doc_id::VARCHAR || ' x2' AS text
+      FROM base
+    )
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+           CAST(length(text) AS BIGINT) AS n_chars_out
+    FROM expected
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Unicode text normalization (functions.normalize.
+    normalize_text) — stage 0.5 of a web pipeline (between HTML
+    extraction and every hash/shingle/tokenize operator), graded end to
+    end through the REAL NFKC kernel. The synthetic corpus is clean
+    ASCII, so the dirt is CONSTRUCTED in-query (the html_extract
+    precedent) and covers the whole contract: fullwidth letters AND the
+    document id rendered in fullwidth DIGITS via translate (NFKC must
+    fold data-dependent text, not just literals), ideographic space
+    U+3000 and NBSP (both → space), the fi ligature U+FB01 (expands to
+    two chars), zero-width space/joiner (Cf — removed), BEL/backspace
+    (Cc — removed), a tab (whitespace-collapsed), NBSP-doubled word
+    gaps in the body (collapse back), an all-invisible line (must drop
+    entirely), NUMERO SIGN U+2116 → 'No' and superscript two U+00B2 →
+    '2'. The ORACLE never normalizes: it rebuilds the expected clean
+    text directly from the raw columns — agreement means the kernel
+    implements the documented contract. md5 keeps the row narrow.
+
+    100-TB shape: Arrow-batched projection — no shuffle, scan-parallel,
+    CPU-linear in characters; idempotence is property-tested so the
+    stage can be re-run on partially-normalized corpora."""
+    from .functions.normalize import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    fw_id = F.translate(sid, "0123456789", "０１２３４５６７８９")
+    body = F.coalesce(F.col("text"), F.lit(""))
+    dirty = F.concat(
+        F.lit("Ｄｏｃ　"), fw_id, F.lit("​\n"),
+        F.lit(" ﬁle:\t"), F.col("lang"), F.lit("\n"),
+        F.replace(body, F.lit(" "), F.lit("  ")), F.lit("\n"),
+        F.lit("​‍ \n"),
+        F.lit("№ "), fw_id, F.lit(" x²"),
+    )
+    pages = d.select("doc_id", dirty.alias("raw"))
+    out = normalize_text(pages, text_col="raw", out_col="text", drop_input=True)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.size(F.split("text", "\n")).cast("int").alias("n_lines"),
+        F.length("text").cast("bigint").alias("n_chars_out"),
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, s, MIN((a * h + b) % {MERSENNE61}) AS minh
+      FROM hashed, (VALUES {_MINHASH_SEED_VALUES}) seeds(s, a, b)
+      GROUP BY doc_id, s
+    ),
+    sig AS (SELECT doc_id, list(minh ORDER BY s) AS sg FROM mh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_transform(
+                 list_slice(sg, b*4 + 1, b*4 + 4), x -> x::VARCHAR), '|')) AS bucket
+      FROM sig, range(0, 4) bands(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN bkt < 90 THEN 'train'
+                  WHEN bkt < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt
+            FROM documents)
+    )
+    SELECT p.a_id, p.b_id, la.split AS a_split, lb.split AS b_split
+    FROM pairs p
+    JOIN lab la ON p.a_id = la.doc_id
+    JOIN lab lb ON p.b_id = lb.doc_id
+    WHERE la.split <> lb.split
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Cross-split near-dup LEAKAGE audit — the evaluation-integrity
+    check every training pipeline needs before trusting held-out metrics:
+    a test document with a near-duplicate in train inflates eval scores
+    without any contamination of the eval SET itself (decontaminate
+    catches eval-text overlap; this catches train/test SIBLINGS inside
+    one corpus). Composition of two graded primitives: minhash_lsh_pairs
+    (16 hashes × 4 bands — the minhash_pairs row) and the deterministic
+    hash split (split_assign, the text_stats split contract); output =
+    every candidate near-dup pair whose endpoints land in different
+    splits, labeled with both splits. The oracle replays the entire LSH
+    pipeline AND the split assignment.
+
+    100-TB shape: the pair set comes from the banded equi-join (never
+    all-pairs); split labels are per-row md5 expressions joined back on
+    doc_id (two broadcast-able label joins of the pair list, which is
+    orders smaller than the corpus). The audit costs one LSH pass —
+    which dedup already paid — plus label joins."""
+    from .functions.text import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    lab = d.select("doc_id", split_assign("doc_id").alias("split"))
+    return (
+        pairs
+        .join(
+            lab.select(F.col("doc_id").alias("a_id"), F.col("split").alias("a_split")),
+            "a_id",
+        )
+        .join(
+            lab.select(F.col("doc_id").alias("b_id"), F.col("split").alias("b_split")),
+            "b_id",
+        )
+        .where(F.col("a_split") != F.col("b_split"))
+        .select("a_id", "b_id", "a_split", "b_split")
+    )
+
+
+@register(
+    "corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_l_quantity,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ss_l_quantity,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_l_extendedprice,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss_l_extendedprice,
+        CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s_l_discount,
+        CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS ss_l_discount,
+        CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS s_l_tax,
+        CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS ss_l_tax,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp_q_e,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sp_q_d,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sp_q_t,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sp_e_d,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sp_e_t,
+        CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sp_d_t
+      FROM lineitem
+    ),
+    m AS (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+             s_l_quantity AS sa, s_l_extendedprice AS sb,
+             ss_l_quantity AS ssa, ss_l_extendedprice AS ssb, sp_q_e AS sp FROM s
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', n, s_l_quantity, s_l_discount,
+             ss_l_quantity, ss_l_discount, sp_q_d FROM s
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax', n, s_l_quantity, s_l_tax,
+             ss_l_quantity, ss_l_tax, sp_q_t FROM s
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', n, s_l_extendedprice, s_l_discount,
+             ss_l_extendedprice, ss_l_discount, sp_e_d FROM s
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax', n, s_l_extendedprice, s_l_tax,
+             ss_l_extendedprice, ss_l_tax, sp_e_t FROM s
+      UNION ALL
+      SELECT 'l_discount', 'l_tax', n, s_l_discount, s_l_tax,
+             ss_l_discount, ss_l_tax, sp_d_t FROM s
+    )
+    SELECT col_a, col_b, n,
+      ROUND((n * sp - sa * sb)
+            / (sqrt(n * ssa - sa * sa) * sqrt(n * ssb - sb * sb)), 6) AS corr_r6
+    FROM m
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Pairwise Pearson correlation matrix over the lineitem
+    numeric columns — the cross-column half of data profiling
+    (column_profile covers per-column moments; feature selection and
+    drift monitoring need the pairwise structure). Portable-exactness
+    contract: the 15 sufficient statistics (n, four Σx, four Σx², six
+    Σxy) are computed in EXACT decimal arithmetic (values cast to
+    DECIMAL(12,2) at the scan, products exact at (24,4)); only the final
+    corr division runs in float, with an identical expression tree in
+    both engines, rounded to 6 dp.
+
+    100-TB shape: ONE scan, one map-side-combined scalar aggregate
+    (the single-partition exchange carries exactly one 15-number
+    partial row per task — a fixed-size reduce, not data); the 6 output
+    rows are an in-row explode of the 1-row frame. O(columns²) state
+    per task, O(1) shuffle bytes. No second pass (the naive
+    mean-centered form needs one); no F.corr (one pass PER PAIR)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pair_list = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    def d2c(c: str) -> Column:
+        return F.col(c).cast("decimal(12,2)")
+
+    aggs: list[Column] = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d2c(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d2c(c) * d2c(c)).cast("double").alias(f"ss_{c}"))
+    for a, b in pair_list:
+        aggs.append(F.sum(d2c(a) * d2c(b)).cast("double").alias(f"sp_{a}_{b}"))
+    one = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col(f"s_{a}").alias("sa"), F.col(f"s_{b}").alias("sb"),
+            F.col(f"ss_{a}").alias("ssa"), F.col(f"ss_{b}").alias("ssb"),
+            F.col(f"sp_{a}_{b}").alias("sp"),
+        )
+        for a, b in pair_list
+    ]
+    exploded = one.select("n", F.explode(F.array(*structs)).alias("p"))
+    n = F.col("n")
+    return exploded.select(
+        F.col("p.col_a").alias("col_a"),
+        F.col("p.col_b").alias("col_b"),
+        n.alias("n"),
+        F.round(
+            (n * F.col("p.sp") - F.col("p.sa") * F.col("p.sb"))
+            / (
+                F.sqrt(n * F.col("p.ssa") - F.col("p.sa") * F.col("p.sa"))
+                * F.sqrt(n * F.col("p.ssb") - F.col("p.sb") * F.col("p.sb"))
+            ),
+            6,
+        ).alias("corr_r6"),
     )

@@ -427,6 +427,7 @@ SINGLEPART_ALLOWED = {
     "hybrid_rrf_topk": "bm25's 1-row (n_docs, avgdl) corpus-stats scalar + the unpartitioned rank windows over the two ≤depth-row (20) rank lists — fusion inputs are rank lists by construction, never corpus-sized",
     "tfidf_cosine_pairs": "the 1-row corpus-count scalar for the df-cap threshold (tfidf's n_docs shape)",
     "lang_id_model": "the top-V vocab ordered limit over the GRAM-COUNT table (vocab-sized, ≤ distinct bigrams, never the corpus body) + the 1-row n_docs scalar",
+    "corr_matrix": "1-row sufficient-statistics scalar aggregate (n + 14 decimal sums; map-side partials reduce to one 15-number row — O(1) shuffle bytes)",
 }
 
 
