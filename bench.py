@@ -109,12 +109,14 @@ OPTIONAL = [
     "line_dedup_global",
     "tfidf_cosine_pairs",
     # r8: fitted language ID, HTML→text extraction, unicode normalize,
-    # cross-split leakage audit, exact-decimal correlation matrix
+    # cross-split leakage audit, exact-decimal correlation matrix,
+    # URL canonicalization dedup
     "lang_id_model",
     "html_extract",
     "text_normalize",
     "split_leakage_audit",
     "corr_matrix",
+    "url_canonicalize",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

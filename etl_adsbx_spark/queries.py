@@ -95,14 +95,16 @@ _DRIVER_PRIORITY: list[str] = [
     # last driver row is r6 — minus the overflow beyond the 50-slot
     # window (q1_pricing_summary + q3_shipping_priority, the two
     # longest-green keys graded every round r1-r6, plus
-    # q17_small_qty_revenue / q18_large_orders / stats_agg displaced by
-    # the five r8-new keys), all of which rotate in r9.
+    # q13_customer_distribution / q17_small_qty_revenue / q18_large_orders
+    # / stats_agg displaced by the six r8-new keys), all of which rotate
+    # in r9.
     # --- new in r8 ---
     "lang_id_model",
     "html_extract",
     "text_normalize",
     "split_leakage_audit",
     "corr_matrix",
+    "url_canonicalize",
     # --- changed in r8 (Gopher repetition columns added) ---
     "text_stats",
     # --- last driver-graded r6, oldest evidence first-come ---
@@ -149,7 +151,6 @@ _DRIVER_PRIORITY: list[str] = [
     "map_funcs",
     "collect_agg",
     "media_kernels",
-    "q13_customer_distribution",
 ]
 
 
@@ -6495,4 +6496,63 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("corr_r6"),
+    )
+
+
+@register(
+    "url_canonicalize",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/page/'
+               || (doc_id % 50) || '?b=2&id=' || (doc_id % 5) AS canonical_url
+      FROM documents
+    )
+    SELECT canonical_url, COUNT(*) AS n_raw, MIN(doc_id) AS keep_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] URL canonicalization + first-wins URL dedup (functions.url.
+    canonicalize_url) — the fetch-dedup stage of a web pipeline, graded
+    end to end through the REAL canonicalizer. Messy URLs are
+    CONSTRUCTED in-query (the html_extract precedent) with
+    deterministic per-doc variance across every contract clause:
+    uppercase scheme and host (doc_id%2 / doc_id%3 branches), an
+    explicit default :443 port, a trailing-slash path variant
+    (doc_id%4), tracking params (utm_source/utm_campaign vs fbclid)
+    interleaved with the real params in DIFFERENT orders per branch,
+    and a fragment on every third doc. The ORACLE never parses: it
+    builds the expected canonical form directly from (source, lang,
+    doc_id) — agreement means the canonicalizer implements the
+    documented contract (lowercase, default-port drop, slash strip,
+    tracking strip + param sort, fragment drop). Collisions are real:
+    the path keys on doc_id%50 so ~50 raw URLs per (source, lang, page)
+    collapse to one canonical row with first-wins keeper semantics.
+
+    100-TB shape: the canonical form is pure per-row codegen (parse_url
+    + regexp + array HOFs — no UDF); the dedup is ONE hash-agg keyed on
+    the canonical string with map-side partials. No windows, no joins."""
+    from .functions.url import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    messy = F.concat(
+        F.when(sid % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(sid % 3 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.when(sid % 3 == 0, F.lit(".EXAMPLE.COM")).otherwise(F.lit(".example.com")),
+        F.when(sid % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"), F.col("lang"), F.lit("/page/"), (sid % 50),
+        F.when(sid % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            sid % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), sid % 5, F.lit("&utm_campaign=c&b=2")),
+        ).otherwise(F.concat(F.lit("?b=2&fbclid=xyz&id="), sid % 5)),
+        F.when(sid % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = d.select("doc_id", messy.alias("url"))
+    return (
+        urls.select("doc_id", canonicalize_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_raw"), F.min("doc_id").alias("keep_doc_id"))
     )
