@@ -77,6 +77,30 @@ def normalize_text(
     return out.drop(text_col) if drop_input else out
 
 
+def extract_and_normalize(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    drop_html: bool = False,
+) -> DataFrame:
+    """Fused web stage-0: HTML→text extraction AND unicode normalization
+    in ONE Arrow round trip (the chained form moves the intermediate text
+    through Arrow twice; at 100 TB the transfer is the cost — the fused
+    kernel halves it). Semantically identical to
+    ``normalize_text(extract_html_text(df))`` — parity-pinned in
+    tests/test_normalize.py. Normalization runs AFTER extraction because
+    entity unescape can emit NBSP/ligature characters that the NFKC pass
+    must fold."""
+    from .html import html_to_text_py
+
+    @F.pandas_udf("string")
+    def _fused(s: pd.Series) -> pd.Series:
+        return s.map(lambda h: normalize_text_py(html_to_text_py(h)))
+
+    out = df.withColumn(out_col, _fused(F.col(html_col)))
+    return out.drop(html_col) if drop_html else out
+
+
 def normalize_text_mapin(
     df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
 ) -> DataFrame:

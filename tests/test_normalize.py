@@ -83,6 +83,33 @@ def test_output_invariants(s):
     assert unicodedata.is_normalized("NFKC", out)
 
 
+def test_fused_stage0_parity(spark):
+    """extract_and_normalize ≡ normalize_text(extract_html_text(df)) —
+    including an entity reference that unescapes to NBSP, which only a
+    normalize-AFTER-extract order folds to a plain space."""
+    from etl_adsbx_spark.functions.html import extract_html_text
+    from etl_adsbx_spark.functions.normalize import extract_and_normalize
+
+    rows = [
+        (1, "<h1>Ｔitle</h1><p>a&nbsp;&nbsp;b &amp; ﬁn</p>"),
+        (2, "<script>x</script><div>only​this</div>"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, html string")
+    fused = {
+        r["doc_id"]: r["text"]
+        for r in extract_and_normalize(df, drop_html=True).collect()
+    }
+    chained = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(
+            extract_html_text(df, out_col="raw"), text_col="raw"
+        ).collect()
+    }
+    assert fused == chained
+    assert fused[1] == "Title\na b & fin"
+
+
 def test_spark_plumbing_parity(spark):
     rows = [
         (1, "ＦＵＬＬ width"),
