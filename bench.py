@@ -117,6 +117,7 @@ OPTIONAL = [
     "split_leakage_audit",
     "corr_matrix",
     "url_canonicalize",
+    "cluster_split_assign",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

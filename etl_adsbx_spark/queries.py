@@ -96,8 +96,8 @@ _DRIVER_PRIORITY: list[str] = [
     # window (q1_pricing_summary + q3_shipping_priority, the two
     # longest-green keys graded every round r1-r6, plus
     # q13_customer_distribution / q17_small_qty_revenue / q18_large_orders
-    # / stats_agg displaced by the six r8-new keys), all of which rotate
-    # in r9.
+    # / stats_agg / media_kernels displaced by the seven r8-new keys),
+    # all of which rotate in r9.
     # --- new in r8 ---
     "lang_id_model",
     "html_extract",
@@ -105,6 +105,7 @@ _DRIVER_PRIORITY: list[str] = [
     "split_leakage_audit",
     "corr_matrix",
     "url_canonicalize",
+    "cluster_split_assign",
     # --- changed in r8 (Gopher repetition columns added) ---
     "text_stats",
     # --- last driver-graded r6, oldest evidence first-come ---
@@ -150,7 +151,6 @@ _DRIVER_PRIORITY: list[str] = [
     "pivot_unpivot",
     "map_funcs",
     "collect_agg",
-    "media_kernels",
 ]
 
 
@@ -6555,4 +6555,48 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls.select("doc_id", canonicalize_url("url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(F.count("*").alias("n_raw"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register(
+    "cluster_split_assign",
+    oracle=_CC_CTE_PREFIX + """
+    SELECT doc_id, cluster_id,
+           CASE WHEN bkt < 90 THEN 'train'
+                WHEN bkt < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(bkt < 90 AS INT) AS is_train
+    FROM (SELECT doc_id, cluster_id,
+                 ('0x' || substring(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt
+          FROM cc)
+    """,
+)
+def cluster_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Leakage-free corpus splitting — the REPAIR for what
+    split_leakage_audit detects: train/val/test is assigned per near-dup
+    CLUSTER (md5 bucket of the connected-component root), so every member
+    of a near-dup family lands in the same split and no LSH pair can
+    cross a boundary BY CONSTRUCTION (the audit run on this assignment
+    returns zero rows — pinned in tests/test_queries_oracle.py).
+    Singleton docs are their own cluster, so their assignment reduces to
+    the plain per-doc hash split over a shifted key space. Composition of
+    two graded fixpoints: dedup_clusters' connected components and
+    split_assign's md5 bucketing, applied to the cluster root instead of
+    the doc id. The oracle replays the full LSH→CC pipeline (recursive
+    CTE) plus the bucket CASE.
+
+    100-TB shape: identical to dedup_clusters (the split column is one
+    more per-row md5 expression over the fixpoint output) — the repair
+    costs nothing beyond the clustering dedup already runs."""
+    from .functions.text import split_assign
+    from .operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    cc = connected_components(pairs, d, id_col="doc_id")
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        split_assign("cluster_id").alias("split"),
+        (split_assign("cluster_id") == "train").cast("int").alias("is_train"),
     )

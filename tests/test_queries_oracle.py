@@ -39,6 +39,37 @@ def test_approx_distinct_error_bound(spark):
         assert r["approx_within_10pct"] == 1, (r["c_mktsegment"], r["n_nations"])
 
 
+def test_cluster_split_zero_leakage(spark):
+    """cluster_split_assign is the REPAIR for split_leakage_audit: under
+    the cluster-keyed split, NO LSH candidate pair crosses a split
+    boundary (under the plain doc-keyed split the audit finds >0 at this
+    SF — both invariants pinned here)."""
+    from pyspark.sql import functions as F
+
+    qs = registry.queries()
+    lab = qs["cluster_split_assign"](spark, SF_ORACLE).select("doc_id", "split")
+    audit = qs["split_leakage_audit"](spark, SF_ORACLE)
+    assert audit.count() > 0, "fixture lost its doc-split leakage pairs"
+    from etl_adsbx_spark.operators.dedup import minhash_lsh_pairs
+    from etl_adsbx_spark.tables import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    crossed = (
+        pairs.join(
+            lab.select(F.col("doc_id").alias("a_id"), F.col("split").alias("a_split")),
+            "a_id",
+        )
+        .join(
+            lab.select(F.col("doc_id").alias("b_id"), F.col("split").alias("b_split")),
+            "b_id",
+        )
+        .where(F.col("a_split") != F.col("b_split"))
+        .count()
+    )
+    assert crossed == 0
+
+
 def test_driver_priority_rotation():
     """The driver's CORRECTNESS gate grades the FIRST 50 ``queries()``
     keys; ``_DRIVER_PRIORITY`` floats never/stale-graded keys into that
