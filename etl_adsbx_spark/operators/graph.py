@@ -1,4 +1,5 @@
-"""Link-graph analytics: fixed-iteration PageRank over an edge list.
+"""Link-graph analytics: fixed-iteration PageRank, HITS, and
+degree-ordered triangle counting over an edge list.
 
 The training-data-pipeline use case is domain-level quality weighting
 (the Common-Crawl curation signal: rank hosts by link structure, weight
@@ -158,3 +159,191 @@ def pagerank(
         else:
             r = r_new
     return r.select("node", F.col("_pr").cast("double").alias(out_col))
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient via the
+    DEGREE-ORDERED orientation (the "curse of the last reducer"
+    mitigation, Suri & Vassilvitskii WWW'11 / Cohen's MapReduce triangle
+    pattern): orient each undirected edge from its lower-(degree, node)
+    endpoint to the higher one, enumerate wedges only at each edge's
+    TAIL, and close them with one more equi-join. Orientation bounds
+    every out-degree by O(sqrt(m)) on any graph, so the wedge join does
+    O(m^{3/2}) work instead of Σ d² — the hub node that would otherwise
+    generate (d choose 2) wedge candidates never does.
+
+    Input: any edge list, interpreted as UNDIRECTED; self-loops dropped,
+    duplicate/reverse edges merged. Output one row per node:
+    (node, degree bigint, triangles bigint,
+     clustering double = round(2T / (d(d-1)), 8), 0.0 when d < 2).
+
+    100-TB shape: three hash-aggs + three equi-joins, all on graph-sized
+    data (the corpus has already been collapsed to an edge list by the
+    caller); no broadcast assumptions, no driver-side state. Every
+    triangle materializes exactly once (as its orientation-ordered
+    (a→b→c) closure) and is attributed to its 3 vertices by an explode —
+    triangle-sized, not wedge-sized, intermediate.
+    """
+    e_raw = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).where(F.col("u") < F.col("v"))
+    e = e_raw.distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    # orient from lower (degree, node) to higher; carry the HEAD's key so
+    # the wedge join can order the two heads without re-joining degrees
+    lower_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("_dv")).otherwise(F.col("_du")).alias("bd"),
+    )
+    o1 = o.select(
+        F.col("a"), F.col("b").alias("x"), F.col("bd").alias("xd")
+    )
+    o2 = o.select(
+        F.col("a"), F.col("b").alias("y"), F.col("bd").alias("yd")
+    )
+    wedges = o1.join(o2, "a").where(
+        (F.col("xd") < F.col("yd"))
+        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
+    per_node = (
+        tris.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                    8,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) with a FIXED iteration
+    count and the registry's exact-decimal replay contract (the
+    ``pagerank`` discipline: a SQL oracle can replay every step as
+    chained CTEs bit-for-bit).
+
+    Per step: ``a'(v) = Σ_{u→v} h(u)`` then L1-normalize;
+    ``h'(u) = Σ_{u→v} a'(v)`` then L1-normalize. Scores live as
+    DECIMAL(14,12); each normalization is the one double division,
+    ``round(x_dbl / s_dbl, 12)::DECIMAL(14,12)`` (IEEE division then
+    half-up rounding — both exact-rounded and engine-portable; decimal÷
+    decimal is avoided because Spark and DuckDB derive different result
+    scales). Duplicate edges are pre-merged into an integer multiplicity
+    ``w`` so the update sum is ``Σ w·h`` — exact decimal×int arithmetic.
+
+    Nodes = distinct endpoints (either side); a node with no in-edge has
+    authority 0, no out-edge → hub 0, and L1 norms stay positive on any
+    nonempty edge list. Initial h = 1/n (rounded to 12 dp).
+
+    100-TB shape: the deduped edge table is checkpointed once and reused
+    by all ``2·iters`` joins; each half-step is one shuffle join + one
+    hash-agg on graph-sized data plus a 1-row L1-sum broadcast — the
+    same per-step cost envelope as ``pagerank``.
+
+    Returns (node, hub double, authority double).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .groupBy("_s", "_d")
+        .agg(F.count("*").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nf = nodes.agg(F.count("*").alias("_n"))
+    h = nodes.crossJoin(F.broadcast(nf)).select(
+        "node",
+        F.round(F.lit(1.0) / F.col("_n"), 12).cast("decimal(14,12)").alias("_h"),
+    ).localCheckpoint(eager=True)
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h, e["_s"] == h["node"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("_w") * F.col("_h")).alias("_ar"))
+        )
+        a_norm = a_raw.agg(F.sum("_ar").cast("double").alias("_sa"))
+        a = (
+            a_raw.crossJoin(F.broadcast(a_norm))
+            .select(
+                F.col("_d").alias("node"),
+                F.round(F.col("_ar").cast("double") / F.col("_sa"), 12)
+                .cast("decimal(14,12)")
+                .alias("_a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(a, e["_d"] == a["node"])
+            .groupBy("_s")
+            .agg(F.sum(F.col("_w") * F.col("_a")).alias("_hr"))
+        )
+        h_norm = h_raw.agg(F.sum("_hr").cast("double").alias("_sh"))
+        h_new = (
+            h_raw.crossJoin(F.broadcast(h_norm))
+            .select(
+                F.col("_s").alias("node"),
+                F.round(F.col("_hr").cast("double") / F.col("_sh"), 12)
+                .cast("decimal(14,12)")
+                .alias("_h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev, h = h, h_new
+        prev.unpersist()
+    hub = h.select("node", F.col("_h").cast("double").alias("hub"))
+    auth = a.select("node", F.col("_a").cast("double").alias("authority"))
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        )
+    )

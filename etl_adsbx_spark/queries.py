@@ -6600,3 +6600,332 @@ def cluster_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_assign("cluster_id").alias("split"),
         (split_assign("cluster_id") == "train").cast("int").alias("is_train"),
     )
+
+
+def _hits_oracle(iters: int) -> str:
+    """DuckDB replay of graph.hits as 2·iters chained CTE half-steps
+    (fixed-step + decimal contract, the _pagerank_oracle pattern).
+    L1 norms are EXACT decimal sums cast to double once — never a
+    reduction-order-dependent sum of doubles."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+    # 8 chained half-steps (each referencing the previous TWICE - the
+    # update join and the L1-norm scalar subquery) would otherwise
+    # re-evaluate the whole prefix per reference, ~3^8 blowup (measured:
+    # the un-materialized form does not finish at sf0.001).
+    step = """
+    ar{i} AS MATERIALIZED (
+      SELECT e.d AS node, SUM(e.w * h{j}.h) AS ar
+      FROM e JOIN h{j} ON e.s = h{j}.node GROUP BY e.d
+    ),
+    sa{i} AS (SELECT CAST(SUM(ar) AS DOUBLE) AS s FROM ar{i}),
+    a{i} AS MATERIALIZED (
+      SELECT node,
+             round(CAST(ar AS DOUBLE) / (SELECT s FROM sa{i}), 12)
+               ::DECIMAL(14,12) AS a
+      FROM ar{i}
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.s AS node, SUM(e.w * a{i}.a) AS hr
+      FROM e JOIN a{i} ON e.d = a{i}.node GROUP BY e.s
+    ),
+    sh{i} AS (SELECT CAST(SUM(hr) AS DOUBLE) AS s FROM hr{i}),
+    h{i} AS MATERIALIZED (
+      SELECT node,
+             round(CAST(hr AS DOUBLE) / (SELECT s FROM sh{i}), 12)
+               ::DECIMAL(14,12) AS h
+      FROM hr{i}
+    )"""
+    steps = ",".join(step.format(i=i, j=i - 1) for i in range(1, iters + 1))
+    return f"""
+    WITH e0 AS (
+      SELECT 'src:' || source || ':' || (doc_id % 97) AS a,
+             'lang:' || lang || ':' ||
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 97) AS b
+      FROM documents
+    ),
+    e AS MATERIALIZED (SELECT a AS s, b AS d, COUNT(*) AS w FROM e0 GROUP BY a, b),
+    nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
+    nf AS (SELECT COUNT(*) AS n FROM nodes),
+    h0 AS MATERIALIZED (
+      SELECT node, round(1.0 / n, 12)::DECIMAL(14,12) AS h FROM nodes, nf
+    ),{steps}
+    SELECT nodes.node,
+           COALESCE(CAST(h{iters}.h AS DOUBLE), 0.0) AS hub,
+           COALESCE(CAST(a{iters}.a AS DOUBLE), 0.0) AS authority
+    FROM nodes
+    LEFT JOIN h{iters} ON h{iters}.node = nodes.node
+    LEFT JOIN a{iters} ON a{iters}.node = nodes.node
+    """
+
+
+@register("domain_hits", oracle=_hits_oracle(4))
+def domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] HITS hubs & authorities over the synthesized domain link
+    graph (operators.graph.hits — Kleinberg 1999; the complementary
+    link-structure curation signal to domain_pagerank: hub score finds
+    link-farm/directory hosts to DOWN-weight, authority finds the
+    content hosts worth boosting). Directed edges are the same
+    deterministic source-section → content-page synthesis the pagerank
+    row uses (the driver tables carry no real hyperlinks); 4 fixed
+    iterations, every normalization a double division rounded to 12 dp
+    → DECIMAL(14,12), every update sum exact decimal — so the oracle
+    replays all 8 half-steps as chained CTEs bit-for-bit.
+
+    100-TB shape: corpus collapses once into the graph-sized weighted
+    edge table (checkpointed, reused by all 8 joins); each half-step is
+    one shuffle join + one hash-agg on graph-sized data plus a 1-row L1
+    broadcast. L1 norms are exact decimal sums cast to double ONCE —
+    never a reduction-order-dependent double sum."""
+    d = load_table(spark, sf_dir, "documents")
+    e0 = d.select(
+        F.concat(F.lit("src:"), F.col("source"), F.lit(":"), F.col("doc_id") % 97).alias("a"),
+        F.concat(
+            F.lit("lang:"),
+            F.col("lang"),
+            F.lit(":"),
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 97,
+        ).alias("b"),
+    )
+    return graph.hits(e0, iters=4, src="a", dst="b")
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH d0 AS (
+      SELECT 'src:' || source || ':' || (doc_id % 31) AS s,
+             'lang:' || lang || ':' ||
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 29) AS l,
+             'top:' || (doc_id % 13) AS t
+      FROM documents
+    ),
+    raw AS (
+      SELECT s AS a, l AS b FROM d0
+      UNION ALL SELECT l, t FROM d0
+      UNION ALL SELECT s, t FROM d0
+    ),
+    e AS (
+      SELECT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN du.degree < dv.degree
+                    OR (du.degree = dv.degree AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS a,
+             CASE WHEN du.degree < dv.degree
+                    OR (du.degree = dv.degree AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS b,
+             CASE WHEN du.degree < dv.degree
+                    OR (du.degree = dv.degree AND e.u < e.v)
+                  THEN dv.degree ELSE du.degree END AS bd
+      FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      SELECT o1.a AS n1, o1.b AS n2, o2.b AS n3
+      FROM o o1
+      JOIN o o2 ON o1.a = o2.a
+        AND (o1.bd < o2.bd OR (o1.bd = o2.bd AND o1.b < o2.b))
+      JOIN o oc ON oc.a = o1.b AND oc.b = o2.b
+    ),
+    pn AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT n1 AS node FROM tri
+        UNION ALL SELECT n2 FROM tri
+        UNION ALL SELECT n3 FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.degree::BIGINT AS degree,
+           COALESCE(pn.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * COALESCE(pn.triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 8)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN pn ON pn.node = deg.node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-node triangle counts + local clustering coefficient
+    (operators.graph.triangle_stats) over a deterministic tripartite
+    synthesis of the corpus — each document contributes the 3-clique
+    (source-section, content-page, topic-bucket), so the graph is
+    GRAPH-sized (≤ 5·31 + 5·29 + 13 nodes regardless of corpus size;
+    triangle counts saturate rather than grow — the per-decade probe
+    plateau is the point). Clustering coefficient is the standard
+    link-spam / community-density curation signal (a domain whose
+    neighborhood is a clique is a link farm; one whose neighborhood is a
+    star is a hub).
+
+    100-TB shape: the DEGREE-ORDERED orientation bounds every wedge
+    fan-out by O(sqrt(m)) (Suri & Vassilvitskii WWW'11), so the wedge
+    join does O(m^1.5) work with no hot-key reducer; everything is
+    equi-joins + hash-aggs on graph-sized data after the one corpus-
+    collapsing distinct."""
+    d = load_table(spark, sf_dir, "documents")
+    d0 = d.select(
+        F.concat(F.lit("src:"), F.col("source"), F.lit(":"), F.col("doc_id") % 31).alias("s"),
+        F.concat(
+            F.lit("lang:"),
+            F.col("lang"),
+            F.lit(":"),
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 29,
+        ).alias("l"),
+        F.concat(F.lit("top:"), F.col("doc_id") % 13).alias("t"),
+    )
+    edges = (
+        d0.select(F.col("s").alias("a"), F.col("l").alias("b"))
+        .unionAll(d0.select(F.col("l").alias("a"), F.col("t").alias("b")))
+        .unionAll(d0.select(F.col("s").alias("a"), F.col("t").alias("b")))
+    )
+    return graph.triangle_stats(edges, src="a", dst="b")
+
+
+@register(
+    "ewma_smooth",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, value,
+             round(value, 6)::DECIMAL(30,14) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+      SELECT event_id, user_id, ts, value,
+             list(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
+      FROM f
+    )
+    SELECT event_id, user_id, ts, value,
+           CAST(round(list_reduce(xs,
+                 (acc, v) -> ((acc * 0.5 + v * 0.5))::DECIMAL(30,14)),
+                 13)::DECIMAL(17,13) AS DOUBLE) AS ewma
+    FROM l
+    """,
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Trailing-window exponential moving average (the time-series
+    smoothing / anomaly-baseline operator: EWMA of the last 8
+    observations per key, alpha = 0.5, seeded at the window's oldest
+    sample — the classic monitoring smoother, windowed so state is
+    bounded and the value is a pure function of a fixed trailing frame).
+
+    EXACT-decimal recursion, no rounding inside the fold: observations
+    are round(value, 6) → DECIMAL(30,14); each fold step
+    ``acc' = acc·0.5 + x·0.5`` adds exactly ONE true fractional digit
+    (alpha = 0.5 is one bit), so after ≤7 steps the true scale is ≤13
+    < 14 and every intermediate is exactly representable — the
+    per-step DECIMAL(30,14) cast is lossless, there are no decimal
+    midpoint ties, and the single final decimal→double cast is
+    correctly rounded in both engines. The oracle replays the fold with
+    DuckDB's ``list_reduce`` (first element = initial accumulator,
+    matching Spark's ``F.aggregate(slice(xs,2,...), element_at(xs,1))``).
+
+    100-TB shape: ONE user-partitioned window pass (the same shuffle the
+    sessionize family already pays), each row carrying ≤8 small decimals
+    — no per-key state store, no iterative joins; whole-stage-codegen
+    higher-order fold, no Python."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    half = F.lit(0.5).cast("decimal(2,1)")
+    x = F.round(F.col("value"), 6).cast("decimal(30,14)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    withxs = e.select(
+        "event_id", "user_id", "ts", "value",
+        F.collect_list(x).over(w).alias("_xs"),
+    )
+    ewma = F.aggregate(
+        F.slice(
+            F.col("_xs"), F.lit(2), F.greatest(F.size("_xs") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("_xs"), 1),
+        lambda acc, v: (acc * half + v * half).cast("decimal(30,14)"),
+    )
+    # Narrow to DECIMAL(17,13) before the double cast: a (30,14) decimal's
+    # unscaled value exceeds 2^53 and DuckDB's decimal→double cast
+    # double-rounds there (1-ulp skew observed at sf0.01), while rounding
+    # BELOW the true scale hits decimal midpoint ties that the engines
+    # break differently (half-up vs half-down, observed at the 9th digit).
+    # The true scale is ≤13 (6 input digits + ≤7 one-bit fold steps), so
+    # round(·,13) is LOSSLESS — no ties by construction — and at scale 13
+    # the unscaled value (|value| ≤ ~10^3 ⇒ <10^16... actually <2^53 needs
+    # |value| < 900) is integer-exact in double on both engines. Values
+    # outside DECIMAL(17,13) overflow loudly rather than hash-mismatch.
+    return withxs.select(
+        "event_id", "user_id", "ts", "value",
+        F.round(ewma, 13).cast("decimal(17,13)").cast("double").alias("ewma"),
+    )
+
+
+@register(
+    "readability_scores",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS nw,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS nsyl
+      FROM documents
+    )
+    SELECT doc_id,
+           nw::BIGINT AS n_words, ns::BIGINT AS n_sentences,
+           nsyl::BIGINT AS n_syllables,
+           round(206.835 - 1.015 * (CAST(nw AS DOUBLE) / ns)
+                 - 84.6 * (CAST(nsyl AS DOUBLE) / nw), 4) AS flesch_ease,
+           round(0.39 * (CAST(nw AS DOUBLE) / ns)
+                 + 11.8 * (CAST(nsyl AS DOUBLE) / nw) - 15.59, 4)
+             AS fk_grade
+    FROM c
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Flesch reading-ease + Flesch-Kincaid grade per document —
+    the classic readability quality signals (used alongside the Gopher
+    battery to gate education-grade corpora; the FineWeb-Edu-style
+    "too-simple / too-dense" screens start from exactly these ratios).
+    Heuristic components, all pure codegen: words = \\S+ runs, sentences
+    = [.!?]+ runs, syllables = [aeiouy]+ vowel-group runs on the
+    lowercased text (the standard regex syllable estimator), each
+    floored at 1 so the ratios are total. Published coefficients
+    (206.835, 1.015, 84.6 / 0.39, 11.8, 15.59); double arithmetic in
+    the SAME operation order on both sides, round(·, 4) before emit
+    (the registry's nonlinear-double convention).
+
+    100-TB shape: shuffle-free map-only pass — three regexp_count
+    expressions and two fused arithmetic columns per row, whole-stage
+    codegen, scan-pruned to (doc_id, text)."""
+    d = load_table(spark, sf_dir, "documents")
+    nw = F.greatest(F.regexp_count(F.col("text"), F.lit(r"\S+")), F.lit(1))
+    ns = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    nsyl = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")), F.lit(1)
+    )
+    c = d.select(
+        "doc_id", nw.alias("nw"), ns.alias("ns"), nsyl.alias("nsyl")
+    )
+    ws = F.col("nw").cast("double") / F.col("ns")
+    sw = F.col("nsyl").cast("double") / F.col("nw")
+    return c.select(
+        "doc_id",
+        F.col("nw").cast("bigint").alias("n_words"),
+        F.col("ns").cast("bigint").alias("n_sentences"),
+        F.col("nsyl").cast("bigint").alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * ws - F.lit(84.6) * sw, 4)
+        .alias("flesch_ease"),
+        F.round(F.lit(0.39) * ws + F.lit(11.8) * sw - F.lit(15.59), 4)
+        .alias("fk_grade"),
+    )

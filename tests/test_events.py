@@ -296,3 +296,56 @@ def test_session_paths_topk_ordering_and_prefix(spark):
         ).collect()
     ]
     assert got == [("a>b", 3), ("b>a", 2), ("a>b>c>d>e", 1)]
+
+
+def test_ewma_smooth_matches_decimal_recursion(spark):
+    """ewma_smooth (queries.py): per user, trailing-8 EWMA with alpha=0.5
+    seeded at the window's oldest sample — replay one user's series with
+    pure-Python Decimal (exact, no rounding inside the fold) and compare
+    every emitted value."""
+    from decimal import Decimal
+
+    from etl_adsbx_spark import queries as registry
+
+    df = registry.queries()["ewma_smooth"](spark, SF_SMALL)
+    uid = df.select("user_id").first()["user_id"]
+    rows = sorted(
+        df.where(F.col("user_id") == uid).collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    assert len(rows) >= 3
+    xs = [Decimal(repr(round(r["value"], 6))) for r in rows]
+    half = Decimal("0.5")
+    for i, r in enumerate(rows):
+        window = xs[max(0, i - 7): i + 1]
+        acc = window[0]
+        for v in window[1:]:
+            acc = acc * half + v * half
+        assert r["ewma"] == float(acc), (i, r["event_id"])
+
+
+def test_ewma_smooth_first_row_is_identity_and_window_bounded(spark):
+    """Row 1 of each key emits its own (6-dp-rounded) value; every ewma
+    lies within [min, max] of its trailing window (convexity of the
+    recursion) — checked corpus-wide."""
+    from etl_adsbx_spark import queries as registry
+    from pyspark.sql import Window as W
+
+    df = registry.queries()["ewma_smooth"](spark, SF_SMALL)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-7, W.currentRow)
+    chk = df.select(
+        "ewma",
+        F.row_number().over(w).alias("rn"),
+        F.round("value", 6).alias("v6"),
+        F.min(F.round("value", 6)).over(wf).alias("lo"),
+        F.max(F.round("value", 6)).over(wf).alias("hi"),
+    )
+    assert chk.where((F.col("rn") == 1) & (F.col("ewma") != F.col("v6"))).count() == 0
+    eps = 1e-9
+    assert (
+        chk.where(
+            (F.col("ewma") < F.col("lo") - eps) | (F.col("ewma") > F.col("hi") + eps)
+        ).count()
+        == 0
+    )

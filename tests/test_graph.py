@@ -132,3 +132,145 @@ def test_pagerank_rejects_out_of_range_damping(spark):
     for d in ("0.855", "0.1234"):
         with pytest.raises(ValueError, match="2 decimal places"):
             pagerank(df, iters=1, damping=d)
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats
+
+
+def ref_triangles(undirected: list[tuple[str, str]]) -> dict[str, tuple[int, int]]:
+    """Brute-force per-node (degree, triangle-count) over the deduped
+    simple graph — O(n^3), fine for fixtures."""
+    adj: dict[str, set[str]] = defaultdict(set)
+    for a, b in undirected:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    nodes = sorted(adj)
+    tri = {v: 0 for v in nodes}
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if y not in adj[x]:
+                continue
+            for z in nodes:
+                if z > y and z in adj[x] and z in adj[y]:
+                    for v in (x, y, z):
+                        tri[v] += 1
+    return {v: (len(adj[v]), tri[v]) for v in nodes}
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    from etl_adsbx_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_stats(df).collect()
+    }
+    ref = ref_triangles(EDGES)
+    assert set(got) == set(ref)
+    for v, (d, t) in ref.items():
+        gd, gt, gc = got[v]
+        assert (gd, gt) == (d, t), v
+        want = round(2.0 * t / (d * (d - 1)), 8) if d >= 2 else 0.0
+        assert gc == want, v
+
+
+def test_triangle_stats_counts_each_triangle_once(spark):
+    """K4 has exactly 4 triangles; every node sits on C(3,2)=3 of them
+    and has clustering 1.0. Reverse/duplicate edges must not inflate."""
+    from etl_adsbx_spark.operators.graph import triangle_stats
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    noisy = k4 + [(b, a) for a, b in k4] + k4[:3] + [("a", "a")]
+    rows = triangle_stats(spark.createDataFrame(noisy, ["src", "dst"])).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["degree"] == 3
+        assert r["triangles"] == 3
+        assert r["clustering"] == 1.0
+
+
+def test_triangle_stats_triangle_free_graph(spark):
+    """A star (bipartite) has zero triangles everywhere; leaves (d=1)
+    get clustering 0.0 by the d<2 convention."""
+    from etl_adsbx_spark.operators.graph import triangle_stats
+
+    star = [("hub", f"leaf{i}") for i in range(5)]
+    rows = triangle_stats(spark.createDataFrame(star, ["src", "dst"])).collect()
+    assert all(r["triangles"] == 0 and r["clustering"] == 0.0 for r in rows)
+    assert {r["degree"] for r in rows} == {1, 5}
+
+
+# ---------------------------------------------------------------------------
+# hits
+
+
+def ref_hits(directed: list[tuple[str, str]], iters: int = 4):
+    """Mirror of hits()'s decimal contract in pure Python: exact decimal
+    update sums, L1 norm = exact decimal sum cast to float once, division
+    in float, round-half-up to 12 dp."""
+    w: dict[tuple[str, str], int] = defaultdict(int)
+    for s, t in directed:
+        w[(s, t)] += 1
+    nodes = sorted({s for s, _ in w} | {t for _, t in w})
+    n = len(nodes)
+    h = {v: _q(1.0 / n, 12) for v in nodes}
+    a: dict[str, Decimal] = {}
+    for _ in range(iters):
+        ar: dict[str, Decimal] = defaultdict(lambda: Decimal(0))
+        for (s, t), c in w.items():
+            if s in h:
+                ar[t] += c * h[s]
+        sa = float(sum(ar.values()))
+        a = {v: _q(float(x) / sa, 12) for v, x in ar.items()}
+        hr: dict[str, Decimal] = defaultdict(lambda: Decimal(0))
+        for (s, t), c in w.items():
+            if t in a:
+                hr[s] += c * a[t]
+        sh = float(sum(hr.values()))
+        h = {v: _q(float(x) / sh, 12) for v, x in hr.items()}
+    return (
+        {v: float(h.get(v, Decimal(0))) for v in nodes},
+        {v: float(a.get(v, Decimal(0))) for v in nodes},
+    )
+
+
+def test_hits_matches_python_reference(spark):
+    from etl_adsbx_spark.operators.graph import hits
+
+    directed = [
+        ("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h2", "a3"),
+        ("h3", "a2"), ("h1", "a1"),  # duplicate edge -> weight 2
+        ("a1", "a2"),                # a node that is both hub and authority
+    ]
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(spark.createDataFrame(directed, ["src", "dst"]), iters=4).collect()}
+    rh, ra = ref_hits(directed, iters=4)
+    assert set(got) == set(rh)
+    for v in rh:
+        assert got[v] == (rh[v], ra[v]), v
+
+
+def test_hits_l1_norms_and_zero_sides(spark):
+    """After each full iteration hub and authority are L1-normalized (sum
+    ~ 1 up to 12-dp rounding); pure sources have authority 0, pure sinks
+    hub 0, and every endpoint appears exactly once."""
+    from etl_adsbx_spark.operators.graph import hits
+
+    directed = [("s", "m"), ("m", "t"), ("s", "t")]
+    rows = hits(spark.createDataFrame(directed, ["src", "dst"]), iters=3).collect()
+    by = {r["node"]: r for r in rows}
+    assert len(rows) == 3
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-9
+    assert by["s"]["authority"] == 0.0
+    assert by["t"]["hub"] == 0.0
+
+
+def test_hits_rejects_bad_iters(spark):
+    from etl_adsbx_spark.operators.graph import hits
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hits(spark.createDataFrame(EDGES, ["src", "dst"]), iters=0)

@@ -866,3 +866,39 @@ def test_gopher_ngram_fractions_hand_computed(spark):
     for k in ("one", "empty"):
         for c in ("top2", "top3", "top4", "dup5", "dup6"):
             assert out[k][c] == 0.0, (k, c, out[k][c])
+
+
+def test_readability_scores_hand_computed(spark):
+    """readability_scores (queries.py): replay the regex component counts
+    and the published Flesch / FK formulas in pure Python over the sf0.001
+    corpus — every doc, exact to the 4-dp rounding."""
+    import re as _re
+
+    from etl_adsbx_spark import queries as registry
+    from etl_adsbx_spark.tables import load_table
+
+    from .conftest import SF_SMALL
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    }
+    got = {r["doc_id"]: r for r in registry.queries()["readability_scores"](spark, SF_SMALL).collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        nw = max(len(_re.findall(r"\S+", text)), 1)
+        ns = max(len(_re.findall(r"[.!?]+", text)), 1)
+        nsyl = max(len(_re.findall(r"[aeiouy]+", text.lower())), 1)
+        r = got[doc_id]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (nw, ns, nsyl)
+        ws, sw = nw / ns, nsyl / nw
+
+        def _r4(x: float) -> float:
+            # both engines round doubles HALF_UP on the shortest decimal
+            # repr (Python's round() is half-even - 12.74625 -> .7462)
+            from decimal import ROUND_HALF_UP, Decimal
+
+            return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+        assert r["flesch_ease"] == _r4(206.835 - 1.015 * ws - 84.6 * sw)
+        assert r["fk_grade"] == _r4(0.39 * ws + 11.8 * sw - 15.59)
