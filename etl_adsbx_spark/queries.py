@@ -6929,3 +6929,139 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(0.39) * ws + F.lit(11.8) * sw - F.lit(15.59), 4)
         .alias("fk_grade"),
     )
+
+
+def _mmr_oracle(k: int, n_cand: int = 16) -> str:
+    """DuckDB replay of similarity.mmr_select as k chained CTE steps (the
+    _pagerank_oracle / _hits_oracle fixed-step pattern; MATERIALIZED —
+    DuckDB inlines plain CTEs and each step references the previous one
+    three times)."""
+    step = """
+    cand{i} AS MATERIALIZED (
+      SELECT cd.query_id, cd.cand_id, cd.simq,
+             (0.7 * cd.simq - 0.3 * COALESCE(d.div, 0))::DECIMAL(12,7) AS mmr
+      FROM cd
+      LEFT JOIN (
+        SELECT ps.query_id, ps.a_id, MAX(ps.sim) AS div
+        FROM ps JOIN picks{j} pk
+          ON pk.query_id = ps.query_id AND pk.cand_id = ps.b_id
+        GROUP BY ps.query_id, ps.a_id
+      ) d ON d.query_id = cd.query_id AND d.a_id = cd.cand_id
+      WHERE NOT EXISTS (SELECT 1 FROM picks{j} pk
+                        WHERE pk.query_id = cd.query_id
+                          AND pk.cand_id = cd.cand_id)
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT query_id, {i} AS "rank", cand_id, simq, mmr FROM cand{i}
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cand_id ASC) = 1
+    ),
+    picks{i} AS MATERIALIZED (
+      SELECT * FROM picks{j} UNION ALL SELECT * FROM p{i}
+    )"""
+    steps = ",".join(step.format(i=i, j=i - 1) for i in range(2, k + 1))
+    return f"""
+    WITH cdq AS MATERIALIZED (
+      SELECT qid AS query_id, nid AS cand_id,
+             round(dp / (sqrt(qn) * sqrt(cn)), 6) AS cs
+      FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dp,
+               SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) AS qn,
+               SUM(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS cn
+        FROM embeddings q, embeddings c, range(1, 65) r(i)
+        WHERE q.vec_id < 4 AND q.vec_id != c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+      )
+    ),
+    cd AS MATERIALIZED (
+      SELECT query_id, cand_id, cs::DECIMAL(8,6) AS simq
+      FROM cdq
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, cand_id DESC) <= {n_cand}
+    ),
+    ps AS MATERIALIZED (
+      SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+             round(SUM(CAST(ea.embedding[i] AS DOUBLE)
+                       * CAST(eb.embedding[i] AS DOUBLE))
+                   / (sqrt(SUM(CAST(ea.embedding[i] AS DOUBLE)
+                               * CAST(ea.embedding[i] AS DOUBLE)))
+                      * sqrt(SUM(CAST(eb.embedding[i] AS DOUBLE)
+                                 * CAST(eb.embedding[i] AS DOUBLE)))), 6)
+               ::DECIMAL(8,6) AS sim
+      FROM cd a
+      JOIN cd b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+      JOIN embeddings ea ON ea.vec_id = a.cand_id
+      JOIN embeddings eb ON eb.vec_id = b.cand_id, range(1, 65) r(i)
+      GROUP BY a.query_id, a.cand_id, b.cand_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT query_id, 1 AS "rank", cand_id, simq,
+             (0.7 * simq)::DECIMAL(12,7) AS mmr
+      FROM cd
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY simq DESC, cand_id ASC) = 1
+    ),
+    picks1 AS (SELECT * FROM p1),{steps}
+    SELECT query_id, "rank", cand_id AS vec_id,
+           CAST(simq AS DOUBLE) AS sim_to_query,
+           CAST(mmr AS DOUBLE) AS mmr_score
+    FROM picks{k}
+    """
+
+
+@register("mmr_rerank", oracle=_mmr_oracle(8))
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MMR-diversified retrieval rerank (operators.similarity.
+    mmr_select — Carbonell & Goldstein SIGIR'98): for each query vector
+    (vec_id < 4), take the exact-cosine top-16 candidate list (the
+    ann_topk exact-leg construction), then greedily select 8 results by
+    ``λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s)`` with λ=0.7 — the
+    standard redundancy-aware stage between retrieval and a RAG prompt
+    (hybrid_rrf_topk fuses rankers; this de-duplicates what they agree
+    on). All similarities round(·,6)→DECIMAL(8,6), λ a 1-dp decimal, so
+    every MMR score is an exact DECIMAL(12,7) and the oracle replays the
+    8 greedy steps as chained CTEs bit-for-bit (ties broken cand_id ASC).
+
+    100-TB shape: the corpus-sized work is candidate generation (here the
+    broadcast brute-force exact leg; at scale, the IVF/PQ path). The
+    rerank itself only ever touches rank-list-sized frames (Q×16 rows,
+    Q×16×15 pair sims) — it scales in the #queries dimension like any
+    keyed agg, 8 fixed checkpointed steps, no driver-side row data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cd = similarity.cosine_topk(e, e.where(F.col("vec_id") < 4), k=16).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("cosine_sim").cast("decimal(8,6)").alias("simq"),
+    )
+    ev = e.select(
+        "vec_id",
+        vec_as_double("embedding").alias("_v"),
+    ).withColumn("_n", vec_norm(F.col("_v")))
+    a = cd.select("query_id", F.col("cand_id").alias("a_id"))
+    b = cd.select(F.col("query_id").alias("_bq"), F.col("cand_id").alias("b_id"))
+    pairs = a.join(b, (a["query_id"] == F.col("_bq")) & (a["a_id"] != F.col("b_id")))
+    ea = ev.select(F.col("vec_id").alias("a_id"), F.col("_v").alias("_av"), F.col("_n").alias("_an"))
+    eb = ev.select(F.col("vec_id").alias("b_id"), F.col("_v").alias("_bv"), F.col("_n").alias("_bn"))
+    ps = (
+        pairs.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(
+                vec_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6
+            )
+            .cast("decimal(8,6)")
+            .alias("sim"),
+        )
+    )
+    out = similarity.mmr_select(cd, ps, k=8, lam="0.7")
+    return out.select(
+        "query_id",
+        "rank",
+        F.col("cand_id").alias("vec_id"),
+        F.col("simq").cast("double").alias("sim_to_query"),
+        F.col("mmr").cast("double").alias("mmr_score"),
+    )
