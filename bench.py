@@ -118,6 +118,13 @@ OPTIONAL = [
     "corr_matrix",
     "url_canonicalize",
     "cluster_split_assign",
+    # r8 cont.: triangle/HITS link analytics, decimal EWMA smoothing,
+    # readability battery, MMR diversified rerank
+    "graph_triangles",
+    "domain_hits",
+    "ewma_smooth",
+    "readability_scores",
+    "mmr_rerank",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on
@@ -207,6 +214,11 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({**record, "queries": timings}, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # stdout carries 2-dp spreads (the 3-dp table lives in BENCH_DETAIL):
+    # at 80+ queries the 3-dp line brushes the driver's ~4 KB capture.
+    record["spreads"] = {
+        n: [round(x, 2) for x in s3] for n, s3 in spreads.items()
+    }
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > 4000:
         # Never let the final line outgrow the driver's ~4 KB capture again:

@@ -96,7 +96,9 @@ _DRIVER_PRIORITY: list[str] = [
     # window (q1_pricing_summary + q3_shipping_priority, the two
     # longest-green keys graded every round r1-r6, plus
     # q13_customer_distribution / q17_small_qty_revenue / q18_large_orders
-    # / stats_agg / media_kernels displaced by the seven r8-new keys),
+    # / stats_agg / media_kernels displaced by the seven r8-new keys and
+    # boilerplate_strip / cube_grouping_sets / pivot_unpivot / map_funcs /
+    # collect_agg displaced by the five second-wave r8 keys),
     # all of which rotate in r9.
     # --- new in r8 ---
     "lang_id_model",
@@ -106,6 +108,13 @@ _DRIVER_PRIORITY: list[str] = [
     "corr_matrix",
     "url_canonicalize",
     "cluster_split_assign",
+    # --- new in r8, second wave (graph/timeseries/readability/rerank;
+    # displace the five longest-stable tail keys to r9) ---
+    "graph_triangles",
+    "domain_hits",
+    "ewma_smooth",
+    "readability_scores",
+    "mmr_rerank",
     # --- changed in r8 (Gopher repetition columns added) ---
     "text_stats",
     # --- last driver-graded r6, oldest evidence first-come ---
@@ -146,11 +155,6 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup",
     "sample_select_ops",
     "unigram_lm_score",
-    "boilerplate_strip",
-    "cube_grouping_sets",
-    "pivot_unpivot",
-    "map_funcs",
-    "collect_agg",
 ]
 
 
