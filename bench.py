@@ -133,8 +133,24 @@ OPTIONAL = [
 # a production tick never does (it probes the maintained band index).
 
 
-def run_df(df) -> int:
+#: Projection-only queries (no agg/join downstream of the kernel): under
+#: plain count() Catalyst PRUNES the measured expression (measured: ewma
+#: 4.73s forced vs 0.34s counted at sf10 — BASELINE.md round-8 note), so
+#: these are timed through a 1-row sum over the output column instead.
+FORCE_COL = {
+    "ewma_smooth": "ewma",
+    "readability_scores": "flesch_ease",
+}
+
+
+def run_df(df, force_col: str | None = None) -> int:
     # count() forces full execution without driver-side materialization
+    # (except pure projections — see FORCE_COL)
+    if force_col is not None:
+        from pyspark.sql import functions as F
+
+        df.agg(F.sum(force_col)).collect()
+        return 1
     return df.count()
 
 
@@ -156,7 +172,7 @@ def main() -> None:
     if not _os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in names:
-        run_df(qs[name](spark, warm_dir))
+        run_df(qs[name](spark, warm_dir), FORCE_COL.get(name))
     run_df(flagship(spark, warm_dir))
 
     raw_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")
@@ -165,11 +181,11 @@ def main() -> None:
     except ValueError:
         sys.exit(f"SPARK_GRAFT_BENCH_RUNS must be an integer, got {raw_runs!r}")
 
-    def timed(fn) -> tuple[float, list[float]]:
+    def timed(fn, force_col: str | None = None) -> tuple[float, list[float]]:
         samples = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
-            run_df(fn())
+            run_df(fn(), force_col)
             samples.append(time.perf_counter() - t0)
         spread = [round(min(samples), 3), round(statistics.median(samples), 3),
                   round(max(samples), 3)]
@@ -178,7 +194,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in names:
-        timings[name], spreads[name] = timed(lambda: qs[name](spark, sf_dir))
+        timings[name], spreads[name] = timed(
+            lambda: qs[name](spark, sf_dir), FORCE_COL.get(name)
+        )
 
     timings["flagship_pipeline"], spreads["flagship_pipeline"] = timed(
         lambda: flagship(spark, sf_dir)

@@ -1268,3 +1268,90 @@ def mmr_select(
         prev, picks = picks, picks.unionByName(pick_i).localCheckpoint(eager=True)
         prev.unpersist()
     return picks
+
+
+def mmr_select_grouped(
+    cand: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 8,
+    lam: str = "0.7",
+) -> DataFrame:
+    """The grouped-map twin of ``mmr_select``: ONE shuffle co-groups each
+    query's candidate list with its pair-sim block, then an Arrow kernel
+    runs the whole k-step greedy loop per query in Python ``Decimal``
+    arithmetic — bit-identical to the DataFrame loop (parity-pinned in
+    tests/test_mmr.py) because both sides compute the same exact decimals.
+
+    WHEN TO USE WHICH: ``mmr_select`` is k driver-orchestrated tiny jobs —
+    right for the graded/oracle path and few-query batches; this form is
+    right at production query volume (millions of queries per tick): cost
+    is ONE query_id-keyed shuffle of rank-list-sized rows + an
+    embarrassingly-parallel per-group kernel, independent of k. Arrow
+    moves DECIMAL columns as true decimals (object-dtype
+    ``decimal.Decimal`` in pandas), so no float ever touches a score.
+
+    Returns the ``mmr_select`` schema:
+    (query_id, rank int, cand_id, simq DECIMAL(8,6), mmr DECIMAL(12,7)).
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lam_d = Decimal(lam)
+    if not (Decimal(0) < lam_d <= Decimal(1)) or lam_d != lam_d.quantize(
+        Decimal("0.1")
+    ):
+        raise ValueError(f"lam must be a 1-dp decimal in (0, 1], got {lam!r}")
+    oml_d = Decimal(1) - lam_d
+    q7 = Decimal("0.0000001")
+
+    out_schema = (
+        "query_id long, rank int, cand_id long, "
+        "simq decimal(8,6), mmr decimal(12,7)"
+    )
+
+    def _mmr_one(cand_pdf: pd.DataFrame, ps_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "rank", "cand_id", "simq", "mmr"]
+            )
+        qid = cand_pdf["query_id"].iloc[0]
+        simq = dict(zip(cand_pdf["cand_id"], cand_pdf["simq"]))
+        sims: dict[tuple, Decimal] = {}
+        for a, b, s in zip(ps_pdf["a_id"], ps_pdf["b_id"], ps_pdf["sim"]):
+            sims[(a, b)] = s
+        picked: list[tuple] = []
+        chosen: set = set()
+        for rank in range(1, k + 1):
+            best = None
+            for c, sq in simq.items():
+                if c in chosen:
+                    continue
+                div = Decimal(0)
+                for s in chosen:
+                    d = sims.get((c, s))
+                    if d is not None and d > div:
+                        div = d
+                score = (lam_d * sq - oml_d * div).quantize(q7)
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, sq, score)
+            if best is None:
+                break
+            chosen.add(best[1])
+            picked.append((qid, rank, best[1], best[2], best[3]))
+        return pd.DataFrame(
+            picked, columns=["query_id", "rank", "cand_id", "simq", "mmr"]
+        )
+
+    c0 = cand.select(
+        "query_id", "cand_id", F.col("simq").cast("decimal(8,6)").alias("simq")
+    )
+    ps = pair_sims.select(
+        "query_id", "a_id", "b_id", F.col("sim").cast("decimal(8,6)").alias("sim")
+    )
+    return (
+        c0.groupBy("query_id")
+        .cogroup(ps.groupBy("query_id"))
+        .applyInPandas(lambda cg, pg: _mmr_one(cg, pg), schema=out_schema)
+    )

@@ -100,3 +100,29 @@ def test_mmr_rejects_bad_params(spark):
         mmr_select(cand, ps, k=0)
     with pytest.raises(ValueError):
         mmr_select(cand, ps, k=2, lam="0.75")
+
+
+def test_mmr_grouped_parity_with_loop(spark):
+    """mmr_select_grouped (one-shuffle Arrow kernel, the production-volume
+    path) must be BIT-IDENTICAL to the DataFrame loop on every column —
+    both compute the same exact decimals."""
+    import itertools
+
+    from etl_adsbx_spark.operators.similarity import mmr_select_grouped
+
+    cands = {1: [10, 11, 12, 13, 14, 15], 2: [20, 21, 22, 23], 3: [30]}
+    simq = {(q, c): Decimal(f"0.{(c * 37) % 90 + 10:02d}") for q, cs in cands.items() for c in cs}
+    sim = {}
+    for q, cs in cands.items():
+        for a, b in itertools.permutations(cs, 2):
+            key = (min(a, b), max(a, b))
+            sim[(q, a, b)] = Decimal(f"0.{(key[0] * 13 + key[1] * 7) % 100:02d}")
+    cand_df = _cand(spark, [(q, c, simq[(q, c)]) for q, cs in cands.items() for c in cs])
+    ps_df = _ps(spark, [(q, a, b, s) for (q, a, b), s in sim.items()])
+    loop = {(r["query_id"], r["rank"]): (r["cand_id"], r["simq"], r["mmr"])
+            for r in mmr_select(cand_df, ps_df, k=4).collect()}
+    grouped = {(r["query_id"], r["rank"]): (r["cand_id"], r["simq"], r["mmr"])
+               for r in mmr_select_grouped(cand_df, ps_df, k=4).collect()}
+    assert grouped == loop
+    # query 3 has one candidate: both paths emit exactly rank 1 for it
+    assert (3, 1) in grouped and (3, 2) not in grouped
