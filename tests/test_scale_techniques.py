@@ -517,3 +517,41 @@ def test_parquet_aggregate_pushdown(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ewma_plan_is_one_keyed_window_pass(spark):
+    """ewma_smooth's whole cost envelope is ONE user-keyed shuffle feeding
+    one Window — no join, no extra exchange, fold fully codegen."""
+    import re as _re
+
+    from etl_adsbx_spark.queries import queries
+
+    plan = _physical_plan(queries()["ewma_smooth"](spark, SF))
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_readability_plan_is_shuffle_free_and_pruned(spark):
+    """readability_scores is a map-only projection: zero exchanges, and
+    the parquet scan reads only (doc_id, text)."""
+    import re as _re
+
+    from etl_adsbx_spark.queries import queries
+
+    plan = _physical_plan(queries()["readability_scores"](spark, SF))
+    assert "Exchange" not in plan, plan
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_triangle_plan_has_no_broadcast_nested_loop(spark):
+    """graph_triangles is equi-joins + hash-aggs only: the wedge join and
+    the closure join must both be hash/sort-merge equi-joins."""
+    from etl_adsbx_spark.queries import queries
+
+    plan = _physical_plan(queries()["graph_triangles"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
