@@ -125,6 +125,7 @@ OPTIONAL = [
     "ewma_smooth",
     "readability_scores",
     "mmr_rerank",
+    "anomaly_events",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

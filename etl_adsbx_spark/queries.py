@@ -115,6 +115,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ewma_smooth",
     "readability_scores",
     "mmr_rerank",
+    "anomaly_events",
     # --- changed in r8 (Gopher repetition columns added) ---
     "text_stats",
     # --- last driver-graded r6, oldest evidence first-come ---
@@ -154,7 +155,6 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_neardup",
     "semantic_dedup",
     "sample_select_ops",
-    "unigram_lm_score",
 ]
 
 
@@ -7068,4 +7068,112 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cand_id").alias("vec_id"),
         F.col("simq").cast("double").alias("sim_to_query"),
         F.col("mmr").cast("double").alias("mmr_score"),
+    )
+
+
+@register(
+    "anomaly_events",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             round(value, 6)::DECIMAL(26,9) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+      SELECT event_id, user_id, ts, event_type, value, x,
+             list(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS xs
+      FROM f
+    ),
+    e2 AS (
+      SELECT event_id, user_id, ts, event_type, value, x,
+             list_reduce(xs,
+               (acc, v) -> ((acc * 0.5 + v * 0.5))::DECIMAL(26,9)) AS ew
+      FROM l
+    ),
+    r AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             CAST(ew AS DOUBLE) AS ewma,
+             CAST((x - ew) * 1000000000 AS BIGINT) AS residual_ns
+      FROM e2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(residual_ns, 0.5) AS med
+      FROM r GROUP BY event_type
+    ),
+    dev AS (
+      SELECT r.*, med.med, ABS(r.residual_ns - med.med) AS adev
+      FROM r JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.user_id, dev.ts, dev.event_type, dev.value,
+           dev.ewma, dev.residual_ns,
+           CAST(dev.adev > 3 * mad.mad AS INT) AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    """,
+)
+def anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-event anomaly flags — the monitoring end-cap that
+    composes two graded patterns: a trailing-4 α=0.5 EWMA baseline per
+    user (shorter window than ewma_smooth's 8 — responsiveness is the
+    point when the output is a deviation flag) and the robust
+    median/3·MAD gate per event_type (the mad_outlier_gate discipline —
+    heavy-tail-safe where a mean/stddev z-score is not).
+
+    Exactness chain: the 4-sample fold adds ≤3 true fractional digits to
+    the 6-dp input (scale ≤9, lossless in DECIMAL(26,9), no midpoint
+    ties); the residual ``(x − ewma)·10⁹`` is therefore an EXACT BIGINT
+    (|r| ≤ ~5·10¹¹ ≪ 2⁵², so the percentile interpolation arithmetic is
+    exact in double in both engines — the integer-contract trick the MAD
+    gate row established); med/MAD land on integers or halves and the
+    3·MAD comparison is exact.
+
+    100-TB shape: one user-keyed window pass (the ewma envelope) + the
+    MAD gate's three stratum hash-aggs and two broadcast-back joins
+    (event_type cardinality ≪ corpus); no global sort, no window beyond
+    the keyed pass, flags computed map-side after the tiny joins."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    half = F.lit(0.5).cast("decimal(2,1)")
+    x = F.round(F.col("value"), 6).cast("decimal(26,9)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    withxs = e.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        x.alias("_x"),
+        F.collect_list(x).over(w).alias("_xs"),
+    )
+    ew = F.aggregate(
+        F.slice(F.col("_xs"), F.lit(2), F.greatest(F.size("_xs") - 1, F.lit(0))),
+        F.element_at(F.col("_xs"), 1),
+        lambda acc, v: (acc * half + v * half).cast("decimal(26,9)"),
+    )
+    r = withxs.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        ew.cast("double").alias("ewma"),
+        ((F.col("_x") - ew) * F.lit(10**9).cast("decimal(10,0)"))
+        .cast("bigint")
+        .alias("residual_ns"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.percentile("residual_ns", F.lit(0.5)).alias("_med")
+    )
+    dev = r.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("residual_ns") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id", "user_id", "ts", "event_type", "value", "ewma",
+            "residual_ns",
+            (F.col("_adev") > F.lit(3) * F.col("_mad")).cast("int").alias("is_anomaly"),
+        )
     )

@@ -349,3 +349,63 @@ def test_ewma_smooth_first_row_is_identity_and_window_bounded(spark):
         ).count()
         == 0
     )
+
+
+def test_anomaly_events_flags_injected_spike(spark):
+    """anomaly_events (queries.py): on the real sf0.001 corpus the flag
+    must agree with a pure-Python replay (trailing-4 Decimal EWMA,
+    integer residuals, per-type median/3*MAD gate) — and flag rate must
+    be sane (some zeros, not everything flagged)."""
+    from decimal import Decimal
+    from statistics import median_low
+
+    from etl_adsbx_spark import queries as registry
+    from etl_adsbx_spark.tables import load_table
+
+    got = registry.queries()["anomaly_events"](spark, SF_SMALL).collect()
+    rows = sorted(
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    # python replay of the trailing-4 EWMA + residual
+    half = Decimal("0.5")
+    hist: dict[int, list[Decimal]] = {}
+    resid: dict[int, int] = {}
+    for r in rows:
+        xs = hist.setdefault(r["user_id"], [])
+        xs.append(Decimal(repr(round(r["value"], 6))))
+        window = xs[-4:]
+        acc = window[0]
+        for v in window[1:]:
+            acc = acc * half + v * half
+        resid[r["event_id"]] = int(
+            (Decimal(repr(round(r["value"], 6))) - acc) * 10**9
+        )
+    # per-type exact type-7 median (values are ints; interpolation on even
+    # counts is the midpoint — exact in float)
+    def q50(vals: list[int]) -> float:
+        s = sorted(vals)
+        n = len(s)
+        if n % 2:
+            return float(s[n // 2])
+        return (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(resid[r["event_id"]])
+    med = {t: q50(v) for t, v in by_type.items()}
+    mad = {
+        t: q50([abs(x - med[t]) for x in v]) for t, v in by_type.items()
+    }
+    flags = {r["event_id"]: int(abs(resid[r["event_id"]] - med[r["event_type"]])
+                                > 3 * mad[r["event_type"]]) for r in rows}
+    assert len(got) == len(rows)
+    n_anom = 0
+    for g in got:
+        assert g["residual_ns"] == resid[g["event_id"]], g["event_id"]
+        assert g["is_anomaly"] == flags[g["event_id"]], g["event_id"]
+        n_anom += g["is_anomaly"]
+    assert 0 < n_anom < len(got)
