@@ -126,6 +126,7 @@ OPTIONAL = [
     "readability_scores",
     "mmr_rerank",
     "anomaly_events",
+    "jaccard_prefix_pairs",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

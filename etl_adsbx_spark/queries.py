@@ -116,6 +116,7 @@ _DRIVER_PRIORITY: list[str] = [
     "readability_scores",
     "mmr_rerank",
     "anomaly_events",
+    "jaccard_prefix_pairs",
     # --- changed in r8 (Gopher repetition columns added) ---
     "text_stats",
     # --- last driver-graded r6, oldest evidence first-come ---
@@ -154,7 +155,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cot_pipeline_nofilter",
     "embedding_neardup",
     "semantic_dedup",
-    "sample_select_ops",
 ]
 
 
@@ -7176,4 +7176,56 @@ def anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual_ns",
             (F.col("_adev") > F.lit(3) * F.col("_mad")).cast("int").alias("is_anomaly"),
         )
+    )
+
+
+@register(
+    "jaccard_prefix_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_common * 2 >= (sa.n + sb.n - n_common)
+    """,
+)
+def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Prefix-filtered exact Jaccard join at t = 1/2
+    (operators.dedup.jaccard_prefix_pairs — the SSJoin/PPJoin prefix
+    principle). THE ORACLE IS THE NAIVE EXACT SELF-JOIN: agreement at
+    every grading SF is the machine-checked proof that prefix filtering
+    loses no qualifying pair. The engine side joins only each document's
+    rarest-(|s|−ceil(t·|s|)+1) shingles (global df order), so the
+    frequent shingles that create the naive join's biggest buckets never
+    enter the join, then verifies candidates against full posting lists
+    with an INTEGER cross-multiply gate (no float decides a boundary
+    pair; the oracle's float division agrees because the gate values are
+    identical integers).
+
+    100-TB shape: candidates→verify discipline with a provably lossless
+    screen; the prefix join's worst bucket is bounded by the rarity
+    order (a shingle that appears in k prefixes contributes k², but
+    frequent shingles are exactly the ones prefixes exclude)."""
+    from .operators.dedup import jaccard_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold_num=1, threshold_den=2
     )
