@@ -1976,14 +1976,20 @@ def jaccard_prefix_pairs(
             F.array_distinct(word_shingles(text_col, shingle_n))
         ).alias("shingle"),
     )
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # dfreq / sizes are CORPUS-DERIVED (shingle-count / doc-count rows):
+    # their post-agg size estimates run far below the true in-memory
+    # hashed-relation size, so an estimate-driven broadcast OOMs the
+    # driver at scale (measured at sf10: broadcast-exchange GC death on
+    # the 6M-row sizes frame). merge hints pin them to shuffle joins —
+    # they share keys with their probe sides anyway.
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df")).hint("merge")
     ranked = sh.join(dfreq, "shingle").withColumn(
         "_pos",
         F.row_number().over(
             Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
         ),
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n")).hint("merge")
     # p = n − ceil(num·n/den) + 1, in exact integer arithmetic
     p = (
         F.col("_n")
