@@ -175,7 +175,9 @@ def triangle_stats(
     generate (d choose 2) wedge candidates never does.
 
     Input: any edge list, interpreted as UNDIRECTED; self-loops dropped,
-    duplicate/reverse edges merged. Output one row per node:
+    duplicate/reverse edges merged (a node whose only edges are
+    self-loops is isolated and does not appear in the output — degree is
+    defined over the simple graph). Output one row per node:
     (node, degree bigint, triangles bigint,
      clustering double = round(2T / (d(d-1)), 8), 0.0 when d < 2).
 
