@@ -45,12 +45,38 @@ def test_permissive_quarantine(spark):
 
 
 def test_http_fetch_batch_with_injected_fetch(spark):
-    url = build_url("https://example.invalid/v2", 39.0, -104.0, 250.0)
-    assert "/lat/39.0/lon/-104.0/dist/250.0/" in url    # geo pushdown (R2)
+    url = build_url("https://example.invalid", 39.0, -104.0, 250.0)
+    assert "/v2/lat/39.0/lon/-104.0/dist/250.0/" in url  # geo pushdown (R2)
     assert "cacheBuster=" in url                         # task.ts:122
 
     df = fetch_batch(spark, url, token="t", fetch_fn=lambda u, tok: GOOD)
     assert df.count() == 2
+
+
+@pytest.mark.parametrize("base", [
+    "https://adsbexchange-com1.p.rapidapi.com",   # ADSBX_API enum variant 1
+    "https://adsbexchange.com/api/aircraft",       # variant 2 = default
+])
+def test_http_url_and_auth_fidelity(base):
+    """URL + auth shape per ADSBX_API variant (task.ts:15-21,115-129):
+    ``{base}/v2/lat/../lon/../dist/../`` with apiKey THEN cacheBuster
+    query params, and BOTH auth headers carrying the same token."""
+    from etl_adsbx_spark.sources.http import (
+        ADSBX_API_VARIANTS,
+        auth_headers,
+    )
+
+    assert base in ADSBX_API_VARIANTS
+    url = build_url(base, 40.14401, -119.81204, 2650.0, token="tok",
+                    cache_buster_ms=1234567890123)
+    assert url == (
+        f"{base}/v2/lat/40.14401/lon/-119.81204/dist/2650.0/"
+        "?apiKey=tok&cacheBuster=1234567890123"
+    )
+    assert auth_headers("tok") == {
+        "x-rapidapi-key": "tok",   # rapidapi variant auth (task.ts:125)
+        "api-auth": "tok",         # direct-API auth (task.ts:126)
+    }
 
 
 def test_feature_collection_sink(spark):
