@@ -1,0 +1,250 @@
+"""WARC (Web ARChive) shard ingest — stage −1 of the web-corpus pipeline.
+
+Common-Crawl-shaped corpora arrive as directories of ``.warc`` /
+``.warc.gz`` shards: a flat sequence of WARC/1.x records (warcinfo,
+request, response, …) where a **response** record's block is a raw HTTP
+response — status line, headers, blank line, body. This source turns
+those shards into rows that feed ``functions.html.extract_and_normalize``
+and the text battery (the engine's stage 0).
+
+Scale contract (the ``webdataset.py`` design point):
+
+- **One task per shard.** Shards are read with Spark's ``binaryFile``
+  source (one row per archive), so shard bytes move straight from storage
+  to the executor that parses them — the driver never holds payloads, and
+  parallelism = shard count (Common Crawl ships ~1 GB shards; 100 TB ≈
+  100k shards ≈ 100k tasks, a normal stage).
+- **Record parsing is a mapInPandas kernel** over the shard bytes —
+  stdlib only (``zlib`` for the per-member gzip framing, byte slicing for
+  the WARC framing; WARC is a length-prefixed flat format, so parsing is
+  one linear scan, no codec work).
+- Deterministic: record order follows the shard; ``record_id`` is the
+  archive's own ``WARC-Record-ID`` header, not an invented id.
+
+Format notes (ISO 28500, all handled): records are framed as a version
+line ``WARC/1.0``, CRLF header lines, a blank line, exactly
+``Content-Length`` block bytes, then a CRLF CRLF separator; ``.warc.gz``
+shards are CONCATENATED per-record gzip members (the Common Crawl
+convention — decompressed as a multi-member stream).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RECORD_SCHEMA = StructType(
+    [
+        StructField("shard", StringType(), False),
+        StructField("record_id", StringType(), True),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("content_length", LongType(), False),
+        StructField("body", BinaryType(), True),
+    ]
+)
+
+
+def gunzip_members(blob: bytes) -> bytes:
+    """Decompress a stream of CONCATENATED gzip members (the ``.warc.gz``
+    framing: one member per record) into one flat byte string."""
+    out = []
+    while blob:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(blob))
+        out.append(d.flush())
+        blob = d.unused_data
+    return b"".join(out)
+
+
+def iter_warc_records(blob: bytes) -> Iterator[tuple[str, dict[str, str], bytes]]:
+    """Linear scan over a (decompressed) WARC shard: yields
+    ``(version, headers, block)`` per record. Header names are
+    lower-cased (WARC headers are case-insensitive); the block is exactly
+    ``Content-Length`` bytes. Raises ``ValueError`` on framing damage —
+    a truncated shard should fail loudly, not silently drop records."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = gunzip_members(blob)
+    pos, n = 0, len(blob)
+    while pos < n:
+        while blob[pos : pos + 2] == b"\r\n":  # inter-record CRLF CRLF
+            pos += 2
+        if pos >= n:
+            break
+        eol = blob.index(b"\r\n", pos)
+        version = blob[pos:eol].decode("ascii", "replace")
+        if not version.startswith("WARC/"):
+            raise ValueError(f"bad WARC version line at offset {pos}: {version!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = blob.index(b"\r\n", pos)
+            line = blob[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            name, _, value = line.decode("utf-8", "replace").partition(":")
+            headers[name.strip().lower()] = value.strip()
+        clen = int(headers["content-length"])
+        if pos + clen > n:
+            raise ValueError(f"record at offset {pos} overruns shard ({clen} bytes)")
+        yield version, headers, blob[pos : pos + clen]
+        pos += clen
+
+
+def parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split a response record's block into (status, content-type, body).
+    Returns ``(None, None, block)`` when the block is not HTTP-framed
+    (e.g. a ``resource`` record) — the caller keeps the raw bytes."""
+    if not block.startswith(b"HTTP/"):
+        return None, None, block
+    sep = block.find(b"\r\n\r\n")
+    head, body = (block[:sep], block[sep + 4 :]) if sep >= 0 else (block, b"")
+    lines = head.split(b"\r\n")
+    parts = lines[0].decode("ascii", "replace").split()
+    status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
+    ctype = None
+    for line in lines[1:]:
+        name, _, value = line.decode("utf-8", "replace").partition(":")
+        if name.strip().lower() == "content-type":
+            ctype = value.strip()
+            break
+    return status, ctype, body
+
+
+def _record_rows(shard: str, blob: bytes, rows: dict[str, list]) -> None:
+    for _version, hdr, block in iter_warc_records(blob):
+        wtype = hdr.get("warc-type")
+        if wtype in ("response", "request"):
+            status, ctype, body = parse_http_response(block)
+        else:
+            status, ctype, body = None, hdr.get("content-type"), block
+        rows["shard"].append(shard)
+        rows["record_id"].append(hdr.get("warc-record-id"))
+        rows["warc_type"].append(wtype)
+        rows["target_uri"].append(hdr.get("warc-target-uri"))
+        rows["warc_date"].append(hdr.get("warc-date"))
+        rows["http_status"].append(status)
+        rows["content_type"].append(ctype)
+        rows["content_length"].append(len(block))
+        rows["body"].append(body)
+
+
+def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """WARC shards under ``path`` → one row per record (RECORD_SCHEMA).
+    ``http_status``/``content_type``/``body`` are the parsed HTTP fields
+    for request/response records and the raw block otherwise."""
+    shards = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, glob))
+        .select(F.col("path").alias("shard"), F.col("content").alias("_bytes"))
+    )
+
+    def expand(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in RECORD_SCHEMA.fields}
+            for shard, blob in zip(pdf["shard"], pdf["_bytes"]):
+                _record_rows(shard, bytes(blob), rows)
+            out = pd.DataFrame(rows)
+            out["http_status"] = out["http_status"].astype("Int32")
+            yield out
+
+    return shards.mapInPandas(expand, schema=RECORD_SCHEMA)
+
+
+def responses_as_text(records: DataFrame, status: int = 200) -> DataFrame:
+    """Keep HTTP ``response`` records with the given status and decode the
+    body as UTF-8 (invalid sequences → U+FFFD, Spark's binary→string
+    cast semantics): (shard, record_id, url, fetched_at, raw_html) — the
+    input shape of ``functions.html.extract_and_normalize``. Map-only."""
+    return (
+        records.where(
+            (F.col("warc_type") == "response") & (F.col("http_status") == status)
+        )
+        .select(
+            "shard",
+            "record_id",
+            F.col("target_uri").alias("url"),
+            F.to_timestamp("warc_date").alias("fetched_at"),
+            F.col("body").cast("string").alias("raw_html"),
+        )
+    )
+
+
+def parse_record_bytes(df: DataFrame, rec_col: str, id_col: str) -> DataFrame:
+    """Parse a BINARY COLUMN of WARC bytes (one or more records per row)
+    into record-shaped rows, passing the bigint ``id_col`` through — the
+    entry point the graded ``warc_roundtrip`` row uses, built on the SAME
+    ``iter_warc_records``/``parse_http_response`` kernels as the shard
+    source, so the driver-graded row exercises the production parser."""
+    out_schema = StructType(
+        [StructField(id_col, LongType(), True)]
+        + [f for f in RECORD_SCHEMA.fields if f.name != "shard"]
+    )
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for rid, blob in zip(pdf[id_col], pdf[rec_col]):
+                for _version, hdr, block in iter_warc_records(bytes(blob)):
+                    wtype = hdr.get("warc-type")
+                    if wtype in ("response", "request"):
+                        status, ctype, body = parse_http_response(block)
+                    else:
+                        status, ctype, body = None, hdr.get("content-type"), block
+                    rows[id_col].append(rid)
+                    rows["record_id"].append(hdr.get("warc-record-id"))
+                    rows["warc_type"].append(wtype)
+                    rows["target_uri"].append(hdr.get("warc-target-uri"))
+                    rows["warc_date"].append(hdr.get("warc-date"))
+                    rows["http_status"].append(status)
+                    rows["content_type"].append(ctype)
+                    rows["content_length"].append(len(block))
+                    rows["body"].append(body)
+            out = pd.DataFrame(rows)
+            out["http_status"] = out["http_status"].astype("Int32")
+            yield out
+
+    return df.mapInPandas(parse, schema=out_schema)
+
+
+def warc_response_record(
+    uri: str, date: str, body: bytes, content_type: str = "text/plain; charset=utf-8"
+) -> bytes:
+    """Serialize ONE response record (test fixtures + the roundtrip
+    oracle's expected framing). Content-Length fields are byte counts,
+    computed after UTF-8 encoding — the same math the Spark-side codegen
+    serializer in ``queries.warc_roundtrip`` does with octet_length."""
+    import hashlib
+
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+    rid = hashlib.md5(uri.encode("utf-8")).hexdigest()[:12]
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("ascii")
+    return head + http + b"\r\n\r\n"

@@ -1,0 +1,150 @@
+"""WARC shard ingest (sources/warc.py): framing, gzip members, HTTP
+parsing, charset recovery, and the shard→extract→normalize end-to-end —
+the Common-Crawl stage −1 in front of the web-pipeline text battery."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from etl_adsbx_spark.sources.warc import (
+    gunzip_members,
+    iter_warc_records,
+    parse_http_response,
+    read_warc,
+    responses_as_text,
+    warc_response_record,
+)
+
+
+def _warcinfo() -> bytes:
+    block = b"software: etl-adsbx-spark-tests\r\n"
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "WARC-Record-ID: <urn:uuid:000000000000>\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode("ascii")
+    return head + block + b"\r\n\r\n"
+
+
+def _request(uri: str) -> bytes:
+    block = f"GET {uri} HTTP/1.1\r\nHost: corpus.local\r\n\r\n".encode("ascii")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: request\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "Content-Type: application/http; msgtype=request\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode("ascii")
+    return head + block + b"\r\n\r\n"
+
+
+BODY_A = "<html><body><p>hello &amp; welcome</p></body></html>".encode()
+# multibyte payload: Content-Length is a BYTE count, not a char count
+BODY_B = "<html><body><p>héllo — ﬁn</p></body></html>".encode()
+
+
+def _shard() -> bytes:
+    return (
+        _warcinfo()
+        + _request("http://corpus.local/a")
+        + warc_response_record(
+            "http://corpus.local/a", "2026-01-01T00:00:00Z", BODY_A,
+            content_type="text/html; charset=utf-8",
+        )
+        + warc_response_record(
+            "http://corpus.local/b", "2026-01-02T00:00:00Z", BODY_B,
+            content_type="text/html; charset=utf-8",
+        )
+    )
+
+
+def test_iter_warc_records_framing():
+    recs = list(iter_warc_records(_shard()))
+    assert [h["warc-type"] for _, h, _ in recs] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    # blocks are exactly Content-Length bytes
+    for _, h, block in recs:
+        assert len(block) == int(h["content-length"])
+    status, ctype, body = parse_http_response(recs[3][2])
+    assert (status, ctype) == (200, "text/html; charset=utf-8")
+    assert body == BODY_B  # byte-exact multibyte payload recovery
+
+
+def test_gzip_member_stream_roundtrip():
+    """.warc.gz = CONCATENATED per-record gzip members (the Common Crawl
+    convention); the decompressor must consume every member."""
+    records = [_warcinfo(), _request("http://corpus.local/a"),
+               warc_response_record("http://corpus.local/a",
+                                    "2026-01-01T00:00:00Z", BODY_A)]
+    gz = b"".join(gzip.compress(r) for r in records)
+    assert gunzip_members(gz) == b"".join(records)
+    assert len(list(iter_warc_records(gz))) == 3  # auto-detected via magic
+
+
+def test_truncated_shard_fails_loudly():
+    shard = _shard()
+    with pytest.raises(ValueError, match="overruns"):
+        list(iter_warc_records(shard[: len(shard) - 30]))
+    with pytest.raises(ValueError, match="version"):
+        list(iter_warc_records(b"NOT-A-WARC\r\n\r\n"))
+
+
+def test_read_warc_and_responses_as_text(spark, tmp_path):
+    plain = tmp_path / "w"
+    plain.mkdir()
+    (plain / "shard-000.warc").write_bytes(_shard())
+    (plain / "shard-001.warc.gz").write_bytes(
+        gzip.compress(
+            warc_response_record(
+                "http://corpus.local/c", "2026-01-03T00:00:00Z",
+                "<html><body><p>third</p></body></html>".encode(),
+                content_type="text/html; charset=utf-8",
+            )
+        )
+    )
+    records = read_warc(spark, str(plain))
+    rows = {
+        (r["warc_type"], r["target_uri"]): r for r in records.collect()
+    }
+    assert len(rows) == 5
+    resp_a = rows[("response", "http://corpus.local/a")]
+    assert resp_a["http_status"] == 200
+    assert bytes(resp_a["body"]) == BODY_A
+    # non-HTTP records keep their raw block + WARC content-type
+    info = rows[("warcinfo", None)]
+    assert info["http_status"] is None
+    assert info["content_type"] == "application/warc-fields"
+    assert bytes(info["body"]).startswith(b"software:")
+
+    text = responses_as_text(records)
+    trows = {r["url"]: r for r in text.collect()}
+    # request records and non-200s are gone; bodies decoded as UTF-8
+    assert set(trows) == {
+        "http://corpus.local/a", "http://corpus.local/b",
+        "http://corpus.local/c",
+    }
+    assert "héllo — ﬁn" in trows["http://corpus.local/b"]["raw_html"]
+    assert trows["http://corpus.local/c"]["fetched_at"] is not None
+
+
+def test_warc_to_text_battery_end_to_end(spark, tmp_path):
+    """Stage −1 → stage 0: shard on disk → read_warc → responses_as_text
+    → the fused extract_and_normalize kernel. The multibyte page's
+    ligature must be NFKC-folded by the normalize half."""
+    from etl_adsbx_spark.functions.normalize import extract_and_normalize
+
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "s.warc").write_bytes(_shard())
+    pages = responses_as_text(read_warc(spark, str(d)))
+    out = extract_and_normalize(pages, html_col="raw_html", out_col="text")
+    texts = {r["url"]: r["text"] for r in out.collect()}
+    assert texts["http://corpus.local/a"] == "hello & welcome"
+    assert texts["http://corpus.local/b"] == "héllo — fin"  # ﬁ → fi
