@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..planprobe import probe_step
+
 from ..functions.text import tokens as _text_tokens
 
 
@@ -61,6 +63,44 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     when the subplan appears on both sides of a self-join."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+#: Exploded-stage sizing target: keep each map task's post-explode row
+#: count near this bound so its sort/agg buffers fit default executor
+#: memory (≈64 MB of 50-100 B shingle rows). The round-8 sf10 probes died
+#: in the MAP stage (GCLocker allocation failure at 32 input splits ×
+#: ~8M exploded rows each) — a knob no shuffle-partition setting reaches;
+#: the fix is sizing the pre-explode repartition from the corpus itself.
+EXPLODE_ROWS_PER_TASK = 1_500_000
+
+#: Expected distinct word-shingles (≈ tokens) per document — the measured
+#: corpus shape (BASELINE.md round-8: 260M posting rows over 500k sf10
+#: docs ≈ 520/doc). A hint, not a contract: a 2× error moves task memory
+#: 2×, which the EXPLODE_ROWS_PER_TASK headroom absorbs.
+DOC_SHINGLE_FANOUT = 512
+
+
+def spread_for_explode(df: DataFrame, fanout_hint: int) -> DataFrame:
+    """``spread_for_cpu`` for EXPLODE-heavy stages: repartition the input
+    so each task's exploded output stays near ``EXPLODE_ROWS_PER_TASK``
+    rows, deriving the partition count from a cheap input pre-count
+    (parquet answers COUNT(*) from footer metadata — no data scan).
+    ``fanout_hint`` is the expected output rows per input row (e.g.
+    distinct word-shingles per document). Floored at the session's
+    default parallelism so small corpora keep every core busy; the
+    round-robin exchange is reused by ReuseExchange when the subplan
+    feeds both sides of a self-join (the spread_for_cpu property).
+    Partition count never affects values — only task memory — so the
+    oracle contract is untouched."""
+    sc = df.sparkSession.sparkContext
+    n_rows = df.count()
+    target = max(
+        sc.defaultParallelism,
+        -(-(n_rows * fanout_hint) // EXPLODE_ROWS_PER_TASK),  # ceil div
+    )
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
@@ -745,15 +785,14 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         obs = Observation()
-        labels = (
-            labels.join(prop, labels["node"] == prop["p_node"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("label_sum"))
-            .persist()
+        labels_pre = labels.join(prop, labels["node"] == prop["p_node"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
+        probe_step("connected_components", f"round{rnd + 1}", labels_pre)
+        labels = labels_pre.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("label_sum")
+        ).persist()
         labels.count()  # the round's single job; fills obs, pins the frame
         if prev_persisted is not None:
             prev_persisted.unpersist()
@@ -1665,7 +1704,9 @@ def tfidf_cosine_pairs(
     the final ratio in double, round 6 (the registry cosine rule).
     Returns (a_id, b_id, cosine).
     """
-    w = _tfidf_weight_rows(spread_for_cpu(df), max_df_frac, id_col, text_col)
+    w = _tfidf_weight_rows(
+        spread_for_explode(df, DOC_SHINGLE_FANOUT), max_df_frac, id_col, text_col
+    )
     norms = w.groupBy("_id").agg(
         F.sqrt(F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,12)")).cast("double")).alias("_norm")
     )
@@ -1822,7 +1863,9 @@ def tfidf_simhash_rep_pairs(
     rows (a_id, b_id, cosine, n_members) — a_id == b_id marks an
     intra-group row.
     """
-    w = _tfidf_weight_rows(df, max_df_frac, id_col, text_col)
+    w = _tfidf_weight_rows(
+        spread_for_explode(df, DOC_SHINGLE_FANOUT), max_df_frac, id_col, text_col
+    )
     wi = (F.col("_w") * 1_000_000).cast("long")
     fp = w.groupBy("_id").agg(
         F.md5(
@@ -1970,7 +2013,7 @@ def jaccard_prefix_pairs(
     """
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1]")
-    sh = spread_for_cpu(df).select(
+    sh = spread_for_explode(df, DOC_SHINGLE_FANOUT).select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array_distinct(word_shingles(text_col, shingle_n))
@@ -1990,16 +2033,30 @@ def jaccard_prefix_pairs(
         ),
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n")).hint("merge")
-    # p = n − ceil(num·n/den) + 1, in exact integer arithmetic
+    # p = n − ceil(num·n/den) + 1, in exact integer arithmetic: SQL `div`
+    # is true BIGINT division (Column `/` would round-trip through double,
+    # whose 53-bit mantissa could mis-floor if num·n+den−1 ever neared
+    # 2^53 — unreachable for realistic shingle counts, but `div` makes
+    # the exactness unconditional)
     p = (
         F.col("_n")
-        - F.floor(
-            (F.lit(threshold_num) * F.col("_n") + F.lit(threshold_den - 1))
-            / F.lit(threshold_den)
+        - F.expr(
+            f"(CAST({threshold_num} AS BIGINT) * _n + {threshold_den - 1}) "
+            f"div {threshold_den}"
         )
         + F.lit(1)
     )
-    prefix = ranked.join(sizes, "_id").where(F.col("_pos") <= p).select("_id", "shingle")
+    # prefix / cand get the same merge pins as dfreq / sizes: both are
+    # EXPLODE-DERIVED (size estimates inherit the pre-explode scan's
+    # bytes, far under the true relation size), so at the third decade
+    # the planner offers them as 8g-killing broadcast builds unless
+    # pinned (the r8 lesson, re-measured at default heap in r9)
+    prefix = (
+        ranked.join(sizes, "_id")
+        .where(F.col("_pos") <= p)
+        .select("_id", "shingle")
+        .hint("merge")
+    )
     cand = (
         prefix.alias("pa")
         .join(
@@ -2009,6 +2066,7 @@ def jaccard_prefix_pairs(
         )
         .select(F.col("pa._id").alias("a_id"), F.col("pb._id").alias("b_id"))
         .distinct()
+        .hint("merge")
     )
     a_post = sh.select(F.col("_id").alias("a_id"), "shingle")
     b_post = sh.select(F.col("_id").alias("b_id"), F.col("shingle").alias("shingle"))

@@ -23,6 +23,8 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..planprobe import probe_step
+
 
 def symmetrize_edges(
     edges: DataFrame, src: str = "src", dst: str = "dst"
@@ -136,7 +138,7 @@ def pagerank(
     )
     if checkpoint:
         r = r.localCheckpoint(eager=True)
-    for _ in range(iters):
+    for _i in range(iters):
         r_new = (
             trans.join(r, trans["_src"] == r["node"])
             .groupBy("_dst")
@@ -153,6 +155,7 @@ def pagerank(
                 .alias("_pr"),
             )
         )
+        probe_step("pagerank", f"iter{_i + 1}", r_new)
         if checkpoint:
             prev, r = r, r_new.localCheckpoint(eager=True)
             prev.unpersist()
@@ -303,14 +306,15 @@ def hits(
         F.round(F.lit(1.0) / F.col("_n"), 12).cast("decimal(14,12)").alias("_h"),
     ).localCheckpoint(eager=True)
     a = None
-    for _ in range(iters):
+    for _i in range(iters):
+        prev_a = a
         a_raw = (
             e.join(h, e["_s"] == h["node"])
             .groupBy("_d")
             .agg(F.sum(F.col("_w") * F.col("_h")).alias("_ar"))
         )
         a_norm = a_raw.agg(F.sum("_ar").cast("double").alias("_sa"))
-        a = (
+        a_pre = (
             a_raw.crossJoin(F.broadcast(a_norm))
             .select(
                 F.col("_d").alias("node"),
@@ -318,15 +322,23 @@ def hits(
                 .cast("decimal(14,12)")
                 .alias("_a"),
             )
-            .localCheckpoint(eager=True)
         )
+        probe_step("hits", f"iter{_i + 1}.authority", a_pre)
+        a = a_pre.localCheckpoint(eager=True)
+        # the superseded authority checkpoint (only the final iteration's
+        # `a` is read again, by the return projection) — freeing it here
+        # mirrors the hub rotation below, so the loop holds at most one
+        # live checkpoint per score vector instead of leaking iters-1
+        # cached authority frames per call
+        if prev_a is not None:
+            prev_a.unpersist()
         h_raw = (
             e.join(a, e["_d"] == a["node"])
             .groupBy("_s")
             .agg(F.sum(F.col("_w") * F.col("_a")).alias("_hr"))
         )
         h_norm = h_raw.agg(F.sum("_hr").cast("double").alias("_sh"))
-        h_new = (
+        h_pre = (
             h_raw.crossJoin(F.broadcast(h_norm))
             .select(
                 F.col("_s").alias("node"),
@@ -334,8 +346,9 @@ def hits(
                 .cast("decimal(14,12)")
                 .alias("_h"),
             )
-            .localCheckpoint(eager=True)
         )
+        probe_step("hits", f"iter{_i + 1}.hub", h_pre)
+        h_new = h_pre.localCheckpoint(eager=True)
         prev, h = h, h_new
         prev.unpersist()
     hub = h.select("node", F.col("_h").cast("double").alias("hub"))

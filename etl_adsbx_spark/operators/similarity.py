@@ -14,6 +14,8 @@ from decimal import Decimal
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..planprobe import probe_step
+
 from ..functions.vector import as_double, dot, norm
 from ..operators.agg import topk_per_group
 
@@ -1265,7 +1267,9 @@ def mmr_select(
             .where(F.col("_rn") == 1)
             .select("query_id", F.lit(i).alias("rank"), "cand_id", "simq", "mmr")
         )
-        prev, picks = picks, picks.unionByName(pick_i).localCheckpoint(eager=True)
+        picks_pre = picks.unionByName(pick_i)
+        probe_step("mmr_select", f"step{i}", picks_pre)
+        prev, picks = picks, picks_pre.localCheckpoint(eager=True)
         prev.unpersist()
     return picks
 

@@ -15,6 +15,27 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+def default_driver_memory() -> str:
+    """Machine-derived single-JVM heap: ~1.5 GB per core, clamped to
+    [8 GB, half of system RAM]. In local mode the driver JVM hosts every
+    executor thread, so the production sizing rule (GBs per core —
+    ``local[32]`` at a fixed 8 GB is 250 MB/core) applies to it directly:
+    the round-8/9 sf10 probes showed heavy sort/join stages exhausting
+    the execution-memory pool at 8 GB across 32 concurrent tasks no
+    matter how the data is partitioned. ``SPARK_GRAFT_DRIVER_MEM``
+    remains an override, not a requirement. On a real cluster this
+    setting is inert — executor memory is the cluster manager's knob."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    cpus = os.cpu_count() or 4
+    try:
+        total_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) >> 30
+    except (ValueError, OSError, AttributeError):  # pragma: no cover
+        total_gb = 16
+    return f"{max(8, min(int(cpus * 1.5), total_gb // 2))}g"
+
+
 def get_spark(app_name: str = "etl_adsbx_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
 
@@ -33,12 +54,26 @@ def get_spark(app_name: str = "etl_adsbx_spark", master: str | None = None) -> S
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Posting-list explodes (jaccard_prefix_pairs, the tfidf-SimHash
+        # composition) build per-partition window/agg state proportional to
+        # rows/partition: at a fixed 32 partitions the sf10 probes needed a
+        # hand-raised SPARK_GRAFT_SHUFFLE=256 + 48g heap (BASELINE.md,
+        # round-8 third-decade note). Starting every shuffle fine-grained
+        # and letting AQE COALESCE small stages keeps rows/partition
+        # bounded as data grows with no per-query knob: small workloads
+        # coalesce back to a handful of partitions, explode-heavy stages
+        # keep the fan-out. This is the auto-sizing rule — the env vars
+        # remain as overrides, not requirements.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, DEFAULT_SHUFFLE_PARTITIONS)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", default_driver_memory())
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -555,3 +555,59 @@ def test_triangle_plan_has_no_broadcast_nested_loop(spark):
     plan = _physical_plan(queries()["graph_triangles"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_iterative_step_plan_lint(spark):
+    """The registry plan lint above reads POST-CHECKPOINT plans, so the
+    loop bodies of the iterative operators (pagerank, HITS, MMR, the CC
+    fixpoint) are invisible to it — `domain_pagerank` famously showed
+    "0 exchanges" (round-8 verdict). This lint captures every
+    pre-checkpoint step plan via the planprobe hook and holds the loop
+    bodies to the same rules: no CartesianProduct ever; BNLJ only as the
+    documented 1-row normalization/teleport scalar folds; and the probe
+    must actually FIRE with shuffles visible (a silent hook regression
+    would otherwise reduce this test to vacuous truth)."""
+    from etl_adsbx_spark import planprobe
+    from etl_adsbx_spark.queries import queries
+
+    #: operators whose step plans legitimately contain a BNLJ: the 1-row
+    #: L1-norm / teleport-base scalar folded in as broadcast crossJoin
+    #: (the BNLJ_ALLOWED shape, per-step instead of per-query)
+    step_bnlj_allowed = {"pagerank", "hits", "mmr_select"}
+    # mmr steps rank with an unpartitioned row_number over the ≤k·queries
+    # candidate frame (rank-list-sized by construction — the
+    # hybrid_rrf_topk allowlist rationale)
+    step_singlepart_allowed = {"mmr_select", "pagerank", "hits"}
+
+    captured: list[tuple[str, str, str]] = []
+
+    def hook(op, step, df):
+        captured.append((op, step, planprobe.physical_plan(df)))
+
+    prev = planprobe.set_step_plan_hook(hook)
+    try:
+        qs = queries()
+        for name in ("domain_pagerank", "domain_hits", "mmr_rerank",
+                     "dedup_clusters"):
+            qs[name](spark, SF).collect()
+    finally:
+        planprobe.set_step_plan_hook(prev)
+
+    seen_ops = {op for op, _, _ in captured}
+    assert {"pagerank", "hits", "mmr_select", "connected_components"} <= seen_ops, (
+        f"step probe did not fire for all iterative operators: {seen_ops}"
+    )
+    offenders = []
+    shuffles_seen = 0
+    for op, step, plan in captured:
+        shuffles_seen += plan.count("Exchange hashpartitioning")
+        if "CartesianProduct" in plan:
+            offenders.append((op, step, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and op not in step_bnlj_allowed:
+            offenders.append((op, step, "BNLJ not allowlisted"))
+        if "Exchange SinglePartition" in plan and op not in step_singlepart_allowed:
+            offenders.append((op, step, "SinglePartition not allowlisted"))
+    assert not offenders, f"step-plan lint: {offenders}"
+    # the whole point: the loop bodies DO shuffle (join + agg per step) —
+    # if this drops to zero the probe is reading post-checkpoint plans
+    assert shuffles_seen > 0, "step plans show no shuffles — probe broken?"
