@@ -94,17 +94,19 @@ def register(name: str, oracle: str | None = None):
 #: (tests/test_queries_oracle.py runs all of them each pytest run).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # === ROUND-9 WINDOW === 1 new + 2 changed + the 14 keys whose last
-    # driver row is r6 (three rounds stale after the r8 overflow) + the 33
-    # OLDEST keys whose last driver row is r7. The 17 youngest r7-graded
-    # keys (scd2_point_in_time, event_paths_topk, dsir_weights,
-    # domain_pagerank, column_profile, mixture_weights, kmeans_clusters,
-    # bigram_lm_score, corpus_diff_content, pq_ann_topk, curation_pipeline,
-    # geo_radius_join, hybrid_rrf_topk, set_ops_all, cluster_keep_best,
-    # line_dedup_global, tfidf_cosine_pairs) overflow to the r10 window;
-    # the 50 r8-graded keys wait behind them.
-    # --- new in r9 (WARC ingest roundtrip) ---
+    # === ROUND-9 WINDOW === 2 new + 2 changed + the 14 keys whose last
+    # driver row is r6 (three rounds stale after the r8 overflow) + the 32
+    # OLDEST keys whose last driver row is r7. The 18 youngest r7-graded
+    # keys (chunk_documents_cdc, scd2_point_in_time, event_paths_topk,
+    # dsir_weights, domain_pagerank, column_profile, mixture_weights,
+    # kmeans_clusters, bigram_lm_score, corpus_diff_content, pq_ann_topk,
+    # curation_pipeline, geo_radius_join, hybrid_rrf_topk, set_ops_all,
+    # cluster_keep_best, line_dedup_global, tfidf_cosine_pairs) overflow
+    # to the r10 window; the 50 r8-graded keys wait behind them.
+    # --- new in r9 (WARC ingest roundtrip; exact-decimal fitted quality
+    # classifier) ---
     "warc_roundtrip",
+    "quality_logreg",
     # --- changed in r9 (semantics-preserving, regraded as insurance:
     # readability_scores moved both sides to the explicit
     # [^ \t\n\r\f\x0B]+ word class; jaccard_prefix_pairs computes the
@@ -160,7 +162,6 @@ _DRIVER_PRIORITY: list[str] = [
     "retention_cohorts",
     "scd2_history",
     "quantile_filter",
-    "chunk_documents_cdc",
 ]
 
 
@@ -7341,4 +7342,136 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         F.md5("body").alias("body_md5"),
         F.octet_length("body").cast("bigint").alias("n_body_bytes"),
+    )
+
+
+def _logreg_oracle(steps: int, lr: str) -> str:
+    """DuckDB replay of functions.classify.fit_logreg_exact as chained
+    CTE steps (the _hits_oracle/_mmr_oracle fixed-step pattern): each
+    step computes the exact-decimal gradient sums over the train split
+    with the previous step's weights and produces the next 1-row weight
+    CTE; the held-out scoring then uses the final weights. Every decimal
+    op, round scale, and double operation ORDER matches the Spark fit."""
+    z = ("CAST(round(b + w1*f1 + w2*f2 + w3*f3, 12) AS DOUBLE)")
+    p = f"CAST(round(1.0/(1.0 + exp(-({z}))), 6) AS DECIMAL(8,6))"
+    step = f"""
+    g{{i}} AS (
+      SELECT round(SUM(r), 8) AS g0, round(SUM(r*f1), 8) AS gx1,
+             round(SUM(r*f2), 8) AS gx2, round(SUM(r*f3), 8) AS gx3
+      FROM (SELECT y - {p} AS r, f1, f2, f3
+            FROM train CROSS JOIN w{{j}})
+    ),
+    w{{i}} AS (
+      SELECT
+        CAST(round(CAST(b  AS DOUBLE) + {lr} * (CAST(g0  AS DOUBLE) / nn.n), 8) AS DECIMAL(12,8)) AS b,
+        CAST(round(CAST(w1 AS DOUBLE) + {lr} * (CAST(gx1 AS DOUBLE) / nn.n), 8) AS DECIMAL(12,8)) AS w1,
+        CAST(round(CAST(w2 AS DOUBLE) + {lr} * (CAST(gx2 AS DOUBLE) / nn.n), 8) AS DECIMAL(12,8)) AS w2,
+        CAST(round(CAST(w3 AS DOUBLE) + {lr} * (CAST(gx3 AS DOUBLE) / nn.n), 8) AS DECIMAL(12,8)) AS w3
+      FROM w{{j}} CROSS JOIN g{{i}} CROSS JOIN nn
+    )"""
+    chain = ",".join(step.format(i=i, j=i - 1) for i in range(1, steps + 1))
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS y,
+        COALESCE(text, '') || repeat(' click here buy now cheap!!! free $$$',
+          CAST((doc_id % 4 + 2)
+               * CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)) AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, y,
+        CAST(round(LEAST(length(t) - length(replace(t, '!', '')), 12) / 12.0, 6)
+             AS DECIMAL(8,6)) AS f1,
+        CAST(round(LEAST(length(t) - length(replace(t, '$', '')), 12) / 12.0, 6)
+             AS DECIMAL(8,6)) AS f2,
+        CAST(round(LEAST(length(t), 2000) / 2000.0, 6) AS DECIMAL(8,6)) AS f3
+      FROM aug
+    ),
+    train AS (SELECT * FROM feats WHERE doc_id % 5 != 0),
+    test  AS (SELECT * FROM feats WHERE doc_id % 5 = 0),
+    nn AS (SELECT COUNT(*) AS n FROM train),
+    w0 AS (SELECT CAST(0 AS DECIMAL(12,8)) AS b,
+                  CAST(0 AS DECIMAL(12,8)) AS w1,
+                  CAST(0 AS DECIMAL(12,8)) AS w2,
+                  CAST(0 AS DECIMAL(12,8)) AS w3),
+    {chain}
+    SELECT t.doc_id, t.y AS y_true,
+           CAST({p} AS DOUBLE) AS p_keep,
+           CAST({p} >= 0.5 AS INT) AS pred,
+           CAST(({p} >= 0.5) = (t.y = 1) AS INT) AS is_correct
+    FROM test t CROSS JOIN w{steps}
+    """
+
+
+@register("quality_logreg", oracle=_logreg_oracle(steps=4, lr="4.0"))
+def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] FITTED quality classifier (functions.classify.
+    fit_logreg_exact) — the supervised quality gate of the standard
+    CommonCrawl curation recipe (CCNet / fastText-style filters; the
+    float-path ``fit_logreg`` is the production variant, pytest-graded
+    with tolerances). This row grades the EXACT-DECIMAL twin end to end:
+    4 full-batch gradient-descent steps at lr=4.0 under the registry's
+    replay contract, fit on the 80% split (doc_id % 5 != 0), graded on
+    HELD-OUT predictions — the ORACLE re-runs the entire fit as chained
+    SQL CTEs, so agreement machine-checks every gradient sum, rounding
+    boundary, and the argmax-free 0.5 threshold. The discriminative
+    signal is constructed in-query (the lang_id_model precedent):
+    doc_id % 3 == 0 docs gain (doc_id % 4 + 2) repetitions of a spam
+    phrase; features are capped '!'/'$' counts + a length signal, all
+    DECIMAL(8,6). 100% held-out accuracy at both grading SFs (pinned in
+    tests/test_classify.py).
+
+    100-TB shape: features are one codegen projection; each GD step is
+    ONE hash-agg (map-side partials, 4 numbers + a count out) over the
+    checkpointed feature frame; scoring is map-only with the weights as
+    literals. The fit frame never leaves the executors."""
+    from .functions.classify import fit_logreg_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    junk = F.lit(" click here buy now cheap!!! free $$$")
+    is_junk = (F.col("doc_id") % 3 == 0).cast("int")
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.repeat(junk, ((F.col("doc_id") % 4 + 2) * is_junk).cast("int")),
+    )
+    cnt = lambda ch: F.length(F.col("t")) - F.length(  # noqa: E731
+        F.replace(F.col("t"), F.lit(ch))
+    )
+    aug = d.select(
+        "doc_id", (F.lit(1) - is_junk).alias("y"), t.alias("t")
+    )
+    feats = aug.select(
+        "doc_id",
+        "y",
+        F.round(F.least(cnt("!"), F.lit(12)) / F.lit(12.0), 6)
+        .cast("decimal(8,6)")
+        .alias("f1"),
+        F.round(F.least(cnt("$"), F.lit(12)) / F.lit(12.0), 6)
+        .cast("decimal(8,6)")
+        .alias("f2"),
+        F.round(F.least(F.length("t"), F.lit(2000)) / F.lit(2000.0), 6)
+        .cast("decimal(8,6)")
+        .alias("f3"),
+    )
+    train = feats.where(F.col("doc_id") % 5 != 0)
+    test = feats.where(F.col("doc_id") % 5 == 0)
+    w = fit_logreg_exact(train, ["f1", "f2", "f3"], "y", steps=4, lr="4.0")
+    z = F.lit(str(w[0])).cast("decimal(12,8)") + sum(
+        (
+            F.lit(str(w[j + 1])).cast("decimal(12,8)") * F.col(c)
+            for j, c in enumerate(["f1", "f2", "f3"])
+        ),
+        F.lit(0).cast("decimal(12,8)"),
+    )
+    zd = F.round(z, 12).cast("double")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zd)), 6).cast("decimal(8,6)")
+    return test.select(
+        "doc_id",
+        F.col("y").alias("y_true"),
+        p.cast("double").alias("p_keep"),
+        (p >= F.lit("0.5").cast("decimal(8,6)")).cast("int").alias("pred"),
+        ((p >= F.lit("0.5").cast("decimal(8,6)")) == (F.col("y") == 1))
+        .cast("int")
+        .alias("is_correct"),
     )
