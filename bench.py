@@ -130,8 +130,10 @@ OPTIONAL = [
     "mmr_rerank",
     "anomaly_events",
     "jaccard_prefix_pairs",
-    # r9: WARC serialize→parse roundtrip (codegen framing + Arrow parser)
+    # r9: WARC serialize→parse roundtrip (codegen framing + Arrow parser);
+    # exact-decimal fitted quality classifier (4 GD-step aggs + map score)
     "warc_roundtrip",
+    "quality_logreg",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on
@@ -246,7 +248,9 @@ def main() -> None:
     # Spread triples live only in BENCH_DETAIL.json.
     stdout_budget = 1980  # the 2000-char capture minus the newline + margin
     record = {
-        "metric": "headline_queries_total",
+        # short label (vs the detail file's headline_queries_total): the
+        # name bytes belong to per-query medians, not the envelope
+        "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "sf": record["sf"],

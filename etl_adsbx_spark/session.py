@@ -64,9 +64,17 @@ def get_spark(app_name: str = "etl_adsbx_spark", master: str | None = None) -> S
         # coalesce back to a handful of partitions, explode-heavy stages
         # keep the fan-out. This is the auto-sizing rule — the env vars
         # remain as overrides, not requirements.
+        # SPARK_GRAFT_INIT_PARTS overrides (tests pin it to the shuffle
+        # count: hypothesis property suites run hundreds of FEW-ROW Spark
+        # jobs where the fine-grained start is pure per-job overhead —
+        # measured ~3-4× suite slowdown; the data-sized runs that need the
+        # fan-out — bench, decade probes — keep the 256 default).
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(256, DEFAULT_SHUFFLE_PARTITIONS)),
+            os.environ.get(
+                "SPARK_GRAFT_INIT_PARTS",
+                str(max(256, DEFAULT_SHUFFLE_PARTITIONS)),
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

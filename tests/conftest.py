@@ -16,5 +16,11 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    # hypothesis suites run hundreds of tiny Spark jobs: the production
+    # fine-grained AQE start (initialPartitionNum=256, session.py) is
+    # pure per-job overhead at that shape — pin tests to the shuffle
+    # count; results are partitioning-invariant by the exactness
+    # contracts (and the decade probes/bench exercise the 256 default)
+    os.environ.setdefault("SPARK_GRAFT_INIT_PARTS", "32")
     s = get_spark("etl-adsbx-spark-tests")
     yield s
