@@ -134,6 +134,8 @@ OPTIONAL = [
     # exact-decimal fitted quality classifier (4 GD-step aggs + map score)
     "warc_roundtrip",
     "quality_logreg",
+    # r9: robots.txt gate (broadcast robots dim + Arrow evaluator kernel)
+    "robots_gate",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

@@ -94,19 +94,20 @@ def register(name: str, oracle: str | None = None):
 #: (tests/test_queries_oracle.py runs all of them each pytest run).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # === ROUND-9 WINDOW === 2 new + 2 changed + the 14 keys whose last
-    # driver row is r6 (three rounds stale after the r8 overflow) + the 32
-    # OLDEST keys whose last driver row is r7. The 18 youngest r7-graded
-    # keys (chunk_documents_cdc, scd2_point_in_time, event_paths_topk,
+    # === ROUND-9 WINDOW === 3 new + 2 changed + the 14 keys whose last
+    # driver row is r6 (three rounds stale after the r8 overflow) + the 31
+    # OLDEST keys whose last driver row is r7. The 19 youngest r7-graded
+    # keys (quantile_filter, chunk_documents_cdc, scd2_point_in_time, event_paths_topk,
     # dsir_weights, domain_pagerank, column_profile, mixture_weights,
     # kmeans_clusters, bigram_lm_score, corpus_diff_content, pq_ann_topk,
     # curation_pipeline, geo_radius_join, hybrid_rrf_topk, set_ops_all,
     # cluster_keep_best, line_dedup_global, tfidf_cosine_pairs) overflow
     # to the r10 window; the 50 r8-graded keys wait behind them.
     # --- new in r9 (WARC ingest roundtrip; exact-decimal fitted quality
-    # classifier) ---
+    # classifier; robots.txt crawl gate) ---
     "warc_roundtrip",
     "quality_logreg",
+    "robots_gate",
     # --- changed in r9 (semantics-preserving, regraded as insurance:
     # readability_scores moved both sides to the explicit
     # [^ \t\n\r\f\x0B]+ word class; jaccard_prefix_pairs computes the
@@ -161,7 +162,6 @@ _DRIVER_PRIORITY: list[str] = [
     "funnel_steps",
     "retention_cohorts",
     "scd2_history",
-    "quantile_filter",
 ]
 
 
@@ -7474,4 +7474,93 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((p >= F.lit("0.5").cast("decimal(8,6)")) == (F.col("y") == 1))
         .cast("int")
         .alias("is_correct"),
+    )
+
+
+@register(
+    "robots_gate",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             source || '.example.com' AS host,
+             CASE WHEN doc_id % 3 = 0 THEN '/private/' || lang || '/' || doc_id
+                  WHEN doc_id % 3 = 1 THEN '/private/pub/' || doc_id
+                  ELSE '/public/' || doc_id END AS path,
+             length(source) % 3 AS regime
+      FROM documents
+    )
+    SELECT doc_id,
+           host,
+           'https://' || host || path AS url,
+           CAST(CASE
+             WHEN regime = 0 THEN 0                       -- Disallow: /
+             WHEN regime = 1 THEN 1                       -- no robots.txt
+             WHEN path LIKE '/private/pub/%' THEN 1       -- Allow first
+             WHEN path LIKE '/private/%' THEN 0           -- Disallow: /private/
+             ELSE 1
+           END AS INT) AS allowed
+    FROM urls
+    """,
+)
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] robots.txt crawl gate (functions.url.robots_allowed) — the
+    politeness filter between WARC ingest and extraction, graded end to
+    end through the REAL stdlib evaluator. The corpus has no robots
+    documents, so per-host robots.txt files are CONSTRUCTED in-query
+    (the url_canonicalize precedent) across three regimes keyed on
+    length(source) % 3: a disallow-all file, no file at all (protocol
+    default: allow), and a two-group file — a decoy ``badbot``
+    disallow-all group ABOVE the ``*`` group (user-agent selection must
+    skip it) whose ``*`` rules are ``Allow: /private/pub/`` before
+    ``Disallow: /private/`` (the order where Python's first-match and
+    RFC 9309's longest-match agree). URL paths hit all three branches
+    (doc_id % 3). The ORACLE never parses robots syntax: it rebuilds the
+    expected verdict as a CASE over the same construction — agreement
+    means the kernel implements group selection, rule order, and prefix
+    matching as documented.
+
+    100-TB shape: the robots dim is hosts-sized and BROADCAST; the gate
+    itself is a scan-parallel Arrow projection with per-host parser
+    caching — no shuffle beyond the broadcast."""
+    from .functions.url import robots_allowed
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = (
+        F.when(sid % 3 == 0, F.concat(F.lit("/private/"), F.col("lang"), F.lit("/"), sid))
+        .when(sid % 3 == 1, F.concat(F.lit("/private/pub/"), sid))
+        .otherwise(F.concat(F.lit("/public/"), sid))
+    )
+    urls = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    regime = F.length("source") % 3
+    robots = (
+        d.select(host.alias("host"), regime.alias("_regime"))
+        .distinct()
+        .select(
+            "host",
+            F.when(F.col("_regime") == 0, F.lit("User-agent: *\nDisallow: /\n"))
+            .when(F.col("_regime") == 1, F.lit(None).cast("string"))
+            .otherwise(
+                F.lit(
+                    "User-agent: badbot\nDisallow: /\n\n"
+                    "User-agent: *\nAllow: /private/pub/\nDisallow: /private/\n"
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    gate = robots_allowed("etl-adsbx-bot")
+    return (
+        urls.join(F.broadcast(robots), "host", "left")
+        .select(
+            "doc_id",
+            "host",
+            "url",
+            gate(F.col("robots_txt"), F.col("url")).cast("int").alias("allowed"),
+        )
     )

