@@ -265,7 +265,13 @@ def main() -> None:
         record.pop("worst_spread_ratio")
         line = json.dumps(record, separators=(",", ":"))
     if len(line) > stdout_budget:
-        # Degrade 2 (future-proof as the suite grows past what even
+        # Degrade 2: drop the metric label — the envelope is recoverable
+        # from the detail file; the per-query NAMES are not worth losing
+        # for a constant string.
+        record.pop("metric")
+        line = json.dumps(record, separators=(",", ":"))
+    if len(line) > stdout_budget:
+        # Degrade 3 (future-proof as the suite grows past what even
         # centisecond values fit): replace the named dict with the values
         # in SORTED-NAME order — recoverable by zipping with
         # sorted(BENCH_DETAIL.json queries) — so the artifact always
