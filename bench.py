@@ -281,6 +281,18 @@ def main() -> None:
         ]
         record["queries_order"] = "sorted names; table in BENCH_DETAIL.json"
         line = json.dumps(record, separators=(",", ":"))
+    if len(line) > stdout_budget:
+        # Degrade 4 (terminal): totals only, per-query table lives in the
+        # detail file. The envelope MUST parse within the driver's
+        # ~2000-char tail capture no matter how large the registry grows.
+        record = {
+            "value": total,
+            "unit": "sec",
+            "sf": record["sf"],
+            "queries_n": len(timings),
+            "detail": "BENCH_DETAIL.json",
+        }
+        line = json.dumps(record, separators=(",", ":"))
     print(line)
 
 

@@ -305,6 +305,21 @@ def reference_fit_logreg(
     return w, losses
 
 
+def round8_as_oracle(x: float) -> "Decimal":
+    """Mirror DuckDB ``round(DOUBLE, 8)`` (then the DECIMAL(12,8) cast)
+    EXACTLY: scale by 1e8 in double arithmetic, round half away from
+    zero on the scaled double's exact binary value, re-scale in decimal.
+    A plain ``Decimal(x).quantize(1E-8, HALF_UP)`` rounds the UNSCALED
+    binary expansion and disagrees with the oracle by one ulp of the
+    quantum near .5e-8 ties (probed: round(2.5e-8, 8) → DuckDB 3e-8 vs
+    quantize 2e-8); tests/test_classify.py pins the mirror against a
+    live DuckDB on adversarial tie values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    scaled = Decimal(x * 1e8)
+    return scaled.to_integral_value(rounding=ROUND_HALF_UP).scaleb(-8)
+
+
 def fit_logreg_exact(
     df: DataFrame,
     feature_cols: list[str],
@@ -331,7 +346,9 @@ def fit_logreg_exact(
       (order- and partitioning-independent), rounded to 8 so the double
       cast stays ≤14 significant digits at any corpus size;
     - update ``w_j ← round(w_j + lr·(g_j/n), 8)`` evaluated in double in
-      exactly that operation order on both engines.
+      exactly that operation order on both engines, with DuckDB's
+      round-DOUBLE semantics (scale-then-half-away-from-zero) mirrored
+      on the driver so .5e-8-tie weights cannot diverge across engines.
 
     Distributed shape: the caller's feature frame is materialized once
     (``localCheckpoint``); each step is ONE hash-agg job (map-side
@@ -340,7 +357,7 @@ def fit_logreg_exact(
     tolerance comparisons replaced by equality. Returns the weights as
     ``Decimal`` values ([bias, w_1, …]); embed with
     ``F.lit(str(w)).cast("decimal(12,8)")`` so scoring stays exact."""
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import Decimal
 
     lr_f = float(lr)
     w = [Decimal(0)] * (len(feature_cols) + 1)
@@ -372,9 +389,7 @@ def fit_logreg_exact(
             if not n:
                 raise ValueError("fit_logreg_exact: empty fit frame")
             w = [
-                Decimal(
-                    float(w[j]) + lr_f * (float(agg[f"g{j}"]) / n)
-                ).quantize(Decimal("1E-8"), ROUND_HALF_UP)
+                round8_as_oracle(float(w[j]) + lr_f * (float(agg[f"g{j}"]) / n))
                 for j in range(len(w))
             ]
     finally:

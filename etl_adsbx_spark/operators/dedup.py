@@ -86,10 +86,14 @@ DOC_SHINGLE_FANOUT = 512
 def spread_for_explode(df: DataFrame, fanout_hint: int) -> DataFrame:
     """``spread_for_cpu`` for EXPLODE-heavy stages: repartition the input
     so each task's exploded output stays near ``EXPLODE_ROWS_PER_TASK``
-    rows, deriving the partition count from a cheap input pre-count
-    (parquet answers COUNT(*) from footer metadata — no data scan).
-    ``fanout_hint`` is the expected output rows per input row (e.g.
-    distinct word-shingles per document). Floored at the session's
+    rows, deriving the partition count from an input pre-count. On a bare
+    parquet scan the pre-count is metadata-only (COUNT(*) from footer);
+    on a DERIVED frame (tfidf_cosine_pairs feeds arbitrary plans in here)
+    ``df.count()`` runs the upstream plan as an extra job — callers on
+    the hot path should pass a frame that is either a scan or already
+    cached, or accept the one extra pass as the price of right-sizing
+    the explode. ``fanout_hint`` is the expected output rows per input
+    row (e.g. distinct word-shingles per document). Floored at the session's
     default parallelism so small corpora keep every core busy; the
     round-robin exchange is reused by ReuseExchange when the subplan
     feeds both sides of a self-join (the spread_for_cpu property).

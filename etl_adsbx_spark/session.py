@@ -16,8 +16,9 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
 def default_driver_memory() -> str:
-    """Machine-derived single-JVM heap: ~1.5 GB per core, clamped to
-    [8 GB, half of system RAM]. In local mode the driver JVM hosts every
+    """Machine-derived single-JVM heap: ~1.5 GB per core, floored at 8 GB
+    then capped at half of system RAM (the cap wins on small hosts — a
+    <16 GB machine gets half its RAM, never the 8 GB floor). In local mode the driver JVM hosts every
     executor thread, so the production sizing rule (GBs per core —
     ``local[32]`` at a fixed 8 GB is 250 MB/core) applies to it directly:
     the round-8/9 sf10 probes showed heavy sort/join stages exhausting
@@ -33,7 +34,11 @@ def default_driver_memory() -> str:
         total_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) >> 30
     except (ValueError, OSError, AttributeError):  # pragma: no cover
         total_gb = 16
-    return f"{max(8, min(int(cpus * 1.5), total_gb // 2))}g"
+    # The half-of-RAM cap is applied AFTER the 8 GB floor so a small host
+    # (<16 GB) never sees a driver heap request above half its RAM — the
+    # floor is a sizing preference, the cap is a safety bound (2 GB hard
+    # minimum keeps the JVM startable on tiny CI boxes).
+    return f"{min(max(8, int(cpus * 1.5)), max(total_gb // 2, 2))}g"
 
 
 def get_spark(app_name: str = "etl_adsbx_spark", master: str | None = None) -> SparkSession:

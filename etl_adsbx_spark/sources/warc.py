@@ -30,7 +30,9 @@ convention — decompressed as a multi-member stream).
 
 from __future__ import annotations
 
+import codecs
 import os
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -87,21 +89,30 @@ def iter_warc_records(blob: bytes) -> Iterator[tuple[str, dict[str, str], bytes]
             pos += 2
         if pos >= n:
             break
-        eol = blob.index(b"\r\n", pos)
+        eol = blob.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError(f"truncated WARC version line at offset {pos}")
         version = blob[pos:eol].decode("ascii", "replace")
         if not version.startswith("WARC/"):
             raise ValueError(f"bad WARC version line at offset {pos}: {version!r}")
         pos = eol + 2
         headers: dict[str, str] = {}
         while True:
-            eol = blob.index(b"\r\n", pos)
+            eol = blob.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError(f"truncated WARC header block at offset {pos}")
             line = blob[pos:eol]
             pos = eol + 2
             if not line:
                 break
             name, _, value = line.decode("utf-8", "replace").partition(":")
             headers[name.strip().lower()] = value.strip()
-        clen = int(headers["content-length"])
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"record at offset {pos} missing/invalid Content-Length header"
+            ) from None
         if pos + clen > n:
             raise ValueError(f"record at offset {pos} overruns shard ({clen} bytes)")
         yield version, headers, blob[pos : pos + clen]

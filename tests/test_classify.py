@@ -163,3 +163,30 @@ def test_exact_fit_heldout_accuracy_and_invariance(spark):
 
     with pytest.raises(ValueError, match="empty"):
         fit_logreg_exact(feats.limit(0), ["f1"], "y", steps=1)
+
+
+def test_round8_mirror_matches_duckdb_on_ties():
+    """The driver-side weight-update rounding must agree with the oracle's
+    round(DOUBLE, 8) on .5e-8 near-tie values — the exact spots where the
+    previous Decimal.quantize(HALF_UP) mirror diverged by one ulp of the
+    quantum (ADVICE r9: latent cross-engine flake). Probed live against
+    DuckDB, not against a transcribed table."""
+    import duckdb
+    from decimal import Decimal
+
+    from etl_adsbx_spark.functions.classify import round8_as_oracle
+
+    con = duckdb.connect()
+    adversarial = [
+        1.5e-8, 2.5e-8, -1.5e-8, -2.5e-8,          # raw scaled ties
+        0.123456785, -0.123456785, 1.000000005,    # mid-magnitude ties
+        4.999999949999999e-8, 1.499999999e-8,      # just-below ties
+        1.5000000001e-8, 0.007349999995, 0.0,      # just-above + zero
+        0.33333333333333331, -0.1, 123.456789015,  # non-ties for sanity
+    ]
+    for x in adversarial:
+        duck = con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE), 8) AS DECIMAL(18,8))", [x]
+        ).fetchone()[0]
+        assert round8_as_oracle(x) == Decimal(duck), f"diverged at {x!r}"
+    con.close()
