@@ -7244,103 +7244,218 @@ def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "warc_roundtrip",
-    oracle="""
-    WITH b AS (
-      SELECT doc_id,
-             'http://corpus.local/doc/' || doc_id::VARCHAR AS uri,
-             COALESCE(text, '') AS body
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id, uri, body,
-             CAST(octet_length(encode(body)) AS BIGINT) AS nb
-      FROM b
+def _warc_roundtrip_oracle() -> str:
+    """DuckDB replay of the 5-case WARC construct→parse→decode roundtrip.
+    The oracle never frames, parses, or decodes: each case recomputes the
+    expected header fields, byte counts, decoded text and charset verdict
+    directly from the same construction the Spark side frames. Byte
+    counts for the legacy-charset payloads exploit that every char in
+    the constructed strings is single-byte in ISO-8859-1 (length(P) =
+    latin-1 octet count); chr(65533) is the U+FFFD the flagged UTF-8
+    fallback must emit for the one invalid byte."""
+    head_len = (
+        "CAST(octet_length(encode("
+        "'HTTP/1.1 200 OK' || chr(13) || chr(10) ||"
+        "'Content-Type: ' || ctype || chr(13) || chr(10) ||"
+        "'Content-Length: ' || nb::VARCHAR ||"
+        "chr(13) || chr(10) || chr(13) || chr(10))) AS BIGINT)"
     )
-    SELECT doc_id,
+    return f"""
+    WITH cases AS (
+      SELECT doc_id, 'utf8' AS wcase,
+             'http://corpus.local/doc/' || doc_id::VARCHAR AS uri,
+             'text/plain; charset=utf-8' AS ctype,
+             CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS nb,
+             'utf-8' AS charset, 1 AS decode_ok,
+             md5(COALESCE(text, '')) AS text_md5
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'latin1',
+             'http://corpus.local/l1/' || doc_id::VARCHAR,
+             'text/plain; charset=ISO-8859-1',
+             CAST(length('café idée nº ' || doc_id::VARCHAR) AS BIGINT),
+             'iso8859-1', 1,
+             md5('café idée nº ' || doc_id::VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'sniff',
+             'http://corpus.local/sniff/' || doc_id::VARCHAR,
+             'text/html',
+             CAST(length('<html><head><meta charset="iso-8859-1"></head><body>café '
+                         || doc_id::VARCHAR || '</body></html>') AS BIGINT),
+             'iso8859-1', 1,
+             md5('<html><head><meta charset="iso-8859-1"></head><body>café '
+                 || doc_id::VARCHAR || '</body></html>')
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'badutf8',
+             'http://corpus.local/bad/' || doc_id::VARCHAR,
+             'text/plain; charset=utf-8',
+             CAST(length('caf' || doc_id::VARCHAR || 'é') AS BIGINT),
+             'utf-8', 0,
+             md5('caf' || doc_id::VARCHAR || chr(65533))
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'bom',
+             'http://corpus.local/bom/' || doc_id::VARCHAR,
+             'text/plain',
+             CAST(3 + octet_length(encode('bom doc ' || doc_id::VARCHAR)) AS BIGINT),
+             'utf-8-sig', 1,
+             md5('bom doc ' || doc_id::VARCHAR)
+      FROM documents
+    )
+    SELECT doc_id, wcase,
            '<urn:uuid:' || substr(md5(uri), 1, 12) || '>' AS record_id,
            uri AS target_uri,
            CAST(200 AS INTEGER) AS http_status,
-           'text/plain; charset=utf-8' AS content_type,
-           CAST(octet_length(encode(
-               'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
-               'Content-Type: text/plain; charset=utf-8' || chr(13) || chr(10) ||
-               'Content-Length: ' || nb::VARCHAR ||
-               chr(13) || chr(10) || chr(13) || chr(10)
-           )) + nb AS BIGINT) AS content_length,
-           md5(body) AS body_md5,
-           nb AS n_body_bytes
-    FROM m
-    """,
-)
+           ctype AS content_type,
+           {head_len} + nb AS content_length,
+           charset, CAST(decode_ok AS INTEGER) AS decode_ok,
+           text_md5, nb AS n_body_bytes
+    FROM cases
+    """
+
+
+@register("warc_roundtrip", oracle=_warc_roundtrip_oracle())
 def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] WARC serialize→parse roundtrip — the Common-Crawl ingest
-    stage (sources.warc), graded end to end through the REAL record
-    parser. The corpus ships as parquet, so the WARC framing is
-    CONSTRUCTED in-query (the html_extract precedent), entirely in
-    codegen: each document becomes one ISO-28500 response record — WARC
-    version + headers, an HTTP/1.1 response head, and the document text
-    as the payload — with both Content-Length fields computed as UTF-8
-    BYTE counts (octet_length; the corpus is not ASCII-only, so a
-    char-length bug would mis-frame every multibyte document). The
-    binary column is then parsed back by ``parse_record_bytes`` — the
+    """[EXT] WARC serialize→parse→DECODE roundtrip — the Common-Crawl
+    ingest stage (sources.warc), graded end to end through the REAL
+    record parser AND the charset-aware body decoder. The corpus ships
+    as parquet, so the WARC framing is CONSTRUCTED in-query (the
+    html_extract precedent), entirely in codegen: ONE scan of documents
+    fans out (array+explode, no 5-way self-union) into five ISO-28500
+    response records per document —
+
+    - ``utf8``: the document text, UTF-8, declared charset — both
+      Content-Length fields are UTF-8 BYTE counts (octet_length; the
+      corpus is not ASCII-only, so a char-length bug would mis-frame
+      every multibyte document);
+    - ``latin1``: a constructed accented payload ENCODED ISO-8859-1 with
+      the charset declared in Content-Type (the legacy-web case the r9
+      UTF-8-only decode silently mangled);
+    - ``sniff``: an HTML payload whose charset appears ONLY in a
+      ``<meta charset=…>`` tag — exercises the HTML5 prescan;
+    - ``badutf8``: declared utf-8 but latin-1 bytes — the decoder must
+      FLAG (decode_ok=0) and emit U+FFFD, not mangle silently;
+    - ``bom``: a UTF-8 BOM with no declared charset — BOM sniff wins
+      and the BOM is consumed.
+
+    The binary column is parsed back by ``parse_record_bytes`` — the
     SAME iter_warc_records/parse_http_response kernels the shard source
-    uses — and the parsed headers, status, block length and payload md5
-    are graded against an ORACLE that never frames or parses: it
-    recomputes every field directly from the raw columns. Agreement
-    means the parser's length-prefixed slicing, header parse, HTTP
-    split, and byte-exact payload recovery are all correct.
+    uses — then decoded by ``decoded_text_col`` (the same kernel behind
+    ``responses_as_text``), and the parsed headers, status, block
+    length, charset verdicts and decoded-text md5 are graded against an
+    ORACLE that never frames, parses, or decodes: it recomputes every
+    field directly from the construction. The case index rides the
+    parser's bigint id lane as ``doc_id*8 + i`` (decoded back after the
+    parse), so the production parser signature stays untouched.
 
     100-TB shape: serialization is whole-stage-codegen string concat;
-    the parse is an Arrow-batched map-only kernel (the read_warc shard
-    path is one task per shard — parallelism = shard count, payloads
-    never on the driver)."""
-    from .sources.warc import parse_record_bytes
+    parse and decode are Arrow-batched map-only kernels (the read_warc
+    shard path is one task per shard — parallelism = shard count,
+    payloads never on the driver)."""
+    from .sources.warc import decoded_text_col, parse_record_bytes
 
     d = load_table(spark, sf_dir, "documents")
     sid = F.col("doc_id").cast("string")
-    uri = F.concat(F.lit("http://corpus.local/doc/"), sid)
-    body = F.coalesce(F.col("text"), F.lit(""))
-    nb = F.octet_length(body)
-    http_head = F.concat(
-        F.lit(
-            "HTTP/1.1 200 OK\r\n"
-            "Content-Type: text/plain; charset=utf-8\r\n"
-            "Content-Length: "
+
+    def rec(uri: Column, ctype: str, body_bin: Column) -> Column:
+        nb = F.octet_length(body_bin)
+        http_head = F.concat(
+            F.lit(f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\nContent-Length: "),
+            nb.cast("string"),
+            F.lit("\r\n\r\n"),
+        )
+        block_len = F.octet_length(http_head) + nb
+        head = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"),
+            F.substring(F.md5(uri), 1, 12),
+            F.lit(">\r\nWARC-Target-URI: "),
+            uri,
+            F.lit(
+                "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                "Content-Length: "
+            ),
+            block_len.cast("string"),
+            F.lit("\r\n\r\n"),
+        )
+        return F.concat(
+            F.encode(head, "UTF-8"),
+            F.encode(http_head, "UTF-8"),
+            body_bin,
+            F.lit(b"\r\n\r\n"),
+        )
+
+    u = lambda leg: F.concat(F.lit(f"http://corpus.local/{leg}/"), sid)  # noqa: E731
+    p_latin = F.concat(F.lit("café idée nº "), sid)
+    p_sniff = F.concat(
+        F.lit('<html><head><meta charset="iso-8859-1"></head><body>café '),
+        sid,
+        F.lit("</body></html>"),
+    )
+    p_bad = F.concat(F.lit("caf"), sid, F.lit("é"))
+    p_bom = F.concat(F.lit("bom doc "), sid)
+    variants = F.array(
+        F.struct(
+            F.lit(0).alias("i"),
+            rec(
+                u("doc"),
+                "text/plain; charset=utf-8",
+                F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+            ).alias("rec"),
         ),
-        nb.cast("string"),
-        F.lit("\r\n\r\n"),
-    )
-    block_len = F.octet_length(http_head) + nb
-    head = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"),
-        F.substring(F.md5(uri), 1, 12),
-        F.lit(">\r\nWARC-Target-URI: "),
-        uri,
-        F.lit(
-            "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
-            "Content-Type: application/http; msgtype=response\r\n"
-            "Content-Length: "
+        F.struct(
+            F.lit(1).alias("i"),
+            rec(
+                u("l1"),
+                "text/plain; charset=ISO-8859-1",
+                F.encode(p_latin, "ISO-8859-1"),
+            ).alias("rec"),
         ),
-        block_len.cast("string"),
-        F.lit("\r\n\r\n"),
+        F.struct(
+            F.lit(2).alias("i"),
+            rec(u("sniff"), "text/html", F.encode(p_sniff, "ISO-8859-1")).alias(
+                "rec"
+            ),
+        ),
+        F.struct(
+            F.lit(3).alias("i"),
+            rec(
+                u("bad"),
+                "text/plain; charset=utf-8",
+                F.encode(p_bad, "ISO-8859-1"),
+            ).alias("rec"),
+        ),
+        F.struct(
+            F.lit(4).alias("i"),
+            rec(
+                u("bom"),
+                "text/plain",
+                F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(p_bom, "UTF-8")),
+            ).alias("rec"),
+        ),
     )
-    recs = d.select(
-        "doc_id",
-        F.concat(head, http_head, body, F.lit("\r\n\r\n"))
-        .cast("binary")
-        .alias("rec"),
+    recs = d.select("doc_id", F.explode(variants).alias("v")).select(
+        (F.col("doc_id") * 8 + F.col("v.i")).alias("cid"),
+        F.col("v.rec").alias("rec"),
     )
-    parsed = parse_record_bytes(recs, rec_col="rec", id_col="doc_id")
-    return parsed.select(
-        "doc_id",
+    parsed = parse_record_bytes(recs, rec_col="rec", id_col="cid")
+    dec = decoded_text_col("body", "content_type")
+    names = F.array(
+        F.lit("utf8"), F.lit("latin1"), F.lit("sniff"), F.lit("badutf8"), F.lit("bom")
+    )
+    return parsed.withColumn("_dec", dec).select(
+        F.expr("cid DIV 8").cast("bigint").alias("doc_id"),
+        F.element_at(names, (F.col("cid") % 8).cast("int") + 1).alias("wcase"),
         "record_id",
         "target_uri",
         "http_status",
         "content_type",
         "content_length",
-        F.md5("body").alias("body_md5"),
+        F.col("_dec.charset").alias("charset"),
+        F.col("_dec.decode_ok").alias("decode_ok"),
+        F.md5(F.encode(F.col("_dec.text"), "UTF-8")).alias("text_md5"),
         F.octet_length("body").cast("bigint").alias("n_body_bytes"),
     )
 

@@ -139,6 +139,85 @@ def parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+_CHARSET_PARAM = re.compile(r"""charset\s*=\s*["']?\s*([A-Za-z0-9_.:+-]+)""", re.I)
+# HTML5 prescan (first 1024 bytes, ASCII-compatible by spec): both the
+# <meta charset=...> shorthand and the http-equiv Content-Type form.
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:+-]+)""", re.I
+)
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF32_LE, "utf-32"),  # before UTF-16LE (prefix collision)
+    (codecs.BOM_UTF32_BE, "utf-32"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
+)
+
+
+def decode_body(body: bytes, content_type: str | None) -> tuple[str, str, int]:
+    """Charset-aware HTTP body decode → ``(text, charset_used,
+    decode_ok)``. Decision order (the WHATWG encoding-sniff order,
+    stdlib-codec edition):
+
+    1. **BOM wins** over any declared label (utf-8-sig / utf-16 / utf-32
+       — the BOM is consumed, not kept in the text);
+    2. the ``charset=`` parameter of the Content-Type header;
+    3. for HTML (or untyped) bodies, the HTML5 prescan over the first
+       1024 bytes (``<meta charset=…>`` / http-equiv form);
+    4. UTF-8.
+
+    The first candidate whose codec exists AND decodes the bytes
+    STRICTLY is used (``charset_used`` is the codec's canonical Python
+    name, e.g. ``ISO-8859-1`` → ``iso8859-1``) with ``decode_ok=1``;
+    if none decodes cleanly the terminal fallback is UTF-8 with U+FFFD
+    replacement and ``decode_ok=0`` — mangling is FLAGGED, never silent
+    (the r9 gap: legacy-encoded pages were force-decoded as UTF-8 with
+    no signal). Divergence from WHATWG kept deliberately: labels map to
+    Python's stdlib codecs verbatim (no ISO-8859-1→windows-1252 remap),
+    so a correctly-labelled page round-trips byte-exactly."""
+    for bom, name in _BOMS:
+        if body.startswith(bom):
+            return body.decode(name), name, 1
+    candidates: list[str] = []
+    if content_type:
+        m = _CHARSET_PARAM.search(content_type)
+        if m:
+            candidates.append(m.group(1))
+    if not candidates and (not content_type or "html" in content_type.lower()):
+        m = _META_CHARSET.search(body[:1024])
+        if m:
+            candidates.append(m.group(1).decode("ascii", "replace"))
+    candidates.append("utf-8")
+    for label in candidates:
+        try:
+            codec = codecs.lookup(label)
+        except LookupError:
+            continue
+        try:
+            return body.decode(codec.name), codec.name, 1
+        except (UnicodeDecodeError, ValueError):
+            continue
+    return body.decode("utf-8", "replace"), "utf-8", 0
+
+
+def decoded_text_col(body_col: str, ctype_col: str):
+    """Column-level charset-aware decode: a struct-returning Arrow-batched
+    pandas UDF over (body, content_type) → struct(text, charset,
+    decode_ok). One projection, map-only — composes into any plan
+    (``responses_as_text``, the graded ``warc_roundtrip`` decode leg)."""
+    import pyspark.sql.pandas.functions as pf
+
+    @pf.pandas_udf("struct<text:string, charset:string, decode_ok:int>")
+    def _decode(body: pd.Series, ctype: pd.Series) -> pd.DataFrame:
+        rows = [
+            decode_body(bytes(b) if b is not None else b"", c)
+            for b, c in zip(body, ctype)
+        ]
+        return pd.DataFrame(rows, columns=["text", "charset", "decode_ok"])
+
+    return _decode(F.col(body_col), F.col(ctype_col))
+
+
 def _record_rows(shard: str, blob: bytes, rows: dict[str, list]) -> None:
     for _version, hdr, block in iter_warc_records(blob):
         wtype = hdr.get("warc-type")
@@ -179,22 +258,46 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
     return shards.mapInPandas(expand, schema=RECORD_SCHEMA)
 
 
-def responses_as_text(records: DataFrame, status: int = 200) -> DataFrame:
+def responses_as_text(
+    records: DataFrame, status: int = 200, charset_aware: bool = True
+) -> DataFrame:
     """Keep HTTP ``response`` records with the given status and decode the
-    body as UTF-8 (invalid sequences → U+FFFD, Spark's binary→string
-    cast semantics): (shard, record_id, url, fetched_at, raw_html) — the
-    input shape of ``functions.html.extract_and_normalize``. Map-only."""
-    return (
-        records.where(
-            (F.col("warc_type") == "response") & (F.col("http_status") == status)
-        )
-        .select(
-            "shard",
-            "record_id",
-            F.col("target_uri").alias("url"),
-            F.to_timestamp("warc_date").alias("fetched_at"),
+    body to text: (shard, record_id, url, fetched_at, raw_html, charset,
+    decode_ok) — the input shape of
+    ``functions.html.extract_and_normalize``. Map-only.
+
+    ``charset_aware=True`` (default) decodes through ``decode_body`` —
+    BOM, Content-Type ``charset=``, HTML5 meta prescan, UTF-8 fallback —
+    so legacy-encoded pages (latin-1, shift_jis, cp1252: most of real
+    Common Crawl's non-UTF-8 tail) survive intact, and anything that did
+    NOT decode cleanly is flagged with ``decode_ok=0`` instead of being
+    silently mangled. ``charset_aware=False`` keeps the r8 fast path
+    (Spark's binary→string cast: UTF-8 with U+FFFD replacement, pure
+    codegen, ``charset``/``decode_ok`` pinned to that contract) for
+    corpora known to be UTF-8-clean."""
+    resp = records.where(
+        (F.col("warc_type") == "response") & (F.col("http_status") == status)
+    )
+    base = [
+        F.col("shard"),
+        F.col("record_id"),
+        F.col("target_uri").alias("url"),
+        F.to_timestamp("warc_date").alias("fetched_at"),
+    ]
+    if not charset_aware:
+        return resp.select(
+            *base,
             F.col("body").cast("string").alias("raw_html"),
+            F.lit("utf-8").alias("charset"),
+            F.lit(None).cast("int").alias("decode_ok"),
         )
+    return resp.withColumn(
+        "_dec", decoded_text_col("body", "content_type")
+    ).select(
+        *base,
+        F.col("_dec.text").alias("raw_html"),
+        F.col("_dec.charset").alias("charset"),
+        F.col("_dec.decode_ok").alias("decode_ok"),
     )
 
 

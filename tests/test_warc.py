@@ -148,3 +148,81 @@ def test_warc_to_text_battery_end_to_end(spark, tmp_path):
     texts = {r["url"]: r["text"] for r in out.collect()}
     assert texts["http://corpus.local/a"] == "hello & welcome"
     assert texts["http://corpus.local/b"] == "héllo — fin"  # ﬁ → fi
+
+
+def test_decode_body_unit():
+    """decode_body's sniff order: BOM > header charset > HTML5 meta
+    prescan > UTF-8, strict-first with a FLAGGED replacement terminal."""
+    from etl_adsbx_spark.sources.warc import decode_body
+
+    # header charset, byte-exact legacy recovery
+    latin = "café idée nº 7"
+    assert decode_body(latin.encode("iso-8859-1"),
+                       "text/plain; charset=ISO-8859-1") == (latin, "iso8859-1", 1)
+    sjis = "こんにちは世界"
+    assert decode_body(sjis.encode("shift_jis"),
+                       "text/html; charset=Shift_JIS") == (sjis, "shift_jis", 1)
+    # meta prescan (html, no header param), quoted and bare forms
+    html = '<html><head><meta charset="windows-1252"></head><body>café</body></html>'
+    assert decode_body(html.encode("cp1252"), "text/html") == (html, "cp1252", 1)
+    html2 = ('<html><head><meta http-equiv="Content-Type" '
+             'content="text/html; charset=iso-8859-1"></head><body>nº</body></html>')
+    assert decode_body(html2.encode("iso-8859-1"), "text/html") == (html2, "iso8859-1", 1)
+    # BOM wins over a (wrong) declared label and is consumed
+    bom = "﻿bom text".encode("utf-8")
+    assert decode_body(bom, "text/plain; charset=iso-8859-1") == ("bom text", "utf-8-sig", 1)
+    assert decode_body("utf16 text".encode("utf-16"), None) == ("utf16 text", "utf-16", 1)
+    # unknown label falls through to a clean UTF-8 decode (still ok=1)
+    assert decode_body(b"plain ascii", "text/plain; charset=x-nope-999") == (
+        "plain ascii", "utf-8", 1)
+    # declared utf-8 but invalid bytes: terminal replace, FLAGGED
+    text, cs, ok = decode_body(b"caf\xe9", "text/plain; charset=utf-8")
+    assert (text, cs, ok) == ("caf�", "utf-8", 0)
+    # declared charset that raises ValueError mid-decode (utf-7 oddity) is survivable
+    assert decode_body(b"", None) == ("", "utf-8", 1)
+
+
+def test_responses_as_text_charset_aware(spark, tmp_path):
+    """Stage −1 with legacy-encoded pages: latin-1 and shift_jis bodies
+    recover byte-exactly (re-encoding the decoded text under the declared
+    charset reproduces the original payload bytes), a mangled page is
+    flagged decode_ok=0, and the charset_aware=False fast path keeps the
+    old cast semantics."""
+    latin = "café idée nº 7"
+    sjis = "<html><body>こんにちは世界</body></html>"
+    d = tmp_path / "w"
+    d.mkdir()
+    shard = (
+        warc_response_record(
+            "http://corpus.local/latin", "2026-01-01T00:00:00Z",
+            latin.encode("iso-8859-1"),
+            content_type="text/plain; charset=ISO-8859-1",
+        )
+        + warc_response_record(
+            "http://corpus.local/sjis", "2026-01-01T00:00:00Z",
+            sjis.encode("shift_jis"),
+            content_type="text/html; charset=Shift_JIS",
+        )
+        + warc_response_record(
+            "http://corpus.local/bad", "2026-01-01T00:00:00Z",
+            b"caf\xe9 mangled",
+            content_type="text/plain; charset=utf-8",
+        )
+    )
+    (d / "s.warc").write_bytes(shard)
+    out = {r["url"]: r for r in responses_as_text(read_warc(spark, str(d))).collect()}
+    assert out["http://corpus.local/latin"]["raw_html"] == latin
+    assert out["http://corpus.local/latin"]["charset"] == "iso8859-1"
+    assert out["http://corpus.local/latin"]["raw_html"].encode("iso8859-1") == latin.encode("iso-8859-1")
+    assert out["http://corpus.local/sjis"]["raw_html"] == sjis
+    assert out["http://corpus.local/sjis"]["charset"] == "shift_jis"
+    assert out["http://corpus.local/sjis"]["raw_html"].encode("shift_jis") == sjis.encode("shift_jis")
+    assert all(out[u]["decode_ok"] == 1 for u in
+               ("http://corpus.local/latin", "http://corpus.local/sjis"))
+    bad = out["http://corpus.local/bad"]
+    assert bad["decode_ok"] == 0 and "�" in bad["raw_html"]
+    # fast path: UTF-8 cast semantics, decode_ok unclaimed (NULL)
+    fast = {r["url"]: r for r in
+            responses_as_text(read_warc(spark, str(d)), charset_aware=False).collect()}
+    assert "�" in fast["http://corpus.local/latin"]["raw_html"]
+    assert fast["http://corpus.local/latin"]["decode_ok"] is None
