@@ -222,12 +222,12 @@ def write_corpus_atomic(
 
     Scope honesty: the commit step is ``os.rename``, atomic on a POSIX
     filesystem (and on HDFS via the equivalent NameNode op). Object
-    stores (S3/GCS) have NO atomic directory rename — there, keep the
-    staging write + manifest verify but flip a pointer instead of the
-    directory: publish ``_MANIFEST.json`` (or a catalog entry) that names
-    the staging path as current, which is exactly the commit protocol of
-    table formats like Iceberg/Delta. The Spark-side plan is identical
-    either way; only the final metadata flip differs.
+    stores (S3/GCS) have NO atomic directory rename — there, use the
+    marker-file protocol (``exactly_once_batch_sink(commit="marker")``):
+    staging write + manifest verify, then a single-PUT commit marker
+    instead of the directory flip — exactly the pointer-commit protocol
+    of table formats like Iceberg/Delta. The Spark-side plan is
+    identical either way; only the final metadata flip differs.
     """
     import os
     import shutil
@@ -302,14 +302,18 @@ def corpus_diff_content(
 def exactly_once_batch_sink(
     path: str,
     partition_by: list[str] | None = None,
+    commit: str = "rename",
     **write_kwargs,
 ):
     """``foreachBatch`` sink with EXACTLY-ONCE publication per batchId —
     the task-retry story at the sink. Structured Streaming's foreachBatch
     is at-least-once: after a driver failure the restarted query RE-FIRES
-    the last unacknowledged batch with the SAME batchId. The committed
-    unit here is a per-batch directory whose atomic ``os.rename`` from
-    staging IS the commit record:
+    the last unacknowledged batch with the SAME batchId. Two commit
+    protocols, selected by ``commit``:
+
+    ``commit="rename"`` (POSIX/HDFS fast path): the committed unit is a
+    per-batch directory whose atomic ``os.rename`` from staging IS the
+    commit record:
 
     - batch dir ``<path>/batch=<id>`` already exists → the batch is
       committed; the replay is a NO-OP (the corpus stays byte-identical).
@@ -317,10 +321,33 @@ def exactly_once_batch_sink(
       attempt's leftover staging is removed first — its batch was, by
       the rename protocol, never committed), then rename into place.
 
-    Readers see only fully-committed batches: ``read_committed`` globs
-    ``batch=*`` dirs, never staging. On POSIX/HDFS the rename is atomic;
-    on object stores swap the rename for a manifest/catalog pointer flip
-    exactly as ``write_corpus_atomic`` documents.
+    ``commit="marker"`` (object-store-safe: S3-class stores have NO
+    atomic directory rename): the data is written STRAIGHT to the final
+    ``batch=<id>`` prefix, and the commit record is one
+    ``_COMMITTED.<id>`` marker object published with a single atomic
+    PUT (``O_EXCL`` create locally) AFTER the data lands — the Iceberg/
+    Delta pointer-flip protocol in one file:
+
+    - marker exists → committed; replay is a NO-OP regardless of what
+      the data prefix looks like.
+    - marker absent → any bytes under ``batch=<id>`` are a TORN previous
+      attempt (crash mid-write): they are deleted object-by-object (no
+      rename, no directory ops) and the batch is rewritten, then the
+      marker is PUT. The marker carries the file manifest (relpath →
+      bytes), so ``read_committed_batches`` can verify every committed
+      object is present and whole before exposing the batch.
+
+    This Python layer never renames in marker mode (pinned by a
+    monkeypatched-``os.rename`` test). Scope honesty: Spark's OWN file
+    committer may still rename task files inside the batch write — on a
+    real object store pair this sink with an S3A "magic"/zero-rename
+    committer; the torn-write recovery above is exactly what makes that
+    safe, because a partially-committed data prefix without a marker is
+    indistinguishable from a crash and gets cleaned either way.
+
+    Readers see only fully-committed batches: rename mode globs
+    ``batch=*`` dirs (staging is dot-prefixed, which Spark's file index
+    skips); marker mode lists markers and reads exactly those prefixes.
 
     Returns the (df, batch_id) callable for
     ``writeStream.foreachBatch(...)``. ``partition_by`` routes through
@@ -329,26 +356,99 @@ def exactly_once_batch_sink(
     import os
     import shutil
 
-    def sink(df: DataFrame, batch_id: int) -> None:
+    if commit not in ("rename", "marker"):
+        raise ValueError(f"unknown commit protocol: {commit!r}")
+
+    def write_batch(df: DataFrame, target: str) -> None:
+        if partition_by:
+            write_corpus(df, target, partition_by, **write_kwargs)
+        else:
+            df.write.mode("overwrite").parquet(target, **write_kwargs)
+
+    def sink_rename(df: DataFrame, batch_id: int) -> None:
         final = os.path.join(path, f"batch={batch_id}")
         if os.path.exists(final):
             return  # committed by a previous attempt — idempotent replay
         staging = os.path.join(path, f".staging-{batch_id}")
         if os.path.exists(staging):
             shutil.rmtree(staging)
-        if partition_by:
-            write_corpus(df, staging, partition_by, **write_kwargs)
-        else:
-            df.write.mode("overwrite").parquet(staging, **write_kwargs)
+        write_batch(df, staging)
         os.makedirs(path, exist_ok=True)
         os.rename(staging, final)
 
-    return sink
+    def sink_marker(df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(path, f"batch={batch_id}")
+        if os.path.exists(_marker_path(path, batch_id)):
+            return  # committed — replay is a NO-OP
+        if os.path.exists(final):
+            # torn previous attempt: delete object-by-object (the only
+            # primitive an object store guarantees), never rename
+            for root, _dirs, files in os.walk(final, topdown=False):
+                for f in files:
+                    os.unlink(os.path.join(root, f))
+                os.rmdir(root)
+        write_batch(df, final)
+        files = {
+            os.path.relpath(os.path.join(root, f), final): os.path.getsize(
+                os.path.join(root, f)
+            )
+            for root, _dirs, fs in os.walk(final)
+            for f in fs
+            if not f.startswith(".") and not f.startswith("_")
+        }
+        body = json.dumps(
+            {"batch_id": batch_id, "n_files": len(files), "files": files},
+            sort_keys=True,
+        ).encode()
+        # single-object atomic publish: O_EXCL create + one write + fsync
+        # (the local stand-in for an S3 PUT, which is all-or-nothing)
+        fd = os.open(
+            _marker_path(path, batch_id), os.O_WRONLY | os.O_CREAT | os.O_EXCL
+        )
+        try:
+            os.write(fd, body)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    return sink_rename if commit == "rename" else sink_marker
 
 
-def read_committed_batches(spark, path: str) -> DataFrame:
+def _marker_path(path: str, batch_id: int | str) -> str:
+    import os
+
+    return os.path.join(path, f"_COMMITTED.{batch_id}")
+
+
+def read_committed_batches(spark, path: str, commit: str = "rename") -> DataFrame:
     """Read every COMMITTED batch of an ``exactly_once_batch_sink``
-    corpus (staging dirs are dot-prefixed, which Spark's file index
-    skips; the ``batch=<id>`` dirs read back as a hive partition
-    column)."""
-    return spark.read.option("basePath", path).parquet(path + "/batch=*")
+    corpus. Rename mode: glob ``batch=*`` dirs (staging is dot-prefixed,
+    which Spark's file index skips; the ``batch=<id>`` dirs read back as
+    a hive partition column). Marker mode: list ``_COMMITTED.*`` markers
+    and read exactly those batch prefixes — a data prefix without a
+    marker is an uncommitted torn write and stays invisible; a MARKER
+    whose manifest names a missing/short file is corruption and fails
+    loudly before any row is served."""
+    import glob as _glob
+    import os
+
+    if commit == "rename":
+        return spark.read.option("basePath", path).parquet(path + "/batch=*")
+    dirs = []
+    for marker in sorted(_glob.glob(_marker_path(path, "*"))):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        batch_dir = os.path.join(path, f"batch={meta['batch_id']}")
+        for rel, size in meta["files"].items():
+            fp = os.path.join(batch_dir, rel)
+            if not os.path.exists(fp) or os.path.getsize(fp) != size:
+                raise ValueError(
+                    f"committed batch {meta['batch_id']} is missing or has a "
+                    f"short object: {rel} (marker says {size} bytes)"
+                )
+        dirs.append(batch_dir)
+    if not dirs:
+        # zero committed batches: falling back to the batch=* glob would
+        # expose torn uncommitted prefixes — fail loudly instead
+        raise ValueError(f"no committed batches under {path!r}")
+    return spark.read.option("basePath", path).parquet(*dirs)
