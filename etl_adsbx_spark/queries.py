@@ -7634,10 +7634,13 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the kernel implements group selection, rule order, and prefix
     matching as documented.
 
-    100-TB shape: the robots dim is hosts-sized and BROADCAST; the gate
-    itself is a scan-parallel Arrow projection with per-host parser
-    caching — no shuffle beyond the broadcast."""
-    from .functions.url import robots_allowed
+    100-TB shape: the hosts-sized robots dim ships ONCE as a broadcast
+    VARIABLE inside the kernel (robots_allowed_for_hosts), not as a
+    broadcast JOIN — the r9 join was strategy-correct but duplicated the
+    full robots text onto every URL row before the kernel's cache saw
+    it; now the projected Arrow batch is two thin string columns and the
+    whole gate is one scan-parallel projection, no join at all."""
+    from .functions.url import robots_allowed_for_hosts
 
     d = load_table(spark, sf_dir, "documents")
     sid = F.col("doc_id")
@@ -7669,13 +7672,10 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("robots_txt"),
         )
     )
-    gate = robots_allowed("etl-adsbx-bot")
-    return (
-        urls.join(F.broadcast(robots), "host", "left")
-        .select(
-            "doc_id",
-            "host",
-            "url",
-            gate(F.col("robots_txt"), F.col("url")).cast("int").alias("allowed"),
-        )
+    gate = robots_allowed_for_hosts(robots, "etl-adsbx-bot")
+    return urls.select(
+        "doc_id",
+        "host",
+        "url",
+        gate(F.col("host"), F.col("url")).cast("int").alias("allowed"),
     )

@@ -116,3 +116,39 @@ def test_robots_allowed_kernel_semantics(spark):
     assert df.where(F.col("i") == 0).select(
         bad("robots_txt", "url").alias("ok")
     ).first()["ok"] is False
+
+
+def test_robots_allowed_for_hosts_broadcast_dim(spark):
+    """The hosts-dim variant: verdicts identical to the per-row-text
+    kernel, with the dim shipped as a broadcast variable — hosts absent
+    from the dim (or with blank text) allow everything, and the plan has
+    NO join."""
+    from etl_adsbx_spark.functions.url import robots_allowed_for_hosts
+
+    robots = spark.createDataFrame(
+        [
+            ("closed.example.com", "User-agent: *\nDisallow: /\n"),
+            ("mixed.example.com",
+             "User-agent: *\nAllow: /private/pub/\nDisallow: /private/\n"),
+            ("blank.example.com", "   \n"),
+            ("nulltxt.example.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "closed.example.com", "https://closed.example.com/x", False),
+            (1, "mixed.example.com", "https://mixed.example.com/private/pub/a", True),
+            (2, "mixed.example.com", "https://mixed.example.com/private/b", False),
+            (3, "mixed.example.com", "https://mixed.example.com/ok", True),
+            (4, "blank.example.com", "https://blank.example.com/x", True),
+            (5, "nulltxt.example.com", "https://nulltxt.example.com/x", True),
+            (6, "unknown.example.com", "https://unknown.example.com/x", True),
+        ],
+        "i int, host string, url string, want boolean",
+    )
+    gate = robots_allowed_for_hosts(robots, "etl-adsbx-bot")
+    out = urls.select("i", "want", gate("host", "url").alias("ok"))
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+    for r in out.collect():
+        assert r["ok"] is r["want"], (r["i"], r["ok"])
