@@ -136,6 +136,9 @@ OPTIONAL = [
     "quality_logreg",
     # r9: robots.txt gate (broadcast robots dim + Arrow evaluator kernel)
     "robots_gate",
+    # r10: web-ingest capstone (frame→parse→decode→robots→extract→dedup
+    # as one plan — the end-to-end ingest workload)
+    "web_ingest_pipeline",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

@@ -94,74 +94,75 @@ def register(name: str, oracle: str | None = None):
 #: (tests/test_queries_oracle.py runs all of them each pytest run).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # === ROUND-9 WINDOW === 3 new + 2 changed + the 14 keys whose last
-    # driver row is r6 (three rounds stale after the r8 overflow) + the 31
-    # OLDEST keys whose last driver row is r7. The 19 youngest r7-graded
-    # keys (quantile_filter, chunk_documents_cdc, scd2_point_in_time, event_paths_topk,
-    # dsir_weights, domain_pagerank, column_profile, mixture_weights,
-    # kmeans_clusters, bigram_lm_score, corpus_diff_content, pq_ann_topk,
-    # curation_pipeline, geo_radius_join, hybrid_rrf_topk, set_ops_all,
-    # cluster_keep_best, line_dedup_global, tfidf_cosine_pairs) overflow
-    # to the r10 window; the 50 r8-graded keys wait behind them.
-    # --- new in r9 (WARC ingest roundtrip; exact-decimal fitted quality
-    # classifier; robots.txt crawl gate) ---
+    # === ROUND-10 WINDOW === 1 new + 3 changed-this-round + the 19 keys
+    # whose last driver row is r7 (the oldest evidence in the registry,
+    # flagged by the r9 verdict) + the 27 OLDEST r8-graded keys by
+    # registration order. The 21 youngest r8-graded keys (pack_sequences,
+    # ann_topk, multimodal_meta, time_windows, session_windows,
+    # cot_pipeline, cot_pipeline_nofilter, embedding_neardup,
+    # semantic_dedup, lang_id_model, html_extract, text_normalize,
+    # split_leakage_audit, corr_matrix, url_canonicalize,
+    # cluster_split_assign, domain_hits, graph_triangles, ewma_smooth,
+    # mmr_rerank, anomaly_events) overflow to the r11 window; the 50
+    # r9-graded keys wait behind them.
+    # --- new in r10 (web-ingest capstone: WARC→decode→robots→extract→
+    # dedup as ONE graded plan) ---
+    "web_ingest_pipeline",
+    # --- changed in r10, regraded: warc_roundtrip gained the 5-case
+    # charset/decode construction; quality_logreg's driver-side weight
+    # rounding now mirrors DuckDB round(DOUBLE,8) exactly; robots_gate
+    # moved the hosts dim from a broadcast join into the kernel ---
     "warc_roundtrip",
     "quality_logreg",
     "robots_gate",
-    # --- changed in r9 (semantics-preserving, regraded as insurance:
-    # readability_scores moved both sides to the explicit
-    # [^ \t\n\r\f\x0B]+ word class; jaccard_prefix_pairs computes the
-    # prefix ceil with BIGINT `div`) ---
-    "readability_scores",
-    "jaccard_prefix_pairs",
-    # --- last driver-graded r6 (the documented r8 overflow, oldest
-    # evidence in the registry) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "sample_select_ops",
-    "unigram_lm_score",
-    "boilerplate_strip",
-    "cube_grouping_sets",
-    "pivot_unpivot",
-    "map_funcs",
-    "collect_agg",
-    "media_kernels",
-    "q13_customer_distribution",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "stats_agg",
-    # --- last driver-graded r7, oldest 33 by registration order ---
-    "percentile_histogram",
-    "salted_skew",
-    "window_rank_frames",
-    "q10_returned_revenue",
-    "q14_promo_share",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_priority",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_blocking_supplier",
-    "substring_dedup",
-    "window_analytics",
-    "resample_timeseries",
-    "interval_overlap",
-    "fuzzy_name_pairs",
-    "bm25_topk",
-    "url_domain_stats",
-    "mad_outlier_gate",
-    "sessionization_report",
-    "funnel_steps",
-    "retention_cohorts",
-    "scd2_history",
+    # --- last driver-graded r7 (two rounds stale) ---
+    "quantile_filter",
+    "chunk_documents_cdc",
+    "scd2_point_in_time",
+    "event_paths_topk",
+    "dsir_weights",
+    "domain_pagerank",
+    "column_profile",
+    "mixture_weights",
+    "kmeans_clusters",
+    "bigram_lm_score",
+    "corpus_diff_content",
+    "pq_ann_topk",
+    "curation_pipeline",
+    "geo_radius_join",
+    "hybrid_rrf_topk",
+    "set_ops_all",
+    "cluster_keep_best",
+    "line_dedup_global",
+    "tfidf_cosine_pairs",
+    # --- last driver-graded r8, oldest 27 by registration order ---
+    "q5_regional_revenue",
+    "distinct_agg",
+    "rollup_agg",
+    "filter_predicates",
+    "case_value_mapping",
+    "string_funcs",
+    "datetime_funcs",
+    "json_extract",
+    "haversine_geo",
+    "dim_enrich_join",
+    "semi_anti_join",
+    "asof_join_events",
+    "range_join_events",
+    "first_last_events",
+    "window_running",
+    "topk_per_group",
+    "set_ops",
+    "exact_dedup_docs",
+    "minhash_pairs",
+    "incremental_minhash_admit",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "text_stats",
+    "tfidf_top_terms",
+    "decontaminate",
 ]
 
 
@@ -7354,39 +7355,14 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse and decode are Arrow-batched map-only kernels (the read_warc
     shard path is one task per shard — parallelism = shard count,
     payloads never on the driver)."""
-    from .sources.warc import decoded_text_col, parse_record_bytes
+    from .sources.warc import (
+        decoded_text_col,
+        parse_record_bytes,
+        warc_response_rec_col as rec,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     sid = F.col("doc_id").cast("string")
-
-    def rec(uri: Column, ctype: str, body_bin: Column) -> Column:
-        nb = F.octet_length(body_bin)
-        http_head = F.concat(
-            F.lit(f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\nContent-Length: "),
-            nb.cast("string"),
-            F.lit("\r\n\r\n"),
-        )
-        block_len = F.octet_length(http_head) + nb
-        head = F.concat(
-            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"),
-            F.substring(F.md5(uri), 1, 12),
-            F.lit(">\r\nWARC-Target-URI: "),
-            uri,
-            F.lit(
-                "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
-                "Content-Type: application/http; msgtype=response\r\n"
-                "Content-Length: "
-            ),
-            block_len.cast("string"),
-            F.lit("\r\n\r\n"),
-        )
-        return F.concat(
-            F.encode(head, "UTF-8"),
-            F.encode(http_head, "UTF-8"),
-            body_bin,
-            F.lit(b"\r\n\r\n"),
-        )
-
     u = lambda leg: F.concat(F.lit(f"http://corpus.local/{leg}/"), sid)  # noqa: E731
     p_latin = F.concat(F.lit("café idée nº "), sid)
     p_sniff = F.concat(
@@ -7678,4 +7654,209 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         "url",
         gate(F.col("host"), F.col("url")).cast("int").alias("allowed"),
+    )
+
+
+@register(
+    "web_ingest_pipeline",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id, lang, source, COALESCE(text, '') AS body,
+             source || '.example.com' AS host,
+             CASE WHEN doc_id % 3 = 0 THEN '/private/' || lang || '/' || doc_id
+                  WHEN doc_id % 3 = 1 THEN '/private/pub/' || doc_id
+                  ELSE '/public/' || doc_id END AS path,
+             length(source) % 3 AS regime
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM urls
+      WHERE CASE
+        WHEN regime = 0 THEN 0                       -- Disallow: /
+        WHEN regime = 1 THEN 1                       -- no robots.txt
+        WHEN path LIKE '/private/pub/%' THEN 1       -- Allow first
+        WHEN path LIKE '/private/%' THEN 0           -- Disallow: /private/
+        ELSE 1 END = 1
+    ),
+    pages AS (
+      SELECT doc_id, host, path,
+        CASE WHEN doc_id % 5 = 2 THEN 'utf-8'
+             WHEN doc_id % 4 = 1 THEN 'iso8859-1'
+             ELSE 'utf-8' END AS charset,
+        CASE WHEN doc_id % 5 = 2 THEN
+          'Mirror' || chr(10) ||
+          'Mirror · ' || lang || chr(10) ||
+          'mirrored landing page' || chr(10) ||
+          'source: ' || source
+        WHEN doc_id % 4 = 1 THEN
+          'Doc ' || doc_id::VARCHAR || chr(10) ||
+          'Doc ' || doc_id::VARCHAR || ' · ' || lang || chr(10) ||
+          'café idée no ' || doc_id::VARCHAR || chr(10) ||
+          'source: ' || source || chr(10) ||
+          'no ' || doc_id::VARCHAR || ' x2'
+        ELSE
+          'Doc ' || doc_id::VARCHAR || chr(10) ||
+          'Doc ' || doc_id::VARCHAR || ' · ' || lang ||
+          CASE WHEN trim(regexp_replace(body, '\s+', ' ', 'g')) = '' THEN ''
+               ELSE chr(10) || trim(regexp_replace(body, '\s+', ' ', 'g')) END ||
+          chr(10) || 'source: ' || source || chr(10) ||
+          'No ' || doc_id::VARCHAR || ' x2'
+        END AS text
+      FROM gated
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS sha
+        FROM pages
+      ) GROUP BY sha
+    )
+    SELECT p.doc_id, p.host,
+           'https://' || p.host || p.path AS url,
+           p.charset, CAST(1 AS INT) AS decode_ok,
+           md5(p.text) AS text_md5,
+           CAST(length(p.text) AS BIGINT) AS n_chars_out
+    FROM pages p JOIN keep k ON p.doc_id = k.doc_id
+    """,
+)
+def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Web-ingest CAPSTONE — stages −1…1 of the web-corpus recipe
+    as ONE registered plan (the curation_pipeline precedent applied to
+    ingest): WARC framing → parse_record_bytes → charset-aware
+    responses_as_text → robots_allowed_for_hosts gate → fused
+    extract_and_normalize → exact-dedup admission. Each stage is also
+    graded alone (warc_roundtrip, robots_gate, html_extract,
+    text_normalize, exact dedup rows); this row grades that their COLUMN
+    CONTRACTS compose — the reference itself is one straight-line
+    pipeline (task.ts:115-258), so the engine's web equivalent is graded
+    end to end, not only stage-by-stage.
+
+    The corpus ships as parquet, so the crawl is CONSTRUCTED in-query,
+    with every downstream stage exercised for real:
+
+    - each document becomes one HTML page served at a per-doc URL on a
+      per-source host; pages are framed as ISO-28500 response records
+      (whole-stage-codegen serializer) and parsed back by the REAL
+      record parser;
+    - ``doc_id % 4 == 1`` pages are ENCODED ISO-8859-1 with the charset
+      declared in Content-Type (é/º/² payload bytes) — the decode stage
+      must recover them; everything else is UTF-8;
+    - ``doc_id % 5 == 2`` pages are MIRRORS: the same id-free landing
+      page per (lang, source) — the realistic duplicate class exact
+      dedup must collapse (lowest doc_id wins);
+    - hosts carry the robots_gate 3-regime robots.txt construction
+      (disallow-all / absent / decoy-group with Allow-before-Disallow),
+      and URL paths hit all three rule branches — the gate runs through
+      the REAL stdlib evaluator with the hosts dim as a broadcast
+      variable;
+    - extraction + NFKC run in the fused Arrow kernel (title/h1/p/
+      inline-b contract; № → 'No', º → 'o', ² → '2' folds).
+
+    The ORACLE never frames, parses, decodes, evaluates robots, or
+    normalizes: it rebuilds the gate verdict as a CASE, the expected
+    extracted-normalized text as string concat, and the dedup winners as
+    a sha256 GROUP BY — agreement machine-checks all five stage
+    contracts and their composition.
+
+    100-TB shape: serialize/parse/decode/gate/extract are ALL map-only
+    (scan-parallel, zero shuffles — the robots dim ships inside the gate
+    kernel as a broadcast variable); the only shuffle in the whole plan
+    is exact dedup's hash-agg on the 64-char sha, the minimum any
+    admission pass needs."""
+    from .functions.normalize import extract_and_normalize
+    from .functions.url import robots_allowed_for_hosts
+    from .operators.dedup import exact_dedup
+    from .sources.warc import (
+        parse_record_bytes,
+        responses_as_text,
+        warc_response_rec_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/private/"), F.col("lang"), F.lit("/"), sid))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/private/pub/"), sid))
+        .otherwise(F.concat(F.lit("/public/"), sid))
+    )
+    url = F.concat(F.lit("https://"), host, path)
+    esc = F.replace(
+        F.replace(
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")), F.lit("&"), F.lit("&amp;")
+            ),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    html_mirror = F.concat(
+        F.lit("<html><head><title>Mirror</title></head><body><h1>Mirror · "),
+        F.col("lang"),
+        F.lit("</h1><p>mirrored landing page</p><div>source: <b>"),
+        F.col("source"),
+        F.lit("</b></div></body></html>"),
+    )
+    html_latin = F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit("</title></head><body><h1>Doc "), sid, F.lit(" · "), F.col("lang"),
+        F.lit("</h1><p>café idée nº "), sid,
+        F.lit("</p><div>source: <b>"), F.col("source"),
+        F.lit("</b></div><div>nº <b>"), sid, F.lit("</b> x²</div></body></html>"),
+    )
+    html_corpus = F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit("</title></head><body><h1>Doc "), sid, F.lit(" · "), F.col("lang"),
+        F.lit("</h1><p>"), esc,
+        F.lit("</p><div>source: <b>"), F.col("source"),
+        F.lit("</b></div><div>№ <b>"), sid, F.lit("</b> x²</div></body></html>"),
+    )
+    is_mirror = F.col("doc_id") % 5 == 2
+    is_latin = (~is_mirror) & (F.col("doc_id") % 4 == 1)
+    ctype = F.when(
+        is_latin, F.lit("text/html; charset=ISO-8859-1")
+    ).otherwise(F.lit("text/html; charset=utf-8"))
+    body_bin = (
+        F.when(is_mirror, F.encode(html_mirror, "UTF-8"))
+        .when(is_latin, F.encode(html_latin, "ISO-8859-1"))
+        .otherwise(F.encode(html_corpus, "UTF-8"))
+    )
+    recs = d.select(
+        "doc_id", warc_response_rec_col(url, ctype, body_bin).alias("rec")
+    )
+    parsed = parse_record_bytes(recs, rec_col="rec", id_col="doc_id")
+    pages = responses_as_text(parsed, keep_cols=("doc_id",))
+    pages = pages.withColumn(
+        "host", F.regexp_extract("url", r"^https://([^/]+)", 1)
+    )
+    regime = F.length("source") % 3
+    robots = (
+        d.select(host.alias("host"), regime.alias("_regime"))
+        .distinct()
+        .select(
+            "host",
+            F.when(F.col("_regime") == 0, F.lit("User-agent: *\nDisallow: /\n"))
+            .when(F.col("_regime") == 1, F.lit(None).cast("string"))
+            .otherwise(
+                F.lit(
+                    "User-agent: badbot\nDisallow: /\n\n"
+                    "User-agent: *\nAllow: /private/pub/\nDisallow: /private/\n"
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    gate = robots_allowed_for_hosts(robots, "etl-adsbx-bot")
+    allowed = pages.where(gate(F.col("host"), F.col("url")))
+    extracted = extract_and_normalize(allowed, html_col="raw_html", out_col="text")
+    admitted = exact_dedup(extracted, "text", "doc_id")
+    return admitted.select(
+        "doc_id",
+        "host",
+        "url",
+        "charset",
+        "decode_ok",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        F.length("text").cast("bigint").alias("n_chars_out"),
     )

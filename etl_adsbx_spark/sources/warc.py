@@ -259,7 +259,10 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
 
 
 def responses_as_text(
-    records: DataFrame, status: int = 200, charset_aware: bool = True
+    records: DataFrame,
+    status: int = 200,
+    charset_aware: bool = True,
+    keep_cols: tuple[str, ...] = ("shard",),
 ) -> DataFrame:
     """Keep HTTP ``response`` records with the given status and decode the
     body to text: (shard, record_id, url, fetched_at, raw_html, charset,
@@ -274,12 +277,16 @@ def responses_as_text(
     silently mangled. ``charset_aware=False`` keeps the r8 fast path
     (Spark's binary→string cast: UTF-8 with U+FFFD replacement, pure
     codegen, ``charset``/``decode_ok`` pinned to that contract) for
-    corpora known to be UTF-8-clean."""
+    corpora known to be UTF-8-clean.
+
+    ``keep_cols`` names the passthrough identity columns — ``("shard",)``
+    for the ``read_warc`` shape, or e.g. ``("doc_id",)`` when the input
+    came through ``parse_record_bytes``'s id lane."""
     resp = records.where(
         (F.col("warc_type") == "response") & (F.col("http_status") == status)
     )
     base = [
-        F.col("shard"),
+        *[F.col(c) for c in keep_cols],
         F.col("record_id"),
         F.col("target_uri").alias("url"),
         F.to_timestamp("warc_date").alias("fetched_at"),
@@ -336,6 +343,46 @@ def parse_record_bytes(df: DataFrame, rec_col: str, id_col: str) -> DataFrame:
             yield out
 
     return df.mapInPandas(parse, schema=out_schema)
+
+
+def warc_response_rec_col(uri, ctype, body_bin):
+    """Whole-stage-codegen WARC response-record serializer: COLUMN-level
+    ISO-28500 framing (version line, WARC headers, HTTP/1.1 response
+    head, exactly Content-Length payload bytes, record separator) for
+    queries that construct shards in-plan (warc_roundtrip,
+    web_ingest_pipeline). ``ctype`` may be a literal or a per-row
+    Column; both Content-Length fields are BYTE counts of the binary
+    payload. Returns a BINARY column."""
+    if isinstance(ctype, str):
+        ctype = F.lit(ctype)
+    nb = F.octet_length(body_bin)
+    http_head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: "),
+        ctype,
+        F.lit("\r\nContent-Length: "),
+        nb.cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    block_len = F.octet_length(http_head) + nb
+    head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"),
+        F.substring(F.md5(uri), 1, 12),
+        F.lit(">\r\nWARC-Target-URI: "),
+        uri,
+        F.lit(
+            "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "Content-Length: "
+        ),
+        block_len.cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    return F.concat(
+        F.encode(head, "UTF-8"),
+        F.encode(http_head, "UTF-8"),
+        body_bin,
+        F.lit(b"\r\n\r\n"),
+    )
 
 
 def warc_response_record(
