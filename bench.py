@@ -137,8 +137,10 @@ OPTIONAL = [
     # r9: robots.txt gate (broadcast robots dim + Arrow evaluator kernel)
     "robots_gate",
     # r10: web-ingest capstone (frame→parse→decode→robots→extract→dedup
-    # as one plan — the end-to-end ingest workload)
+    # as one plan — the end-to-end ingest workload) + the asymmetric
+    # containment join
     "web_ingest_pipeline",
+    "containment_prefix_pairs",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

@@ -2108,3 +2108,101 @@ def jaccard_prefix_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT join via asymmetric prefix filtering —
+    the directed complement of ``jaccard_prefix_pairs``: emit (a, b,
+    containment) where C(A,B) = |A∩B| / |A| ≥ t (how much of document
+    a's shingle set lives inside b's). Jaccard misses the
+    quote/excerpt/subset-duplicate class by construction — a 12-word
+    snippet fully contained in a 500-word page has J ≈ 0.02 but C = 1.0;
+    containment dedup (drop documents mostly contained in a kept
+    document) is the standard corpus treatment for quoted/boilerplated
+    subsets (the SSJoin containment variant, Chaudhuri et al. ICDE'06
+    §3: R-prefix vs unindexed-S).
+
+    The prefix principle, ASYMMETRIC edition: C(A,B) ≥ t needs
+    |A∩B| ≥ ceil(t·|A|), so A cannot miss B on ALL of its first
+    ``|A| − ceil(t·|A|) + 1`` globally-rarest shingles — the probe side
+    prefixes exactly like the Jaccard join, but the INDEXED side must
+    stay FULL (B is unbounded above: a page can contain any snippet, so
+    B-side pruning would lose pairs). The join is still rare-keyed:
+    candidates form only on the probe's rare prefix shingles, so the
+    frequent posting lists enter the join ONLY as the indexed side of
+    those rare keys, never self-joined. Threshold is RATIONAL; the gate
+    ``n_common·den ≥ num·|A|`` is exact integer arithmetic.
+
+    100-TB shape: identical stage inventory to jaccard_prefix_pairs
+    (one df agg, one per-doc rarity window, prefix×postings equi-join,
+    candidate-driven verify) with the same merge pins on the
+    explode-derived frames; directed output, self-pairs excluded.
+    Returns (a_id, b_id, containment) — a is the contained side.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    sh = spread_for_explode(df, DOC_SHINGLE_FANOUT).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(word_shingles(text_col, shingle_n))
+        ).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df")).hint("merge")
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+        ),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n")).hint("merge")
+    # probe prefix p = n − ceil(num·n/den) + 1 (exact BIGINT div ceil)
+    p = (
+        F.col("_n")
+        - F.expr(
+            f"(CAST({threshold_num} AS BIGINT) * _n + {threshold_den - 1}) "
+            f"div {threshold_den}"
+        )
+        + F.lit(1)
+    )
+    prefix = (
+        ranked.join(sizes, "_id")
+        .where(F.col("_pos") <= p)
+        .select("_id", "shingle")
+        .hint("merge")
+    )
+    full = sh.select(F.col("_id").alias("_b"), "shingle")
+    cand = (
+        prefix.join(full, "shingle")
+        .where(F.col("_id") != F.col("_b"))
+        .select(F.col("_id").alias("a_id"), F.col("_b").alias("b_id"))
+        .distinct()
+        .hint("merge")
+    )
+    a_post = sh.select(F.col("_id").alias("a_id"), "shingle")
+    b_post = sh.select(F.col("_id").alias("b_id"), F.col("shingle").alias("shingle"))
+    inter = (
+        cand.join(a_post, "a_id")
+        .join(b_post, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("a_id"), F.col("_n").alias("a_n"))
+    return (
+        inter.join(sa, "a_id")
+        .where(
+            F.col("n_common") * F.lit(threshold_den)
+            >= F.lit(threshold_num) * F.col("a_n")
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("n_common") / F.col("a_n"), 6).alias("containment"),
+        )
+    )

@@ -94,20 +94,21 @@ def register(name: str, oracle: str | None = None):
 #: (tests/test_queries_oracle.py runs all of them each pytest run).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # === ROUND-10 WINDOW === 1 new + 3 changed-this-round + the 19 keys
+    # === ROUND-10 WINDOW === 2 new + 3 changed-this-round + the 19 keys
     # whose last driver row is r7 (the oldest evidence in the registry,
-    # flagged by the r9 verdict) + the 27 OLDEST r8-graded keys by
-    # registration order. The 21 youngest r8-graded keys (pack_sequences,
-    # ann_topk, multimodal_meta, time_windows, session_windows,
-    # cot_pipeline, cot_pipeline_nofilter, embedding_neardup,
-    # semantic_dedup, lang_id_model, html_extract, text_normalize,
-    # split_leakage_audit, corr_matrix, url_canonicalize,
+    # flagged by the r9 verdict) + the 26 OLDEST r8-graded keys by
+    # registration order. The 22 youngest r8-graded keys (decontaminate,
+    # pack_sequences, ann_topk, multimodal_meta, time_windows,
+    # session_windows, cot_pipeline, cot_pipeline_nofilter,
+    # embedding_neardup, semantic_dedup, lang_id_model, html_extract,
+    # text_normalize, split_leakage_audit, corr_matrix, url_canonicalize,
     # cluster_split_assign, domain_hits, graph_triangles, ewma_smooth,
     # mmr_rerank, anomaly_events) overflow to the r11 window; the 50
     # r9-graded keys wait behind them.
     # --- new in r10 (web-ingest capstone: WARC→decode→robots→extract→
-    # dedup as ONE graded plan) ---
+    # dedup as ONE graded plan; asymmetric-prefix containment join) ---
     "web_ingest_pipeline",
+    "containment_prefix_pairs",
     # --- changed in r10, regraded: warc_roundtrip gained the 5-case
     # charset/decode construction; quality_logreg's driver-side weight
     # rounding now mirrors DuckDB round(DOUBLE,8) exactly; robots_gate
@@ -162,7 +163,6 @@ _DRIVER_PRIORITY: list[str] = [
     "simhash_docs",
     "text_stats",
     "tfidf_top_terms",
-    "decontaminate",
 ]
 
 
@@ -7859,4 +7859,76 @@ def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decode_ok",
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
         F.length("text").cast("bigint").alias("n_chars_out"),
+    )
+
+
+@register(
+    "containment_prefix_pairs",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id,
+             array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:14], ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, round(n_common / sa.n, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = a_id
+    WHERE n_common * 5 >= 4 * sa.n
+    """,
+)
+def containment_prefix_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact n-gram CONTAINMENT join (operators.dedup.
+    containment_prefix_pairs) — C(A,B) = |A∩B|/|A| ≥ 4/5, the directed
+    subset-similarity class Jaccard structurally misses (a snippet fully
+    inside a page has J ≈ |A|/|B| but C = 1.0): quote/excerpt detection
+    and contained-document dedup, the SSJoin asymmetric variant
+    (Chaudhuri et al. ICDE'06, R-prefix vs unindexed S). The corpus has
+    no subset documents, so SNIPPETS are CONSTRUCTED in-query (the
+    html_extract precedent): every 10th document contributes its first
+    14 tokens as a new document at id + 1e9 — contained in its source
+    (and in every identical-text copy of it) by construction. The
+    ORACLE is the brute-force all-pairs intersection (the
+    ngram_jaccard_pairs twin) — feasible only at oracle scales, which
+    is why the ASYMMETRIC PREFIX FILTER is the operator: the probe side
+    joins only its |A|−ceil(t·|A|)+1 rarest shingles (lossless by the
+    prefix principle), the indexed side stays full (B is unbounded
+    above — pruning it would lose pairs), and the integer
+    ``n_common·5 ≥ 4·|A|`` gate decides boundaries exactly.
+
+    100-TB shape: same stage inventory and merge pins as
+    jaccard_prefix_pairs (df agg → rarity window → prefix×postings
+    equi-join → candidate-driven verify); candidates form only on the
+    probe's RARE prefix shingles, so frequent posting lists never
+    self-join."""
+    from .operators.dedup import containment_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    snippet = F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 14), " "
+    )
+    corpus = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            snippet.alias("text"),
+        )
+    )
+    return containment_prefix_pairs(
+        corpus, "doc_id", "text", shingle_n=3, threshold_num=4, threshold_den=5
     )

@@ -75,3 +75,61 @@ def test_prefix_join_rejects_bad_threshold(spark):
         jaccard_prefix_pairs(d, threshold_num=0, threshold_den=2)
     with pytest.raises(ValueError):
         jaccard_prefix_pairs(d, threshold_num=3, threshold_den=2)
+
+
+def test_containment_join_directed_semantics(spark):
+    """The asymmetric variant: a snippet fully inside a page scores
+    C(snippet→page)=1.0 while the reverse direction is gated out, and
+    Jaccard would have missed the pair entirely at any usable threshold."""
+    from etl_adsbx_spark.operators.dedup import containment_prefix_pairs
+
+    page = " ".join(f"w{i}" for i in range(60))          # 58 shingles
+    snippet = " ".join(f"w{i}" for i in range(10, 16))   # 4 shingles, all in page
+    other = " ".join(f"x{i}" for i in range(30))
+    d = spark.createDataFrame(
+        [(1, page), (2, snippet), (3, other)], "doc_id bigint, text string"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_prefix_pairs(d, threshold_num=4, threshold_den=5).collect()
+    }
+    assert got == {(2, 1): 1.0}  # directed: only snippet→page
+    # Jaccard on the same pair: 4/58 — invisible to the symmetric join
+    j = jaccard_prefix_pairs(d, threshold_num=1, threshold_den=2).collect()
+    assert not j
+
+
+def test_containment_matches_naive_on_corpus(spark):
+    """Losslessness of the asymmetric prefix screen: identical pair set
+    and values vs a brute-force all-pairs intersection on real corpus
+    text (the oracle replays the same check in DuckDB at grading SFs)."""
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.operators.dedup import (
+        containment_prefix_pairs,
+        word_shingles,
+    )
+    from etl_adsbx_spark.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    fast = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_prefix_pairs(d, threshold_num=4, threshold_den=5).collect()
+    }
+    sh = d.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").count()
+    naive = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a._id") != F.col("b._id"))
+        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+        .join(sizes.select(F.col("_id").alias("a_id"), F.col("count").alias("a_n")), "a_id")
+        .where(F.col("n_common") * 5 >= 4 * F.col("a_n"))
+        .select("a_id", "b_id", F.round(F.col("n_common") / F.col("a_n"), 6).alias("c"))
+    )
+    slow = {(r["a_id"], r["b_id"]): r["c"] for r in naive.collect()}
+    assert fast == slow and fast, f"{len(fast)} vs {len(slow)}"
