@@ -86,3 +86,27 @@ def test_driver_priority_rotation():
     # reorder must not change membership
     assert set(qs) == set(registry._QUERIES)
     assert set(osql) == set(registry._ORACLE)
+
+
+def test_sweep_artifact_covers_full_registry():
+    """The committed sf1 sweep JSON must hold a row for EVERY registry
+    key (r9 verdict: SWEEP_SF1_r9.json stopped at 115 of 117, so a tool
+    diffing sweeps saw keys vanish). Pin the newest committed sweep to
+    the registry the same way the bench stdout line is pinned — if a key
+    is added without re-sweeping, this fails loudly."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sweeps = glob.glob(os.path.join(repo, "SWEEP_SF1_r*.json"))
+    assert sweeps, "no committed sweep artifact"
+    latest = max(
+        sweeps, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1))
+    )
+    rows = json.load(open(latest))
+    missing = set(registry._QUERIES) - set(rows)
+    extra = set(rows) - set(registry._QUERIES)
+    assert not missing, f"{os.path.basename(latest)} missing keys: {sorted(missing)}"
+    assert not extra, f"{os.path.basename(latest)} has unregistered keys: {sorted(extra)}"
