@@ -177,7 +177,14 @@ def decode_body(body: bytes, content_type: str | None) -> tuple[str, str, int]:
     so a correctly-labelled page round-trips byte-exactly."""
     for bom, name in _BOMS:
         if body.startswith(bom):
-            return body.decode(name), name, 1
+            try:
+                return body.decode(name), name, 1
+            except (UnicodeDecodeError, ValueError):
+                # BOM present but the stream is damaged (truncated UTF-16/32
+                # unit, invalid UTF-8 after a UTF-8 BOM): stay with the
+                # BOM's codec — falling through to UTF-8 would render the
+                # BOM itself as garbage — replace and FLAG
+                return body.decode(name, "replace"), name, 0
     candidates: list[str] = []
     if content_type:
         m = _CHARSET_PARAM.search(content_type)

@@ -180,6 +180,11 @@ def test_decode_body_unit():
     assert (text, cs, ok) == ("caf�", "utf-8", 0)
     # declared charset that raises ValueError mid-decode (utf-7 oddity) is survivable
     assert decode_body(b"", None) == ("", "utf-8", 1)
+    # BOM followed by a damaged stream: stay with the BOM codec, replace + FLAG
+    text, cs, ok = decode_body(b"\xef\xbb\xbfcaf\xe9", None)
+    assert (cs, ok) == ("utf-8-sig", 0) and text == "caf�"
+    text, cs, ok = decode_body(b"\xff\xfeab\x00", None)  # truncated UTF-16 unit
+    assert (cs, ok) == ("utf-16", 0)
 
 
 def test_responses_as_text_charset_aware(spark, tmp_path):
