@@ -144,12 +144,17 @@ def robots_allowed_for_hosts(robots, agent: str = "*",
     }
     bc = sc.broadcast(dim)
 
+    # worker-lifetime evaluator cache: the UDF body runs once per Arrow
+    # batch, so a body-local dict would re-parse every host's robots.txt
+    # per batch; closure scope persists for the Python worker's lifetime
+    # (workers run tasks sequentially — no concurrent mutation)
+    cache: dict = {}
+
     @pandas_udf("boolean")
     def _allowed(host: pd.Series, url: pd.Series) -> pd.Series:
         from urllib.robotparser import RobotFileParser
 
         texts = bc.value
-        cache: dict[str, RobotFileParser | None] = {}
         out = []
         for h, u in zip(host, url):
             if h not in cache:

@@ -136,7 +136,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cluster_keep_best",
     "line_dedup_global",
     "tfidf_cosine_pairs",
-    # --- last driver-graded r8, oldest 27 by registration order ---
+    # --- last driver-graded r8, oldest 26 by registration order ---
     "q5_regional_revenue",
     "distinct_agg",
     "rollup_agg",
@@ -208,6 +208,51 @@ def dsum(c: Column, scale: int | None = None) -> Column:
 def ONE4() -> Column:
     # classic PySpark Columns need an active session → build lazily
     return F.lit(1).cast("decimal(8,4)")
+
+
+def _html_escape_col(c: Column) -> Column:
+    """&/</> entity escape for in-query HTML construction — ONE
+    definition shared by html_extract and web_ingest_pipeline so the two
+    graded constructions cannot drift apart (both oracles assume exactly
+    this escape set)."""
+    return F.replace(
+        F.replace(
+            F.replace(c, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+
+
+def _robots_regime_dim(d: DataFrame) -> DataFrame:
+    """The 3-regime per-host robots.txt dim shared by robots_gate and
+    web_ingest_pipeline (hosts keyed on ``source``, regime on
+    length(source) % 3): disallow-all / no file (protocol default:
+    allow) / a two-group file with a decoy ``badbot`` group ABOVE the
+    ``*`` group whose rules are Allow-before-Disallow (the order where
+    Python's first-match and RFC 9309's longest-match agree). Both
+    graded oracles rebuild verdicts from THIS construction — one
+    definition so they cannot drift."""
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    regime = F.length("source") % 3
+    return (
+        d.select(host.alias("host"), regime.alias("_regime"))
+        .distinct()
+        .select(
+            "host",
+            F.when(F.col("_regime") == 0, F.lit("User-agent: *\nDisallow: /\n"))
+            .when(F.col("_regime") == 1, F.lit(None).cast("string"))
+            .otherwise(
+                F.lit(
+                    "User-agent: badbot\nDisallow: /\n\n"
+                    "User-agent: *\nAllow: /private/pub/\nDisallow: /private/\n"
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
 
 
 # =========================================================================
@@ -6218,16 +6263,7 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.html import extract_html_text
 
     d = load_table(spark, sf_dir, "documents")
-    esc = F.replace(
-        F.replace(
-            F.replace(
-                F.coalesce(F.col("text"), F.lit("")),
-                F.lit("&"), F.lit("&amp;"),
-            ),
-            F.lit("<"), F.lit("&lt;"),
-        ),
-        F.lit(">"), F.lit("&gt;"),
-    )
+    esc = _html_escape_col(F.coalesce(F.col("text"), F.lit("")))
     sid = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "), sid,
@@ -7631,24 +7667,7 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         host.alias("host"),
         F.concat(F.lit("https://"), host, path).alias("url"),
     )
-    regime = F.length("source") % 3
-    robots = (
-        d.select(host.alias("host"), regime.alias("_regime"))
-        .distinct()
-        .select(
-            "host",
-            F.when(F.col("_regime") == 0, F.lit("User-agent: *\nDisallow: /\n"))
-            .when(F.col("_regime") == 1, F.lit(None).cast("string"))
-            .otherwise(
-                F.lit(
-                    "User-agent: badbot\nDisallow: /\n\n"
-                    "User-agent: *\nAllow: /private/pub/\nDisallow: /private/\n"
-                )
-            )
-            .alias("robots_txt"),
-        )
-    )
-    gate = robots_allowed_for_hosts(robots, "etl-adsbx-bot")
+    gate = robots_allowed_for_hosts(_robots_regime_dim(d), "etl-adsbx-bot")
     return urls.select(
         "doc_id",
         "host",
@@ -7782,15 +7801,7 @@ def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("/public/"), sid))
     )
     url = F.concat(F.lit("https://"), host, path)
-    esc = F.replace(
-        F.replace(
-            F.replace(
-                F.coalesce(F.col("text"), F.lit("")), F.lit("&"), F.lit("&amp;")
-            ),
-            F.lit("<"), F.lit("&lt;"),
-        ),
-        F.lit(">"), F.lit("&gt;"),
-    )
+    esc = _html_escape_col(F.coalesce(F.col("text"), F.lit("")))
     html_mirror = F.concat(
         F.lit("<html><head><title>Mirror</title></head><body><h1>Mirror · "),
         F.col("lang"),
@@ -7830,24 +7841,7 @@ def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages.withColumn(
         "host", F.regexp_extract("url", r"^https://([^/]+)", 1)
     )
-    regime = F.length("source") % 3
-    robots = (
-        d.select(host.alias("host"), regime.alias("_regime"))
-        .distinct()
-        .select(
-            "host",
-            F.when(F.col("_regime") == 0, F.lit("User-agent: *\nDisallow: /\n"))
-            .when(F.col("_regime") == 1, F.lit(None).cast("string"))
-            .otherwise(
-                F.lit(
-                    "User-agent: badbot\nDisallow: /\n\n"
-                    "User-agent: *\nAllow: /private/pub/\nDisallow: /private/\n"
-                )
-            )
-            .alias("robots_txt"),
-        )
-    )
-    gate = robots_allowed_for_hosts(robots, "etl-adsbx-bot")
+    gate = robots_allowed_for_hosts(_robots_regime_dim(d), "etl-adsbx-bot")
     allowed = pages.where(gate(F.col("host"), F.col("url")))
     extracted = extract_and_normalize(allowed, html_col="raw_html", out_col="text")
     admitted = exact_dedup(extracted, "text", "doc_id")
@@ -7916,7 +7910,9 @@ def containment_prefix_pairs_query(spark: SparkSession, sf_dir: str) -> DataFram
     jaccard_prefix_pairs (df agg → rarity window → prefix×postings
     equi-join → candidate-driven verify); candidates form only on the
     probe's RARE prefix shingles, so frequent posting lists never
-    self-join."""
+    self-join. Tokenization follows the shingle family's ``\\s+``
+    convention (module docstring whitespace-class caveat: assumes a
+    \\x0B-free corpus, as every shingle-family oracle does)."""
     from .operators.dedup import containment_prefix_pairs
 
     d = load_table(spark, sf_dir, "documents")

@@ -378,8 +378,20 @@ def exactly_once_batch_sink(
 
     def sink_marker(df: DataFrame, batch_id: int) -> None:
         final = os.path.join(path, f"batch={batch_id}")
-        if os.path.exists(_marker_path(path, batch_id)):
-            return  # committed — replay is a NO-OP
+        marker = _marker_path(path, batch_id)
+        if os.path.exists(marker):
+            # a marker is the commit record ONLY if it parses: a crash
+            # between the O_EXCL create and the write leaves an empty/
+            # truncated marker, which must read as UNCOMMITTED — else the
+            # replay no-ops forever while readers crash on it (wedged
+            # batch). Torn marker -> delete it and fall through to the
+            # torn-data path.
+            try:
+                with open(marker) as fh:
+                    json.load(fh)
+                return  # committed — replay is a NO-OP
+            except (ValueError, OSError):
+                os.unlink(marker)
         if os.path.exists(final):
             # torn previous attempt: delete object-by-object (the only
             # primitive an object store guarantees), never rename
@@ -402,9 +414,7 @@ def exactly_once_batch_sink(
         ).encode()
         # single-object atomic publish: O_EXCL create + one write + fsync
         # (the local stand-in for an S3 PUT, which is all-or-nothing)
-        fd = os.open(
-            _marker_path(path, batch_id), os.O_WRONLY | os.O_CREAT | os.O_EXCL
-        )
+        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         try:
             os.write(fd, body)
             os.fsync(fd)
@@ -437,7 +447,13 @@ def read_committed_batches(spark, path: str, commit: str = "rename") -> DataFram
     dirs = []
     for marker in sorted(_glob.glob(_marker_path(path, "*"))):
         with open(marker) as fh:
-            meta = json.load(fh)
+            try:
+                meta = json.load(fh)
+            except ValueError:
+                # torn marker (crash mid-PUT): the batch is UNCOMMITTED —
+                # the sink's replay deletes it and rewrites; skip it here
+                # so the corpus stays readable in the meantime
+                continue
         batch_dir = os.path.join(path, f"batch={meta['batch_id']}")
         for rel, size in meta["files"].items():
             fp = os.path.join(batch_dir, rel)

@@ -190,7 +190,11 @@ def decode_body(body: bytes, content_type: str | None) -> tuple[str, str, int]:
         m = _CHARSET_PARAM.search(content_type)
         if m:
             candidates.append(m.group(1))
-    if not candidates and (not content_type or "html" in content_type.lower()):
+    # the meta prescan is a FALLBACK candidate even when the header
+    # carries a charset param: WHATWG falls through when the header label
+    # does not resolve, and a bogus header label over a valid
+    # <meta charset> page must recover, not mangle-and-flag
+    if not content_type or "html" in content_type.lower():
         m = _META_CHARSET.search(body[:1024])
         if m:
             candidates.append(m.group(1).decode("ascii", "replace"))

@@ -920,6 +920,18 @@ def test_marker_commit_sink_is_rename_free_and_torn_write_safe(spark, monkeypatc
     assert not os.path.exists(os.path.join(torn, "half=x"))
     assert read_committed_batches(spark, root, commit="marker").count() == 4
 
+    # TORN MARKER (crash between O_EXCL create and the write): must read
+    # as UNCOMMITTED — readers skip it, the replay heals it
+    b3 = spark.createDataFrame([(5, "e")], "id bigint, v string")
+    sink(b3, 3)
+    with open(os.path.join(root, "_COMMITTED.4"), "w"):
+        pass  # empty marker, no batch=4 data
+    assert read_committed_batches(spark, root, commit="marker").count() == 5
+    sink(spark.createDataFrame([(6, "f")], "id bigint, v string"), 4)
+    marker4 = json.load(open(os.path.join(root, "_COMMITTED.4")))
+    assert marker4["n_files"] >= 1  # healed: real marker after the rewrite
+    assert read_committed_batches(spark, root, commit="marker").count() == 6
+
     # corruption: shorten a committed object → the manifest check trips
     marker = json.load(open(os.path.join(root, "_COMMITTED.2")))
     rel, size = next(iter(marker["files"].items()))

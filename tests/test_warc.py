@@ -180,6 +180,12 @@ def test_decode_body_unit():
     assert (text, cs, ok) == ("caf�", "utf-8", 0)
     # declared charset that raises ValueError mid-decode (utf-7 oddity) is survivable
     assert decode_body(b"", None) == ("", "utf-8", 1)
+    # bogus HEADER label over a valid meta-declared HTML page: the prescan
+    # is a fallback candidate (WHATWG falls through when the label doesn't
+    # resolve), so the page RECOVERS instead of mangle-and-flag
+    html3 = '<html><head><meta charset="shift_jis"></head><body>日本語</body></html>'
+    assert decode_body(html3.encode("shift_jis"),
+                       "text/html; charset=x-bogus-999") == (html3, "shift_jis", 1)
     # BOM followed by a damaged stream: stay with the BOM codec, replace + FLAG
     text, cs, ok = decode_body(b"\xef\xbb\xbfcaf\xe9", None)
     assert (cs, ok) == ("utf-8-sig", 0) and text == "caf�"
