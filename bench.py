@@ -141,6 +141,7 @@ OPTIONAL = [
     # containment join
     "web_ingest_pipeline",
     "containment_prefix_pairs",
+    "crawl_frontier",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

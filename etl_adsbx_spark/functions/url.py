@@ -170,3 +170,41 @@ def robots_allowed_for_hosts(robots, agent: str = "*",
         return pd.Series(out)
 
     return _allowed
+
+
+def frontier_schedule(
+    urls,
+    rate_col: str = "rate",
+    host_col: str = "host",
+    url_col: str = "url",
+):
+    """Crawl-frontier POLITENESS scheduler: assign every URL a
+    ``(wave, slot)`` such that host h fetches at most ``rate_col`` URLs
+    per wave — the stage between the robots gate and the fetcher pool in
+    a crawl pipeline (each wave is one politeness interval; a host's
+    crawl-delay translates to its per-wave rate). Deterministic by
+    construction: URLs order within a host by ``md5(url)`` (content-
+    derived — stable under retry and partitioning, no RNG), then
+
+        wave = (rank-1) div rate,  slot = (rank-1) mod rate
+
+    in exact integer arithmetic.
+
+    100-TB shape: ONE window over host-keyed partitioning — the natural
+    frontier shuffle (hosts are the politeness unit, so host-hash is the
+    only key that can enforce the invariant); everything else is per-row
+    codegen. Hot hosts don't skew the shuffle beyond their own URL
+    count, and the wave numbering is exactly the fetch schedule, so
+    downstream fetchers consume `wave` partitions in order with zero
+    re-sorting."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(F.md5(F.col(url_col)), url_col)
+    rn = (F.row_number().over(w) - F.lit(1)).cast("bigint")
+    return (
+        urls.withColumn("_rn", rn)
+        # exact BIGINT div/mod (SQL `div`, pmod) — no double round-trip
+        .withColumn("wave", F.expr(f"_rn div CAST({rate_col} AS BIGINT)"))
+        .withColumn("slot", F.pmod(F.col("_rn"), F.col(rate_col).cast("bigint")))
+        .drop("_rn")
+    )

@@ -94,10 +94,11 @@ def register(name: str, oracle: str | None = None):
 #: (tests/test_queries_oracle.py runs all of them each pytest run).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # === ROUND-10 WINDOW === 2 new + 3 changed-this-round + the 19 keys
+    # === ROUND-10 WINDOW === 3 new + 3 changed-this-round + the 19 keys
     # whose last driver row is r7 (the oldest evidence in the registry,
-    # flagged by the r9 verdict) + the 26 OLDEST r8-graded keys by
-    # registration order. The 22 youngest r8-graded keys (decontaminate,
+    # flagged by the r9 verdict) + the 25 OLDEST r8-graded keys by
+    # registration order. The 24 youngest r8-graded keys (tfidf_top_terms,
+    # decontaminate,
     # pack_sequences, ann_topk, multimodal_meta, time_windows,
     # session_windows, cot_pipeline, cot_pipeline_nofilter,
     # embedding_neardup, semantic_dedup, lang_id_model, html_extract,
@@ -106,9 +107,11 @@ _DRIVER_PRIORITY: list[str] = [
     # mmr_rerank, anomaly_events) overflow to the r11 window; the 50
     # r9-graded keys wait behind them.
     # --- new in r10 (web-ingest capstone: WARC→decode→robots→extract→
-    # dedup as ONE graded plan; asymmetric-prefix containment join) ---
+    # dedup as ONE graded plan; asymmetric-prefix containment join;
+    # crawl-frontier politeness scheduler) ---
     "web_ingest_pipeline",
     "containment_prefix_pairs",
+    "crawl_frontier",
     # --- changed in r10, regraded: warc_roundtrip gained the 5-case
     # charset/decode construction; quality_logreg's driver-side weight
     # rounding now mirrors DuckDB round(DOUBLE,8) exactly; robots_gate
@@ -136,7 +139,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cluster_keep_best",
     "line_dedup_global",
     "tfidf_cosine_pairs",
-    # --- last driver-graded r8, oldest 26 by registration order ---
+    # --- last driver-graded r8, oldest 25 by registration order ---
     "q5_regional_revenue",
     "distinct_agg",
     "rollup_agg",
@@ -162,7 +165,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ngram_jaccard_pairs",
     "simhash_docs",
     "text_stats",
-    "tfidf_top_terms",
 ]
 
 
@@ -7928,3 +7930,119 @@ def containment_prefix_pairs_query(spark: SparkSession, sf_dir: str) -> DataFram
     return containment_prefix_pairs(
         corpus, "doc_id", "text", shingle_n=3, threshold_num=4, threshold_den=5
     )
+
+
+@register(
+    "crawl_frontier",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             source || '.example.com' AS host,
+             'https://' || source || '.example.com' ||
+             CASE WHEN doc_id % 3 = 0 THEN '/private/' || lang || '/' || doc_id
+                  WHEN doc_id % 3 = 1 THEN '/private/pub/' || doc_id
+                  ELSE '/public/' || doc_id END AS url,
+             CASE WHEN doc_id % 3 = 0 THEN '/private/' || lang || '/' || doc_id
+                  WHEN doc_id % 3 = 1 THEN '/private/pub/' || doc_id
+                  ELSE '/public/' || doc_id END AS path,
+             length(source) % 3 AS regime,
+             1 + length(source) % 3 AS rate
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM urls
+      WHERE CASE
+        WHEN regime = 0 THEN 0
+        WHEN regime = 1 THEN 1
+        WHEN path LIKE '/private/pub/%' THEN 1
+        WHEN path LIKE '/private/%' THEN 0
+        ELSE 1 END = 1
+    ),
+    sched AS (
+      SELECT doc_id, host, url, rate,
+             (row_number() OVER (PARTITION BY host ORDER BY md5(url), url) - 1)
+               AS rn
+      FROM gated
+    ),
+    final AS (
+      SELECT doc_id, host, url,
+             CAST(rn // rate AS BIGINT) AS wave,
+             CAST(rn % rate AS BIGINT) AS slot
+      FROM sched
+    )
+    SELECT 'url' AS leg, doc_id, host, url, wave, slot,
+           CAST(NULL AS BIGINT) AS n_urls, CAST(NULL AS BIGINT) AS n_hosts
+    FROM final
+    UNION ALL
+    SELECT 'wave_stats', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), wave, CAST(NULL AS BIGINT),
+           COUNT(*), COUNT(DISTINCT host)
+    FROM final GROUP BY wave
+    """,
+)
+def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Crawl-frontier politeness scheduler (functions.url.
+    frontier_schedule) — the stage between the robots gate and the
+    fetcher pool: every allowed URL gets a ``(wave, slot)`` such that a
+    host fetches at most ``rate`` URLs per wave (its crawl-delay as a
+    per-wave budget). The corpus has no frontier, so it is CONSTRUCTED
+    in-query on the robots_gate scaffolding (shared
+    ``_robots_regime_dim``): per-source hosts, 3-branch paths, the
+    stdlib-evaluated robots gate, and per-host rates 1 + len(source)%3.
+    Ordering within a host is ``md5(url)`` — content-derived, so the
+    schedule is deterministic under retry and partitioning with no RNG.
+    Two graded legs (the geo_radius_join convention): the full per-URL
+    schedule and per-wave totals (n_urls, n_hosts). The ORACLE replays
+    the gate as the regime CASE and the schedule as the same window +
+    exact integer div/mod.
+
+    100-TB shape: ONE window over host-keyed partitioning — the natural
+    frontier shuffle (the host is the politeness unit, so host-hash is
+    the only key that can enforce the invariant); the gate is the
+    broadcast-variable kernel (zero joins) and the wave numbering IS the
+    fetch schedule — downstream fetchers consume waves in order with no
+    re-sort."""
+    from .functions.url import frontier_schedule, robots_allowed_for_hosts
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/private/"), F.col("lang"), F.lit("/"), sid))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/private/pub/"), sid))
+        .otherwise(F.concat(F.lit("/public/"), sid))
+    )
+    urls = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        (F.lit(1) + F.length("source") % 3).alias("rate"),
+    )
+    gate = robots_allowed_for_hosts(_robots_regime_dim(d), "etl-adsbx-bot")
+    allowed = urls.where(gate(F.col("host"), F.col("url")))
+    sched = frontier_schedule(allowed, rate_col="rate")
+    url_leg = sched.select(
+        F.lit("url").alias("leg"),
+        "doc_id",
+        "host",
+        "url",
+        "wave",
+        "slot",
+        F.lit(None).cast("bigint").alias("n_urls"),
+        F.lit(None).cast("bigint").alias("n_hosts"),
+    )
+    stats_leg = sched.groupBy("wave").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+    ).select(
+        F.lit("wave_stats").alias("leg"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("host"),
+        F.lit(None).cast("string").alias("url"),
+        "wave",
+        F.lit(None).cast("bigint").alias("slot"),
+        "n_urls",
+        "n_hosts",
+    )
+    return url_leg.unionByName(stats_leg)

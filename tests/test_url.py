@@ -152,3 +152,29 @@ def test_robots_allowed_for_hosts_broadcast_dim(spark):
     assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
     for r in out.collect():
         assert r["ok"] is r["want"], (r["i"], r["ok"])
+
+
+def test_frontier_schedule_politeness_invariant(spark):
+    """The scheduler's contract: per (host, wave) at most `rate` URLs,
+    slots dense in [0, rate), every URL scheduled exactly once, and the
+    assignment is deterministic under repartitioning (content-derived
+    order, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.functions.url import frontier_schedule
+
+    rows = [(f"h{i % 5}.example.com", f"https://h{i % 5}.example.com/p/{i}",
+             1 + (i % 5) % 3) for i in range(200)]
+    urls = spark.createDataFrame(rows, "host string, url string, rate int")
+    out = frontier_schedule(urls).collect()
+    assert len(out) == 200 and len({r["url"] for r in out}) == 200
+    per = {}
+    for r in out:
+        per.setdefault((r["host"], r["wave"]), []).append(r["slot"])
+    for (h, w), slots in per.items():
+        rate = 1 + int(h[1]) % 3
+        assert len(slots) <= rate, (h, w, slots)
+        assert sorted(slots) == list(range(len(slots)))  # dense slots
+    again = {(r["url"], r["wave"], r["slot"])
+             for r in frontier_schedule(urls.repartition(13)).collect()}
+    assert again == {(r["url"], r["wave"], r["slot"]) for r in out}
