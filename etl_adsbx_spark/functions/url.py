@@ -116,9 +116,49 @@ def robots_allowed(agent: str = "*"):
     return _allowed
 
 
+#: robots_allowed_for_hosts guards: the dim collect is capped so a
+#: mis-sized "hosts dim" (someone passes the URL table) errors loudly
+#: instead of OOMing the driver; the per-worker evaluator cache is
+#: LRU-bounded so a long-lived worker over many hosts stays flat.
+ROBOTS_DIM_MAX_HOSTS = 1_000_000
+ROBOTS_DIM_MAX_BYTES = 1 << 30
+_ROBOTS_CACHE_CAP = 65_536
+
+
+def _collect_hosts_dim(robots, host_col: str, txt_col: str,
+                       max_hosts: int, max_bytes: int) -> dict:
+    """Size-guarded driver collect of the (host → text) dim. Pulls at
+    most ``max_hosts + 1`` rows (the +1 is the overflow sentinel — the
+    driver never materializes an unbounded frame) and raises with a
+    clear message on either cap. NOTE: this runs a Spark job at
+    CONSTRUCTION time (it is the broadcast's build step)."""
+    rows = robots.select(host_col, txt_col).limit(max_hosts + 1).collect()
+    if len(rows) > max_hosts:
+        raise ValueError(
+            f"robots hosts dim exceeds max_hosts={max_hosts}: this argument "
+            "must be the hosts-sized (host, robots_txt) dim, not a URL-"
+            "scale frame (raise max_hosts only if the dim genuinely fits "
+            "on the driver and in a broadcast)"
+        )
+    dim, nbytes = {}, 0
+    for r in rows:
+        if r[1] is None or not r[1].strip():
+            continue
+        nbytes += len(r[1])
+        if nbytes > max_bytes:
+            raise ValueError(
+                f"robots hosts dim exceeds max_bytes={max_bytes} of robots "
+                f"text after {len(dim)} hosts — too large to broadcast"
+            )
+        dim[r[0]] = r[1]
+    return dim
+
+
 def robots_allowed_for_hosts(robots, agent: str = "*",
                              host_col: str = "host",
-                             txt_col: str = "robots_txt"):
+                             txt_col: str = "robots_txt",
+                             max_hosts: int = ROBOTS_DIM_MAX_HOSTS,
+                             max_bytes: int = ROBOTS_DIM_MAX_BYTES):
     """``robots_allowed`` for the hosts-sized-dim shape:
     ``udf(host, url) -> boolean`` with the (host → robots.txt) table
     shipped ONCE as a Spark broadcast variable instead of joined onto
@@ -127,28 +167,31 @@ def robots_allowed_for_hosts(robots, agent: str = "*",
     before the kernel's cache sees it — at crawl scale the dominant
     column in the projected Arrow batch was redundant text. Here the
     batches stay two thin string columns; each executor fetches the dim
-    once and caches one parsed evaluator per host.
+    once and caches one parsed evaluator per host (LRU-bounded at
+    ``_ROBOTS_CACHE_CAP`` so worker memory stays flat over many hosts).
 
     ``robots`` is the (host, robots_txt) DataFrame — hosts-sized by
     construction (≪ corpus; the same size bound that justified
-    broadcasting it), so the one driver collect is the broadcast's own
-    build step, not a data-path collect. Hosts absent from the dim (or
-    with null/empty text) allow everything, the protocol default."""
+    broadcasting it). **Construction runs one Spark job**: the dim
+    collect IS the broadcast's build step, guarded by ``max_hosts`` /
+    ``max_bytes`` so a mis-sized frame errors loudly instead of OOMing
+    the driver. Hosts absent from the dim (or with null/empty text)
+    allow everything, the protocol default."""
     from pyspark.sql.functions import pandas_udf
 
     sc = robots.sparkSession.sparkContext
-    dim = {
-        r[0]: r[1]
-        for r in robots.select(host_col, txt_col).collect()
-        if r[1] is not None and r[1].strip()
-    }
-    bc = sc.broadcast(dim)
+    bc = sc.broadcast(
+        _collect_hosts_dim(robots, host_col, txt_col, max_hosts, max_bytes)
+    )
 
     # worker-lifetime evaluator cache: the UDF body runs once per Arrow
     # batch, so a body-local dict would re-parse every host's robots.txt
     # per batch; closure scope persists for the Python worker's lifetime
-    # (workers run tasks sequentially — no concurrent mutation)
-    cache: dict = {}
+    # (workers run tasks sequentially — no concurrent mutation). LRU so
+    # a worker that sees the whole host space doesn't grow unbounded.
+    from collections import OrderedDict
+
+    cache: OrderedDict = OrderedDict()
 
     @pandas_udf("boolean")
     def _allowed(host: pd.Series, url: pd.Series) -> pd.Series:
@@ -157,7 +200,9 @@ def robots_allowed_for_hosts(robots, agent: str = "*",
         texts = bc.value
         out = []
         for h, u in zip(host, url):
-            if h not in cache:
+            if h in cache:
+                cache.move_to_end(h)
+            else:
                 txt = texts.get(h)
                 if txt is None:
                     cache[h] = None
@@ -165,11 +210,68 @@ def robots_allowed_for_hosts(robots, agent: str = "*",
                     rp = RobotFileParser()
                     rp.parse(txt.splitlines())
                     cache[h] = rp
+                if len(cache) > _ROBOTS_CACHE_CAP:
+                    cache.popitem(last=False)
             rp = cache[h]
             out.append(True if rp is None else bool(rp.can_fetch(agent, u)))
         return pd.Series(out)
 
     return _allowed
+
+
+def robots_crawl_delay_for_hosts(robots, agent: str = "*",
+                                 host_col: str = "host",
+                                 txt_col: str = "robots_txt",
+                                 max_hosts: int = ROBOTS_DIM_MAX_HOSTS,
+                                 max_bytes: int = ROBOTS_DIM_MAX_BYTES):
+    """``udf(host) -> bigint`` crawl-delay seconds for ``agent``, through
+    the SAME stdlib evaluator as the gate kernels
+    (``urllib.robotparser.RobotFileParser.crawl_delay`` — group selection
+    identical to ``can_fetch``, so the delay always comes from the group
+    whose rules gate the fetch). NULL when the host has no robots file or
+    its matched group carries no ``Crawl-delay`` line — callers map NULL
+    to their default politeness. CPython parses integer delays only
+    (non-integer ``Crawl-delay`` values are ignored by the stdlib
+    parser), hence the bigint signature.
+
+    Same broadcast-variable shape and size guards as
+    ``robots_allowed_for_hosts`` (construction runs one Spark job — the
+    dim collect is the broadcast's build step)."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = robots.sparkSession.sparkContext
+    bc = sc.broadcast(
+        _collect_hosts_dim(robots, host_col, txt_col, max_hosts, max_bytes)
+    )
+    from collections import OrderedDict
+
+    cache: OrderedDict = OrderedDict()
+
+    @pandas_udf("bigint")
+    def _delay(host: pd.Series) -> pd.Series:
+        from urllib.robotparser import RobotFileParser
+
+        texts = bc.value
+        out = []
+        for h in host:
+            if h in cache:
+                cache.move_to_end(h)
+            else:
+                txt = texts.get(h)
+                if txt is None:
+                    cache[h] = None
+                else:
+                    rp = RobotFileParser()
+                    rp.parse(txt.splitlines())
+                    cache[h] = rp
+                if len(cache) > _ROBOTS_CACHE_CAP:
+                    cache.popitem(last=False)
+            rp = cache[h]
+            d = None if rp is None else rp.crawl_delay(agent)
+            out.append(None if d is None else int(d))
+        return pd.Series(out, dtype="Int64")
+
+    return _delay
 
 
 def frontier_schedule(
@@ -182,13 +284,17 @@ def frontier_schedule(
     ``(wave, slot)`` such that host h fetches at most ``rate_col`` URLs
     per wave — the stage between the robots gate and the fetcher pool in
     a crawl pipeline (each wave is one politeness interval; a host's
-    crawl-delay translates to its per-wave rate). Deterministic by
-    construction: URLs order within a host by ``md5(url)`` (content-
-    derived — stable under retry and partitioning, no RNG), then
+    crawl-delay translates to its per-wave rate, see
+    ``robots_crawl_delay_for_hosts``). Deterministic by construction:
+    URLs order within a host by ``md5(url)`` (content-derived — stable
+    under retry and partitioning, no RNG), then
 
         wave = (rank-1) div rate,  slot = (rank-1) mod rate
 
-    in exact integer arithmetic.
+    in exact integer arithmetic. A NULL or non-positive rate is a
+    CONTRACT VIOLATION and raises at execution time (``raise_error`` in
+    the rate lane) — silently emitting NULL wave/slot would un-schedule
+    those URLs with no signal.
 
     100-TB shape: ONE window over host-keyed partitioning — the natural
     frontier shuffle (hosts are the politeness unit, so host-hash is the
@@ -199,12 +305,36 @@ def frontier_schedule(
     re-sorting."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(host_col).orderBy(F.md5(F.col(url_col)), url_col)
+    # backtick-quote the user-supplied names so they resolve LITERALLY
+    # (bare F.col parses dots as struct accessors — a rate column named
+    # 'max fetch.rate' would mis-resolve or break)
+    def _qcol(name: str) -> Column:
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    host, url, rate = _qcol(host_col), _qcol(url_col), _qcol(rate_col)
+    w = Window.partitionBy(host).orderBy(F.md5(url), url)
     rn = (F.row_number().over(w) - F.lit(1)).cast("bigint")
+    rate = rate.cast("bigint")
+    checked_rate = F.when(
+        rate.isNull() | (rate < 1),
+        F.raise_error(
+            F.concat(
+                F.lit(f"frontier_schedule: rate column {rate_col!r} must be "
+                      ">= 1, got "),
+                F.coalesce(rate.cast("string"), F.lit("NULL")),
+                F.lit(" for host "),
+                F.coalesce(host.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint"),
+    ).otherwise(rate)
     return (
+        # fixed internal names — rate_col never reaches an F.expr string,
+        # so exotic column names can neither break parsing nor resolve to
+        # the wrong attribute
         urls.withColumn("_rn", rn)
+        .withColumn("_rate", checked_rate)
         # exact BIGINT div/mod (SQL `div`, pmod) — no double round-trip
-        .withColumn("wave", F.expr(f"_rn div CAST({rate_col} AS BIGINT)"))
-        .withColumn("slot", F.pmod(F.col("_rn"), F.col(rate_col).cast("bigint")))
-        .drop("_rn")
+        .withColumn("wave", F.expr("_rn div _rate"))
+        .withColumn("slot", F.pmod(F.col("_rn"), F.col("_rate")))
+        .drop("_rn", "_rate")
     )

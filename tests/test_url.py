@@ -178,3 +178,104 @@ def test_frontier_schedule_politeness_invariant(spark):
     again = {(r["url"], r["wave"], r["slot"])
              for r in frontier_schedule(urls.repartition(13)).collect()}
     assert again == {(r["url"], r["wave"], r["slot"]) for r in out}
+
+
+def test_frontier_schedule_null_or_zero_rate_raises(spark):
+    """A NULL / non-positive rate is a contract violation: the scheduler
+    must FAIL LOUDLY (raise_error in the rate lane), never silently emit
+    NULL wave/slot — an un-scheduled URL with no signal is a dropped
+    fetch. Exotic rate column names resolve correctly (no string
+    interpolation into F.expr)."""
+    import pytest
+
+    from etl_adsbx_spark.functions.url import frontier_schedule
+
+    bad = spark.createDataFrame(
+        [("h.example.com", "https://h.example.com/a", None),
+         ("h.example.com", "https://h.example.com/b", 2)],
+        "host string, url string, rate int",
+    )
+    with pytest.raises(Exception, match="must be >= 1"):
+        frontier_schedule(bad).collect()
+    zero = spark.createDataFrame(
+        [("h.example.com", "https://h.example.com/a", 0)],
+        "host string, url string, rate int",
+    )
+    with pytest.raises(Exception, match="must be >= 1"):
+        frontier_schedule(zero).collect()
+    # a rate column whose name needs backtick-quoting still works — the
+    # schedule math is built from Column expressions, not an expr string
+    odd = spark.createDataFrame(
+        [("h.example.com", f"https://h.example.com/{i}", 2) for i in range(5)],
+        "host string, url string, `max fetch.rate` int",
+    )
+    out = frontier_schedule(odd, rate_col="max fetch.rate").collect()
+    assert {(r["wave"], r["slot"]) for r in out} == {
+        (0, 0), (0, 1), (1, 0), (1, 1), (2, 0)
+    }
+
+
+def test_robots_hosts_dim_size_guard(spark):
+    """The hosts-dim collect is capped: a mis-sized dim (URL-scale frame
+    passed by mistake) raises with a clear message instead of OOMing the
+    driver at UDF-construction time."""
+    import pytest
+
+    from etl_adsbx_spark.functions.url import (
+        robots_allowed_for_hosts,
+        robots_crawl_delay_for_hosts,
+    )
+
+    robots = spark.createDataFrame(
+        [(f"h{i}.example.com", "User-agent: *\nDisallow: /x\n") for i in range(8)],
+        "host string, robots_txt string",
+    )
+    with pytest.raises(ValueError, match="max_hosts"):
+        robots_allowed_for_hosts(robots, max_hosts=3)
+    with pytest.raises(ValueError, match="max_bytes"):
+        robots_crawl_delay_for_hosts(robots, max_bytes=40)
+
+
+def test_robots_crawl_delay_for_hosts(spark):
+    """Crawl-delay extraction through the stdlib evaluator: the delay
+    comes from the SAME group selection as can_fetch (a decoy badbot
+    group's Crawl-delay must be skipped for other agents and USED for
+    badbot); hosts with no file / no delay line are NULL; CPython's
+    parser accepts integer delays only."""
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.functions.url import robots_crawl_delay_for_hosts
+
+    robots = spark.createDataFrame(
+        [
+            ("decoy.example.com",
+             "User-agent: badbot\nDisallow: /\nCrawl-delay: 99\n\n"
+             "User-agent: *\nDisallow: /private/\nCrawl-delay: 7\n"),
+            ("nodelay.example.com", "User-agent: *\nDisallow: /private/\n"),
+            ("nullfile.example.com", None),
+            ("floatdelay.example.com",
+             "User-agent: *\nCrawl-delay: 2.5\n"),  # ignored by CPython
+        ],
+        "host string, robots_txt string",
+    )
+    hosts = spark.createDataFrame(
+        [("decoy.example.com",), ("nodelay.example.com",),
+         ("nullfile.example.com",), ("floatdelay.example.com",),
+         ("absent.example.com",)],
+        "host string",
+    )
+    delay = robots_crawl_delay_for_hosts(robots, "etl-adsbx-bot")
+    got = {r["host"]: r["d"] for r in
+           hosts.select("host", delay(F.col("host")).alias("d")).collect()}
+    assert got == {
+        "decoy.example.com": 7,
+        "nodelay.example.com": None,
+        "nullfile.example.com": None,
+        "floatdelay.example.com": None,
+        "absent.example.com": None,
+    }
+    bad = robots_crawl_delay_for_hosts(robots, "badbot")
+    got99 = hosts.where(F.col("host") == "decoy.example.com").select(
+        bad(F.col("host")).alias("d")
+    ).first()["d"]
+    assert got99 == 99
