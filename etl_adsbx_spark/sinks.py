@@ -322,32 +322,44 @@ def exactly_once_batch_sink(
       the rename protocol, never committed), then rename into place.
 
     ``commit="marker"`` (object-store-safe: S3-class stores have NO
-    atomic directory rename): the data is written STRAIGHT to the final
-    ``batch=<id>`` prefix, and the commit record is one
+    atomic directory rename): each ATTEMPT writes its data under an
+    attempt-unique prefix ``batch=<id>/attempt=<token>`` (so two
+    concurrent attempts of the same batchId — the zombie-driver replay
+    case — can never interleave bytes), and the commit record is one
     ``_COMMITTED.<id>`` marker object published with a single atomic
-    PUT (``O_EXCL`` create locally) AFTER the data lands — the Iceberg/
-    Delta pointer-flip protocol in one file:
+    PUT (``O_EXCL`` create locally) AFTER the data lands and is fsynced
+    — the Iceberg/Delta pointer-flip protocol in one file. The marker
+    names the winning attempt and carries a per-file manifest
+    (relpath → bytes + sha256), so readers resolve data THROUGH the
+    marker and can verify every committed object is present and whole:
 
-    - marker exists → committed; replay is a NO-OP regardless of what
-      the data prefix looks like.
-    - marker absent → any bytes under ``batch=<id>`` are a TORN previous
-      attempt (crash mid-write): they are deleted object-by-object (no
-      rename, no directory ops) and the batch is rewritten, then the
-      marker is PUT. The marker carries the file manifest (relpath →
-      bytes), so ``read_committed_batches`` can verify every committed
-      object is present and whole before exposing the batch.
+    - marker exists and parses → committed; replay is a NO-OP
+      regardless of what the data prefix looks like.
+    - marker PUT loses the ``O_EXCL`` race (``FileExistsError``) → the
+      existing marker is re-validated: if it parses, another attempt
+      won and this attempt's prefix is deleted as garbage; if it is
+      TORN (a concurrent attempt crashed mid-PUT), it is healed
+      (deleted) and the PUT retried.
+    - after WINNING, stray sibling objects under ``batch=<id>`` (torn
+      attempts that can no longer win — the marker exists) are
+      garbage-collected object-by-object; unreferenced attempt prefixes
+      are invisible to readers either way, because readers list markers,
+      never data prefixes.
 
     This Python layer never renames in marker mode (pinned by a
     monkeypatched-``os.rename`` test). Scope honesty: Spark's OWN file
     committer may still rename task files inside the batch write — on a
     real object store pair this sink with an S3A "magic"/zero-rename
-    committer; the torn-write recovery above is exactly what makes that
-    safe, because a partially-committed data prefix without a marker is
-    indistinguishable from a crash and gets cleaned either way.
+    committer. Durability: every data file is fsynced (and the
+    attempt + batch directory entries flushed) BEFORE the marker PUT,
+    so a durable marker never references non-durable objects on a
+    POSIX host; on a real object store PUT visibility already implies
+    durability and the fsyncs degrade to no-ops.
 
     Readers see only fully-committed batches: rename mode globs
     ``batch=*`` dirs (staging is dot-prefixed, which Spark's file index
-    skips); marker mode lists markers and reads exactly those prefixes.
+    skips); marker mode lists markers and reads exactly the attempt
+    prefixes they name.
 
     Returns the (df, batch_id) callable for
     ``writeStream.foreachBatch(...)``. ``partition_by`` routes through
@@ -377,6 +389,9 @@ def exactly_once_batch_sink(
         os.rename(staging, final)
 
     def sink_marker(df: DataFrame, batch_id: int) -> None:
+        import hashlib
+        import uuid
+
         final = os.path.join(path, f"batch={batch_id}")
         marker = _marker_path(path, batch_id)
         if os.path.exists(marker):
@@ -384,44 +399,119 @@ def exactly_once_batch_sink(
             # between the O_EXCL create and the write leaves an empty/
             # truncated marker, which must read as UNCOMMITTED — else the
             # replay no-ops forever while readers crash on it (wedged
-            # batch). Torn marker -> delete it and fall through to the
-            # torn-data path.
-            try:
-                with open(marker) as fh:
-                    json.load(fh)
+            # batch). Torn marker -> heal (delete) and fall through.
+            if _load_marker(marker) is not None:
                 return  # committed — replay is a NO-OP
-            except (ValueError, OSError):
-                os.unlink(marker)
-        if os.path.exists(final):
-            # torn previous attempt: delete object-by-object (the only
-            # primitive an object store guarantees), never rename
-            for root, _dirs, files in os.walk(final, topdown=False):
-                for f in files:
-                    os.unlink(os.path.join(root, f))
-                os.rmdir(root)
-        write_batch(df, final)
-        files = {
-            os.path.relpath(os.path.join(root, f), final): os.path.getsize(
-                os.path.join(root, f)
-            )
-            for root, _dirs, fs in os.walk(final)
-            for f in fs
-            if not f.startswith(".") and not f.startswith("_")
-        }
+            os.unlink(marker)
+        token = uuid.uuid4().hex[:16]
+        attempt_dir = os.path.join(final, f"attempt={token}")
+        write_batch(df, attempt_dir)
+        # manifest + durability in one pass: size and sha256 every data
+        # object, fsync it, then flush the directory entries — only THEN
+        # may the marker become durable (a durable marker must never
+        # point at non-durable bytes)
+        files: dict[str, dict] = {}
+        for root, _dirs, fs in os.walk(attempt_dir):
+            for f in fs:
+                if f.startswith(".") or f.startswith("_"):
+                    continue
+                fp = os.path.join(root, f)
+                h = hashlib.sha256()
+                with open(fp, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+                    os.fsync(fh.fileno())
+                files[os.path.relpath(fp, attempt_dir)] = {
+                    "bytes": os.path.getsize(fp),
+                    "sha256": h.hexdigest(),
+                }
+        for d in (attempt_dir, final):
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         body = json.dumps(
-            {"batch_id": batch_id, "n_files": len(files), "files": files},
+            {
+                "batch_id": batch_id,
+                "attempt": token,
+                "n_files": len(files),
+                "files": files,
+            },
             sort_keys=True,
         ).encode()
         # single-object atomic publish: O_EXCL create + one write + fsync
-        # (the local stand-in for an S3 PUT, which is all-or-nothing)
-        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        try:
-            os.write(fd, body)
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+        # (the local stand-in for an S3 conditional PUT, all-or-nothing)
+        won = False
+        for _ in range(8):
+            try:
+                fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                # lost the race: re-validate the existing marker instead
+                # of crashing (the concurrent-replay case this protocol
+                # exists for)
+                if _load_marker(marker) is not None:
+                    # another attempt committed — this attempt's prefix
+                    # is unreferenced garbage; remove it and succeed
+                    _rm_objects(attempt_dir)
+                    return
+                try:  # torn marker from a crashed rival: heal, retry PUT
+                    os.unlink(marker)
+                except FileNotFoundError:
+                    pass
+                continue
+            try:
+                os.write(fd, body)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            won = True
+            break
+        if not won:
+            raise RuntimeError(
+                f"marker PUT for batch {batch_id} kept losing to torn "
+                f"markers after 8 attempts: {marker}"
+            )
+        # we won: torn sibling attempts can never win now — GC them so
+        # the prefix doesn't accumulate unreferenced garbage
+        for entry in os.listdir(final):
+            if entry != f"attempt={token}":
+                _rm_objects(os.path.join(final, entry))
 
     return sink_rename if commit == "rename" else sink_marker
+
+
+def _load_marker(marker: str) -> dict | None:
+    """Parse a commit marker; None when missing or TORN (unparseable —
+    a crash between the O_EXCL create and the write)."""
+    try:
+        with open(marker) as fh:
+            return json.load(fh)
+    except (ValueError, OSError):
+        return None
+
+
+def _rm_objects(p: str) -> None:
+    """Delete a file or a tree object-by-object (unlink + rmdir — the
+    only primitives an object store guarantees; never rename)."""
+    import os
+
+    if not os.path.isdir(p):
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            pass
+        return
+    for root, _dirs, files in os.walk(p, topdown=False):
+        for f in files:
+            try:
+                os.unlink(os.path.join(root, f))
+            except FileNotFoundError:
+                pass
+        try:
+            os.rmdir(root)
+        except (FileNotFoundError, OSError):
+            pass
 
 
 def _marker_path(path: str, batch_id: int | str) -> str:
@@ -430,41 +520,90 @@ def _marker_path(path: str, batch_id: int | str) -> str:
     return os.path.join(path, f"_COMMITTED.{batch_id}")
 
 
-def read_committed_batches(spark, path: str, commit: str = "rename") -> DataFrame:
+def read_committed_batches(
+    spark, path: str, commit: str = "auto", verify: str = "size"
+) -> DataFrame:
     """Read every COMMITTED batch of an ``exactly_once_batch_sink``
-    corpus. Rename mode: glob ``batch=*`` dirs (staging is dot-prefixed,
-    which Spark's file index skips; the ``batch=<id>`` dirs read back as
-    a hive partition column). Marker mode: list ``_COMMITTED.*`` markers
-    and read exactly those batch prefixes — a data prefix without a
-    marker is an uncommitted torn write and stays invisible; a MARKER
-    whose manifest names a missing/short file is corruption and fails
-    loudly before any row is served."""
+    corpus. ``commit="auto"`` (default) detects the protocol from the
+    corpus itself: ``_COMMITTED.*`` markers present → marker mode, else
+    rename mode — so a caller can never accidentally glob a marker-mode
+    corpus's torn prefixes by forgetting the write-side mode. Passing
+    ``commit="rename"`` explicitly on a corpus that HAS markers raises
+    (that read would expose exactly the uncommitted prefixes the marker
+    protocol makes invisible).
+
+    Rename mode: glob ``batch=*`` dirs (staging is dot-prefixed, which
+    Spark's file index skips; the ``batch=<id>`` dirs read back as a
+    hive partition column). Marker mode: list ``_COMMITTED.*`` markers
+    and read exactly the attempt prefixes they name — a data prefix
+    without a marker is an uncommitted torn write and stays invisible;
+    a MARKER whose manifest names a missing/short object is corruption
+    and fails loudly before any row is served. ``verify="hash"``
+    additionally re-hashes every committed object against the
+    manifest's sha256 (full-scan cost — for audits; ``"size"`` is the
+    steady-state check). Markers from the pre-attempt format (no
+    ``attempt`` field, sizes as plain ints) still resolve."""
     import glob as _glob
+    import hashlib
     import os
 
+    markers = sorted(_glob.glob(_marker_path(path, "*")))
+    if commit == "auto":
+        commit = "marker" if markers else "rename"
+    elif commit == "rename" and markers:
+        raise ValueError(
+            f"{path!r} holds _COMMITTED.* markers (a marker-mode corpus): "
+            "reading it with commit='rename' would glob batch=* and expose "
+            "uncommitted torn prefixes — pass commit='marker' (or the "
+            "default 'auto')"
+        )
+    if commit not in ("rename", "marker"):
+        raise ValueError(f"unknown commit protocol: {commit!r}")
+    if verify not in ("size", "hash"):
+        raise ValueError(f"unknown verify level: {verify!r}")
     if commit == "rename":
         return spark.read.option("basePath", path).parquet(path + "/batch=*")
-    dirs = []
-    for marker in sorted(_glob.glob(_marker_path(path, "*"))):
-        with open(marker) as fh:
-            try:
-                meta = json.load(fh)
-            except ValueError:
-                # torn marker (crash mid-PUT): the batch is UNCOMMITTED —
-                # the sink's replay deletes it and rewrites; skip it here
-                # so the corpus stays readable in the meantime
-                continue
+    dirs, depths = [], set()
+    for marker in markers:
+        meta = _load_marker(marker)
+        if meta is None:
+            # torn marker (crash mid-PUT): the batch is UNCOMMITTED —
+            # the sink's replay heals it; skip it here so the corpus
+            # stays readable in the meantime
+            continue
         batch_dir = os.path.join(path, f"batch={meta['batch_id']}")
-        for rel, size in meta["files"].items():
+        attempt = meta.get("attempt")
+        depths.add(attempt is None)
+        if attempt is not None:
+            batch_dir = os.path.join(batch_dir, f"attempt={attempt}")
+        for rel, info in meta["files"].items():
+            size = info["bytes"] if isinstance(info, dict) else info
             fp = os.path.join(batch_dir, rel)
             if not os.path.exists(fp) or os.path.getsize(fp) != size:
                 raise ValueError(
                     f"committed batch {meta['batch_id']} is missing or has a "
                     f"short object: {rel} (marker says {size} bytes)"
                 )
+            if verify == "hash" and isinstance(info, dict) and "sha256" in info:
+                h = hashlib.sha256()
+                with open(fp, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+                if h.hexdigest() != info["sha256"]:
+                    raise ValueError(
+                        f"committed batch {meta['batch_id']} object {rel} "
+                        "fails its manifest sha256 — corruption"
+                    )
         dirs.append(batch_dir)
     if not dirs:
         # zero committed batches: falling back to the batch=* glob would
         # expose torn uncommitted prefixes — fail loudly instead
         raise ValueError(f"no committed batches under {path!r}")
-    return spark.read.option("basePath", path).parquet(*dirs)
+    if len(depths) > 1:
+        raise ValueError(
+            f"{path!r} mixes pre-attempt and attempt-format markers — "
+            "Spark's partition discovery cannot mix directory depths under "
+            "one basePath; migrate or read the generations separately"
+        )
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return df.drop("attempt") if "attempt" in df.columns else df

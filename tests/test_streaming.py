@@ -934,12 +934,96 @@ def test_marker_commit_sink_is_rename_free_and_torn_write_safe(spark, monkeypatc
 
     # corruption: shorten a committed object → the manifest check trips
     marker = json.load(open(os.path.join(root, "_COMMITTED.2")))
-    rel, size = next(iter(marker["files"].items()))
-    victim = os.path.join(root, "batch=2", rel)
+    rel = next(iter(marker["files"]))
+    victim = os.path.join(
+        root, "batch=2", f"attempt={marker['attempt']}", rel
+    )
     with open(victim, "wb") as f:
         f.write(b"short")
     with pytest.raises(ValueError, match="short object"):
         read_committed_batches(spark, root, commit="marker").count()
+
+
+def test_marker_commit_race_and_read_mode_guards(spark, monkeypatch):
+    """The concurrent-replay race and the read-side mode guards:
+
+    - losing the O_EXCL marker PUT (a rival attempt committed between
+      this attempt's data write and its PUT) must NOT crash: the loser
+      re-validates the rival's marker, garbage-collects its own
+      attempt-unique prefix, and returns — readers resolve the rival's
+      attempt through the marker;
+    - commit="auto" (the read default) detects marker corpora, so a
+      caller can't accidentally glob torn prefixes; commit="rename" on a
+      marker corpus raises;
+    - verify="hash" re-hashes every object against the manifest sha256
+      and trips on a same-size bitflip that the size check passes."""
+    import json
+    import os
+
+    from etl_adsbx_spark.sinks import exactly_once_batch_sink, read_committed_batches
+
+    root = tempfile.mkdtemp() + "/corpus"
+    sink = exactly_once_batch_sink(root, commit="marker")
+    sink(spark.createDataFrame([(1, "a")], "id bigint, v string"), 0)
+
+    # --- lost race: a rival's valid marker lands between this attempt's
+    # top-of-function check and its PUT. Intercept the PUT to plant it.
+    marker1 = os.path.join(root, "_COMMITTED.1")
+    rival = json.load(open(os.path.join(root, "_COMMITTED.0")))
+    real_open = os.open
+
+    def racing_open(p, flags, *a, **k):
+        if p == marker1 and flags & os.O_EXCL:
+            body = dict(rival, batch_id=1)
+            with open(marker1, "w") as fh:  # the rival's PUT wins first
+                json.dump(body, fh)
+        return real_open(p, flags, *a, **k)
+
+    monkeypatch.setattr(os, "open", racing_open)
+    # loser must return cleanly (no FileExistsError escape)...
+    sink(spark.createDataFrame([(9, "z")], "id bigint, v string"), 1)
+    monkeypatch.undo()
+    # ...leave the rival's marker untouched...
+    assert json.load(open(marker1))["attempt"] == rival["attempt"]
+    # ...and GC its own attempt prefix (the rival's marker references a
+    # different attempt token, so nothing else may linger under batch=1)
+    leftovers = os.listdir(os.path.join(root, "batch=1"))
+    assert leftovers in ([], [f"attempt={rival['attempt']}"]), leftovers
+
+    # --- read-mode guards (fresh corpus with real committed data)
+    root2 = tempfile.mkdtemp() + "/corpus"
+    sink2 = exactly_once_batch_sink(root2, commit="marker")
+    sink2(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"), 0)
+    assert read_committed_batches(spark, root2).count() == 2  # auto → marker
+    with pytest.raises(ValueError, match="marker-mode corpus"):
+        read_committed_batches(spark, root2, commit="rename")
+    assert read_committed_batches(spark, root2, verify="hash").count() == 2
+
+    # --- same-size bitflip: size check passes, hash check trips
+    meta = json.load(open(os.path.join(root2, "_COMMITTED.0")))
+    rel = next(iter(meta["files"]))
+    victim = os.path.join(root2, "batch=0", f"attempt={meta['attempt']}", rel)
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    with open(victim, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="sha256"):
+        read_committed_batches(spark, root2, verify="hash").count()
+
+    # --- pre-attempt-format markers (data straight under batch=<id>,
+    # manifest sizes as plain ints) still resolve
+    root3 = tempfile.mkdtemp() + "/corpus"
+    b = spark.createDataFrame([(7, "g")], "id bigint, v string")
+    b.write.parquet(os.path.join(root3, "batch=0"))
+    files = {
+        f: os.path.getsize(os.path.join(root3, "batch=0", f))
+        for f in os.listdir(os.path.join(root3, "batch=0"))
+        if not f.startswith(".") and not f.startswith("_")
+    }
+    with open(os.path.join(root3, "_COMMITTED.0"), "w") as fh:
+        json.dump({"batch_id": 0, "n_files": len(files), "files": files}, fh)
+    got = read_committed_batches(spark, root3).collect()
+    assert [(r["id"], r["v"], r["batch"]) for r in got] == [(7, "g", 0)]
 
 
 def test_exactly_once_sink_through_real_stream_restart(spark):
