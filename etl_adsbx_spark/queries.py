@@ -7284,73 +7284,147 @@ def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _warc_roundtrip_oracle() -> str:
-    """DuckDB replay of the 5-case WARC construct→parse→decode roundtrip.
-    The oracle never frames, parses, or decodes: each case recomputes the
-    expected header fields, byte counts, decoded text and charset verdict
-    directly from the same construction the Spark side frames. Byte
-    counts for the legacy-charset payloads exploit that every char in
-    the constructed strings is single-byte in ISO-8859-1 (length(P) =
-    latin-1 octet count); chr(65533) is the U+FFFD the flagged UTF-8
-    fallback must emit for the one invalid byte."""
+    """DuckDB replay of the 10-case WARC construct→parse→decode→
+    payload-decode roundtrip. The oracle never frames, parses, decodes,
+    de-chunks, or inflates: each case recomputes the expected header
+    fields, byte counts, decoded text and the charset + payload
+    verdicts directly from the construction. Byte counts for the
+    legacy-charset payloads exploit that every char in the constructed
+    strings is single-byte in ISO-8859-1 (length(P) = latin-1 octet
+    count); chr(65533) is the U+FFFD the flagged UTF-8 fallback must
+    emit for the one invalid byte. Compressed-leg framed sizes use the
+    STORED-BLOCK formulas the codegen constructors guarantee (gzip
+    len+23, truncated gzip len+15, raw deflate len+5, chunked
+    len+len(hex)+9, truncated chunked len+len(hex)+4) — which is the
+    point of building fixtures from stored blocks: the oracle can
+    price a 'compressed' stream without a compressor. ``pnb`` is the
+    decoded payload's byte count (what the parser's body column holds
+    after payload decode), ``fnb`` the on-the-wire framed count (what
+    the WARC Content-Length prices)."""
     head_len = (
         "CAST(octet_length(encode("
         "'HTTP/1.1 200 OK' || chr(13) || chr(10) ||"
         "'Content-Type: ' || ctype || chr(13) || chr(10) ||"
-        "'Content-Length: ' || nb::VARCHAR ||"
-        "chr(13) || chr(10) || chr(13) || chr(10))) AS BIGINT)"
+        "extra ||"
+        "CASE WHEN has_clen THEN 'Content-Length: ' || fnb::VARCHAR"
+        "  || chr(13) || chr(10) ELSE '' END ||"
+        "chr(13) || chr(10))) AS BIGINT)"
     )
     return f"""
-    WITH cases AS (
-      SELECT doc_id, 'utf8' AS wcase,
-             'http://corpus.local/doc/' || doc_id::VARCHAR AS uri,
+    WITH plain AS (
+      SELECT doc_id, wcase, uri, ctype, nb AS pnb, nb AS fnb,
+             '' AS extra, TRUE AS has_clen,
+             charset, decode_ok, 1 AS payload_ok, text_md5
+      FROM (
+        SELECT doc_id, 'utf8' AS wcase,
+               'http://corpus.local/doc/' || doc_id::VARCHAR AS uri,
+               'text/plain; charset=utf-8' AS ctype,
+               CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS nb,
+               'utf-8' AS charset, 1 AS decode_ok,
+               md5(COALESCE(text, '')) AS text_md5
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'latin1',
+               'http://corpus.local/l1/' || doc_id::VARCHAR,
+               'text/plain; charset=ISO-8859-1',
+               CAST(length('café idée nº ' || doc_id::VARCHAR) AS BIGINT),
+               'iso8859-1', 1,
+               md5('café idée nº ' || doc_id::VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'sniff',
+               'http://corpus.local/sniff/' || doc_id::VARCHAR,
+               'text/html',
+               CAST(length('<html><head><meta charset="iso-8859-1"></head><body>café '
+                           || doc_id::VARCHAR || '</body></html>') AS BIGINT),
+               'iso8859-1', 1,
+               md5('<html><head><meta charset="iso-8859-1"></head><body>café '
+                   || doc_id::VARCHAR || '</body></html>')
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'badutf8',
+               'http://corpus.local/bad/' || doc_id::VARCHAR,
+               'text/plain; charset=utf-8',
+               CAST(length('caf' || doc_id::VARCHAR || 'é') AS BIGINT),
+               'utf-8', 0,
+               md5('caf' || doc_id::VARCHAR || chr(65533))
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'bom',
+               'http://corpus.local/bom/' || doc_id::VARCHAR,
+               'text/plain',
+               CAST(3 + octet_length(encode('bom doc ' || doc_id::VARCHAR)) AS BIGINT),
+               'utf-8-sig', 1,
+               md5('bom doc ' || doc_id::VARCHAR)
+        FROM documents
+      )
+    ),
+    encoded AS (
+      SELECT doc_id, 'chunked' AS wcase,
+             'http://corpus.local/chunked/' || doc_id::VARCHAR AS uri,
              'text/plain; charset=utf-8' AS ctype,
-             CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS nb,
-             'utf-8' AS charset, 1 AS decode_ok,
-             md5(COALESCE(text, '')) AS text_md5
-      FROM documents
+             pnb, pnb + length(to_hex(pnb)) + 9 AS fnb,
+             'Transfer-Encoding: chunked' || chr(13) || chr(10) AS extra,
+             FALSE AS has_clen, 'utf-8' AS charset, 1 AS decode_ok,
+             1 AS payload_ok, md5(COALESCE(text, '')) AS text_md5
+      FROM (SELECT doc_id, text,
+                   CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS pnb
+            FROM documents)
       UNION ALL
-      SELECT doc_id, 'latin1',
-             'http://corpus.local/l1/' || doc_id::VARCHAR,
-             'text/plain; charset=ISO-8859-1',
-             CAST(length('café idée nº ' || doc_id::VARCHAR) AS BIGINT),
-             'iso8859-1', 1,
-             md5('café idée nº ' || doc_id::VARCHAR)
-      FROM documents
-      UNION ALL
-      SELECT doc_id, 'sniff',
-             'http://corpus.local/sniff/' || doc_id::VARCHAR,
-             'text/html',
-             CAST(length('<html><head><meta charset="iso-8859-1"></head><body>café '
-                         || doc_id::VARCHAR || '</body></html>') AS BIGINT),
-             'iso8859-1', 1,
-             md5('<html><head><meta charset="iso-8859-1"></head><body>café '
-                 || doc_id::VARCHAR || '</body></html>')
-      FROM documents
-      UNION ALL
-      SELECT doc_id, 'badutf8',
-             'http://corpus.local/bad/' || doc_id::VARCHAR,
+      SELECT doc_id, 'gzip',
+             'http://corpus.local/gz/' || doc_id::VARCHAR,
              'text/plain; charset=utf-8',
-             CAST(length('caf' || doc_id::VARCHAR || 'é') AS BIGINT),
-             'utf-8', 0,
-             md5('caf' || doc_id::VARCHAR || chr(65533))
-      FROM documents
+             pnb, pnb + 23,
+             'Content-Encoding: gzip' || chr(13) || chr(10),
+             TRUE, 'utf-8', 1, 1, md5(s)
+      FROM (SELECT doc_id, 'gzip café nº ' || doc_id::VARCHAR AS s,
+                   CAST(octet_length(encode('gzip café nº ' || doc_id::VARCHAR))
+                        AS BIGINT) AS pnb
+            FROM documents)
       UNION ALL
-      SELECT doc_id, 'bom',
-             'http://corpus.local/bom/' || doc_id::VARCHAR,
-             'text/plain',
-             CAST(3 + octet_length(encode('bom doc ' || doc_id::VARCHAR)) AS BIGINT),
-             'utf-8-sig', 1,
-             md5('bom doc ' || doc_id::VARCHAR)
-      FROM documents
-    )
+      SELECT doc_id, 'deflate',
+             'http://corpus.local/defl/' || doc_id::VARCHAR,
+             'text/plain; charset=ISO-8859-1',
+             pnb, pnb + 5,
+             'Content-Encoding: deflate' || chr(13) || chr(10),
+             TRUE, 'iso8859-1', 1, 1, md5(s)
+      FROM (SELECT doc_id, 'deflate idée nº ' || doc_id::VARCHAR AS s,
+                   CAST(length('deflate idée nº ' || doc_id::VARCHAR)
+                        AS BIGINT) AS pnb
+            FROM documents)
+      UNION ALL
+      SELECT doc_id, 'gzip_trunc',
+             'http://corpus.local/gzt/' || doc_id::VARCHAR,
+             'text/plain; charset=utf-8',
+             pnb, pnb + 15,
+             'Content-Encoding: gzip' || chr(13) || chr(10),
+             TRUE, 'utf-8', 1, 0, md5(s)
+      FROM (SELECT doc_id, 'trunc zip nº ' || doc_id::VARCHAR AS s,
+                   CAST(octet_length(encode('trunc zip nº ' || doc_id::VARCHAR))
+                        AS BIGINT) AS pnb
+            FROM documents)
+      UNION ALL
+      SELECT doc_id, 'chunked_trunc',
+             'http://corpus.local/cht/' || doc_id::VARCHAR,
+             'text/plain; charset=utf-8',
+             pnb, pnb + length(to_hex(pnb)) + 4,
+             'Transfer-Encoding: chunked' || chr(13) || chr(10),
+             FALSE, 'utf-8', 1, 0, md5(s)
+      FROM (SELECT doc_id, 'trunc chunk nº ' || doc_id::VARCHAR AS s,
+                   CAST(octet_length(encode('trunc chunk nº ' || doc_id::VARCHAR))
+                        AS BIGINT) AS pnb
+            FROM documents)
+    ),
+    cases AS (SELECT * FROM plain UNION ALL SELECT * FROM encoded)
     SELECT doc_id, wcase,
            '<urn:uuid:' || substr(md5(uri), 1, 12) || '>' AS record_id,
            uri AS target_uri,
            CAST(200 AS INTEGER) AS http_status,
            ctype AS content_type,
-           {head_len} + nb AS content_length,
+           {head_len} + fnb AS content_length,
            charset, CAST(decode_ok AS INTEGER) AS decode_ok,
-           text_md5, nb AS n_body_bytes
+           CAST(payload_ok AS INTEGER) AS payload_ok,
+           text_md5, pnb AS n_body_bytes
     FROM cases
     """
 
@@ -7377,24 +7451,47 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``badutf8``: declared utf-8 but latin-1 bytes — the decoder must
       FLAG (decode_ok=0) and emit U+FFFD, not mangle silently;
     - ``bom``: a UTF-8 BOM with no declared charset — BOM sniff wins
-      and the BOM is consumed.
+      and the BOM is consumed;
+    - ``chunked``: the document text behind ``Transfer-Encoding:
+      chunked`` framing (no HTTP Content-Length, per RFC 9112) — the
+      parser must de-chunk before the charset decoder sees the bytes;
+    - ``gzip``: a multibyte payload behind ``Content-Encoding: gzip``
+      — a REAL decodable gzip stream built as a stored-block member in
+      pure codegen (``gzip_stored_col``: RFC 1952 header + RFC 1951
+      stored block + CRC32/ISIZE via F.crc32), so the oracle can price
+      its framed size as len+23 with no compressor;
+    - ``deflate``: a latin-1 payload behind RAW-deflate
+      ``Content-Encoding: deflate`` (the historical server ambiguity's
+      wrapper-less form) — exercises the decoder's zlib-wrapper-sniff
+      fallback AND the charset layer beneath the compression layer;
+    - ``gzip_trunc`` / ``chunked_trunc``: the same streams cut before
+      their end markers — the payload decodes FULLY but the damage is
+      FLAGGED (``payload_ok=0``, the decode_ok discipline one layer
+      down the HTTP stack), never silent.
 
     The binary column is parsed back by ``parse_record_bytes`` — the
     SAME iter_warc_records/parse_http_response kernels the shard source
-    uses — then decoded by ``decoded_text_col`` (the same kernel behind
-    ``responses_as_text``), and the parsed headers, status, block
-    length, charset verdicts and decoded-text md5 are graded against an
-    ORACLE that never frames, parses, or decodes: it recomputes every
-    field directly from the construction. The case index rides the
-    parser's bigint id lane as ``doc_id*8 + i`` (decoded back after the
-    parse), so the production parser signature stays untouched.
+    uses (parse_http_response now owns the payload layer: de-chunk,
+    then inflate, per ``decode_payload``) — then decoded by
+    ``decoded_text_col`` (the same kernel behind ``responses_as_text``),
+    and the parsed headers, status, block length, charset + payload
+    verdicts and decoded-text md5 are graded against an ORACLE that
+    never frames, parses, decodes, de-chunks, or inflates: it
+    recomputes every field directly from the construction. The case
+    index rides the parser's bigint id lane as ``doc_id*16 + i``
+    (decoded back after the parse), so the production parser signature
+    stays untouched.
 
-    100-TB shape: serialization is whole-stage-codegen string concat;
-    parse and decode are Arrow-batched map-only kernels (the read_warc
-    shard path is one task per shard — parallelism = shard count,
-    payloads never on the driver)."""
+    100-TB shape: serialization is whole-stage-codegen string concat
+    (including the compressed legs — stored-block streams need no
+    compressor); parse and decode are Arrow-batched map-only kernels
+    (the read_warc shard path is one task per shard — parallelism =
+    shard count, payloads never on the driver)."""
     from .sources.warc import (
+        chunked_body_col,
         decoded_text_col,
+        deflate_raw_stored_col,
+        gzip_stored_col,
         parse_record_bytes,
         warc_response_rec_col as rec,
     )
@@ -7410,6 +7507,13 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p_bad = F.concat(F.lit("caf"), sid, F.lit("é"))
     p_bom = F.concat(F.lit("bom doc "), sid)
+    p_text = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    p_gz = F.encode(F.concat(F.lit("gzip café nº "), sid), "UTF-8")
+    p_defl = F.encode(F.concat(F.lit("deflate idée nº "), sid), "ISO-8859-1")
+    p_gzt = F.encode(F.concat(F.lit("trunc zip nº "), sid), "UTF-8")
+    p_cht = F.encode(F.concat(F.lit("trunc chunk nº "), sid), "UTF-8")
+    te_chunked = "Transfer-Encoding: chunked\r\n"
+    ce_gzip = "Content-Encoding: gzip\r\n"
     variants = F.array(
         F.struct(
             F.lit(0).alias("i"),
@@ -7449,19 +7553,68 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(p_bom, "UTF-8")),
             ).alias("rec"),
         ),
+        F.struct(
+            F.lit(5).alias("i"),
+            rec(
+                u("chunked"),
+                "text/plain; charset=utf-8",
+                chunked_body_col(p_text),
+                extra_headers=te_chunked,
+                include_content_length=False,
+            ).alias("rec"),
+        ),
+        F.struct(
+            F.lit(6).alias("i"),
+            rec(
+                u("gz"),
+                "text/plain; charset=utf-8",
+                gzip_stored_col(p_gz),
+                extra_headers=ce_gzip,
+            ).alias("rec"),
+        ),
+        F.struct(
+            F.lit(7).alias("i"),
+            rec(
+                u("defl"),
+                "text/plain; charset=ISO-8859-1",
+                deflate_raw_stored_col(p_defl),
+                extra_headers="Content-Encoding: deflate\r\n",
+            ).alias("rec"),
+        ),
+        F.struct(
+            F.lit(8).alias("i"),
+            rec(
+                u("gzt"),
+                "text/plain; charset=utf-8",
+                gzip_stored_col(p_gzt, include_trailer=False),
+                extra_headers=ce_gzip,
+            ).alias("rec"),
+        ),
+        F.struct(
+            F.lit(9).alias("i"),
+            rec(
+                u("cht"),
+                "text/plain; charset=utf-8",
+                chunked_body_col(p_cht, terminated=False),
+                extra_headers=te_chunked,
+                include_content_length=False,
+            ).alias("rec"),
+        ),
     )
     recs = d.select("doc_id", F.explode(variants).alias("v")).select(
-        (F.col("doc_id") * 8 + F.col("v.i")).alias("cid"),
+        (F.col("doc_id") * 16 + F.col("v.i")).alias("cid"),
         F.col("v.rec").alias("rec"),
     )
     parsed = parse_record_bytes(recs, rec_col="rec", id_col="cid")
     dec = decoded_text_col("body", "content_type")
     names = F.array(
-        F.lit("utf8"), F.lit("latin1"), F.lit("sniff"), F.lit("badutf8"), F.lit("bom")
+        F.lit("utf8"), F.lit("latin1"), F.lit("sniff"), F.lit("badutf8"),
+        F.lit("bom"), F.lit("chunked"), F.lit("gzip"), F.lit("deflate"),
+        F.lit("gzip_trunc"), F.lit("chunked_trunc"),
     )
     return parsed.withColumn("_dec", dec).select(
-        F.expr("cid DIV 8").cast("bigint").alias("doc_id"),
-        F.element_at(names, (F.col("cid") % 8).cast("int") + 1).alias("wcase"),
+        F.expr("cid DIV 16").cast("bigint").alias("doc_id"),
+        F.element_at(names, (F.col("cid") % 16).cast("int") + 1).alias("wcase"),
         "record_id",
         "target_uri",
         "http_status",
@@ -7469,6 +7622,7 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         F.col("_dec.charset").alias("charset"),
         F.col("_dec.decode_ok").alias("decode_ok"),
+        F.col("payload_ok"),
         F.md5(F.encode(F.col("_dec.text"), "UTF-8")).alias("text_md5"),
         F.octet_length("body").cast("bigint").alias("n_body_bytes"),
     )

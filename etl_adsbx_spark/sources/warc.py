@@ -59,6 +59,13 @@ RECORD_SCHEMA = StructType(
         StructField("content_type", StringType(), True),
         StructField("content_length", LongType(), False),
         StructField("body", BinaryType(), True),
+        # 1 = HTTP payload framing/compression fully decoded (or none
+        # present); 0 = chunked framing damage, truncated/corrupt
+        # deflate stream, or an unsupported Content-Encoding — the body
+        # carries the best-effort bytes, FLAGGED (the decode_ok
+        # discipline one layer down the HTTP stack); NULL for records
+        # that are not HTTP-framed
+        StructField("payload_ok", IntegerType(), True),
     ]
 )
 
@@ -119,24 +126,124 @@ def iter_warc_records(blob: bytes) -> Iterator[tuple[str, dict[str, str], bytes]
         pos += clen
 
 
-def parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
-    """Split a response record's block into (status, content-type, body).
-    Returns ``(None, None, block)`` when the block is not HTTP-framed
+def dechunk(body: bytes) -> tuple[bytes, int]:
+    """Decode ``Transfer-Encoding: chunked`` framing → ``(payload, ok)``:
+    hex size line (chunk extensions after ``;`` ignored), CRLF, exactly
+    that many data bytes, CRLF, …, terminated by a 0-size chunk
+    (trailers, if any, are framing only and dropped). A truncated or
+    corrupt stream returns the bytes decoded SO FAR with ``ok=0`` —
+    damage is flagged, never silent and never fatal to the shard."""
+    out: list[bytes] = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return b"".join(out), 0  # truncated size line
+        line = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(line, 16)
+        except ValueError:
+            return b"".join(out), 0  # corrupt size line
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out), 1  # terminal chunk: framing complete
+        chunk = body[pos : pos + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            return b"".join(out), 0  # truncated chunk data
+        pos += size
+        if body[pos : pos + 2] != b"\r\n":
+            return b"".join(out), 0  # missing chunk-data CRLF
+        pos += 2
+
+
+def _inflate_one(body: bytes, coding: str) -> tuple[bytes, int]:
+    if coding in ("gzip", "x-gzip"):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    elif coding == "deflate":
+        # the historical deflate ambiguity: servers send both the
+        # zlib-wrapped form RFC 9110 means and raw DEFLATE — sniff by
+        # attempting the wrapper first, falling back to raw
+        try:
+            d = zlib.decompressobj()
+            out = d.decompress(body) + d.flush()
+            return out, int(d.eof)
+        except zlib.error:
+            d = zlib.decompressobj(-zlib.MAX_WBITS)
+    else:
+        return body, 0  # unsupported coding (br, zstd, …): raw, flagged
+    try:
+        out = d.decompress(body) + d.flush()
+    except zlib.error:
+        return body, 0  # corrupt stream: raw bytes, flagged
+    # a stream that never reached its end marker is TRUNCATED: partial
+    # plaintext, flagged (d.eof distinguishes it from a clean finish)
+    return out, int(d.eof)
+
+
+def decode_payload(
+    body: bytes, transfer_encoding: str | None, content_encoding: str | None
+) -> tuple[bytes, int]:
+    """Undo the HTTP payload layers in protocol order →
+    ``(payload, payload_ok)``: Transfer-Encoding first (``chunked``
+    removes the framing; RFC 9112 requires chunked to be the final
+    transfer coding), then each Content-Encoding coding right-to-left
+    (``gzip``/``x-gzip``/``deflate``/``identity`` via stdlib zlib).
+    Any damage — truncated chunk, corrupt/truncated deflate stream, an
+    unsupported coding — stops the pipeline and returns the
+    best-effort bytes with ``payload_ok=0``: the same FLAG discipline
+    as ``decode_body``'s ``decode_ok``, one layer down the stack (the
+    r10 gap: such payloads reached the charset decoder raw and exited
+    as flagged mojibake, losing the page)."""
+    ok = 1
+    if transfer_encoding:
+        codings = [c.strip().lower() for c in transfer_encoding.split(",")]
+        codings = [c for c in codings if c and c != "identity"]
+        if codings == ["chunked"]:
+            body, ok = dechunk(body)
+        elif codings:
+            return body, 0  # unsupported transfer stack: raw, flagged
+        if not ok:
+            return body, 0
+    if content_encoding:
+        codings = [c.strip().lower() for c in content_encoding.split(",")]
+        for coding in reversed([c for c in codings if c and c != "identity"]):
+            body, ok = _inflate_one(body, coding)
+            if not ok:
+                return body, 0
+    return body, ok
+
+
+def parse_http_response(
+    block: bytes,
+) -> tuple[int | None, str | None, bytes, int | None]:
+    """Split a response record's block into (status, content-type,
+    payload, payload_ok), undoing ``Transfer-Encoding: chunked`` framing
+    and ``Content-Encoding: gzip/deflate`` compression (stdlib zlib) so
+    the bytes handed to the charset decoder are the actual entity —
+    real Common-Crawl response records routinely carry both layers.
+    ``payload_ok`` follows ``decode_payload``'s flag contract. Returns
+    ``(None, None, block, None)`` when the block is not HTTP-framed
     (e.g. a ``resource`` record) — the caller keeps the raw bytes."""
     if not block.startswith(b"HTTP/"):
-        return None, None, block
+        return None, None, block, None
     sep = block.find(b"\r\n\r\n")
     head, body = (block[:sep], block[sep + 4 :]) if sep >= 0 else (block, b"")
     lines = head.split(b"\r\n")
     parts = lines[0].decode("ascii", "replace").split()
     status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
-    ctype = None
+    ctype = t_enc = c_enc = None
     for line in lines[1:]:
         name, _, value = line.decode("utf-8", "replace").partition(":")
-        if name.strip().lower() == "content-type":
+        name = name.strip().lower()
+        if name == "content-type" and ctype is None:
             ctype = value.strip()
-            break
-    return status, ctype, body
+        elif name == "transfer-encoding" and t_enc is None:
+            t_enc = value.strip()
+        elif name == "content-encoding" and c_enc is None:
+            c_enc = value.strip()
+    payload, payload_ok = decode_payload(body, t_enc, c_enc)
+    return status, ctype, payload, payload_ok
 
 
 _CHARSET_PARAM = re.compile(r"""charset\s*=\s*["']?\s*([A-Za-z0-9_.:+-]+)""", re.I)
@@ -233,9 +340,9 @@ def _record_rows(shard: str, blob: bytes, rows: dict[str, list]) -> None:
     for _version, hdr, block in iter_warc_records(blob):
         wtype = hdr.get("warc-type")
         if wtype in ("response", "request"):
-            status, ctype, body = parse_http_response(block)
+            status, ctype, body, payload_ok = parse_http_response(block)
         else:
-            status, ctype, body = None, hdr.get("content-type"), block
+            status, ctype, body, payload_ok = None, hdr.get("content-type"), block, None
         rows["shard"].append(shard)
         rows["record_id"].append(hdr.get("warc-record-id"))
         rows["warc_type"].append(wtype)
@@ -245,6 +352,7 @@ def _record_rows(shard: str, blob: bytes, rows: dict[str, list]) -> None:
         rows["content_type"].append(ctype)
         rows["content_length"].append(len(block))
         rows["body"].append(body)
+        rows["payload_ok"].append(payload_ok)
 
 
 def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
@@ -264,6 +372,7 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
                 _record_rows(shard, bytes(blob), rows)
             out = pd.DataFrame(rows)
             out["http_status"] = out["http_status"].astype("Int32")
+            out["payload_ok"] = out["payload_ok"].astype("Int32")
             yield out
 
     return shards.mapInPandas(expand, schema=RECORD_SCHEMA)
@@ -277,8 +386,11 @@ def responses_as_text(
 ) -> DataFrame:
     """Keep HTTP ``response`` records with the given status and decode the
     body to text: (shard, record_id, url, fetched_at, raw_html, charset,
-    decode_ok) — the input shape of
-    ``functions.html.extract_and_normalize``. Map-only.
+    decode_ok, payload_ok) — the input shape of
+    ``functions.html.extract_and_normalize``. Map-only. ``payload_ok``
+    is the record parser's payload-layer verdict (chunked/gzip/deflate
+    decode, see ``decode_payload``), passed through so downstream
+    filters can quarantine flagged pages alongside ``decode_ok``.
 
     ``charset_aware=True`` (default) decodes through ``decode_body`` —
     BOM, Content-Type ``charset=``, HTML5 meta prescan, UTF-8 fallback —
@@ -308,6 +420,7 @@ def responses_as_text(
             F.col("body").cast("string").alias("raw_html"),
             F.lit("utf-8").alias("charset"),
             F.lit(None).cast("int").alias("decode_ok"),
+            F.col("payload_ok"),
         )
     return resp.withColumn(
         "_dec", decoded_text_col("body", "content_type")
@@ -316,6 +429,7 @@ def responses_as_text(
         F.col("_dec.text").alias("raw_html"),
         F.col("_dec.charset").alias("charset"),
         F.col("_dec.decode_ok").alias("decode_ok"),
+        F.col("payload_ok"),
     )
 
 
@@ -337,9 +451,11 @@ def parse_record_bytes(df: DataFrame, rec_col: str, id_col: str) -> DataFrame:
                 for _version, hdr, block in iter_warc_records(bytes(blob)):
                     wtype = hdr.get("warc-type")
                     if wtype in ("response", "request"):
-                        status, ctype, body = parse_http_response(block)
+                        status, ctype, body, payload_ok = parse_http_response(block)
                     else:
-                        status, ctype, body = None, hdr.get("content-type"), block
+                        status, ctype, body, payload_ok = (
+                            None, hdr.get("content-type"), block, None,
+                        )
                     rows[id_col].append(rid)
                     rows["record_id"].append(hdr.get("warc-record-id"))
                     rows["warc_type"].append(wtype)
@@ -349,31 +465,123 @@ def parse_record_bytes(df: DataFrame, rec_col: str, id_col: str) -> DataFrame:
                     rows["content_type"].append(ctype)
                     rows["content_length"].append(len(block))
                     rows["body"].append(body)
+                    rows["payload_ok"].append(payload_ok)
             out = pd.DataFrame(rows)
             out["http_status"] = out["http_status"].astype("Int32")
+            out["payload_ok"] = out["payload_ok"].astype("Int32")
             yield out
 
     return df.mapInPandas(parse, schema=out_schema)
 
 
-def warc_response_rec_col(uri, ctype, body_bin):
+def _le_bytes_col(n, width: int):
+    """``width``-byte little-endian binary of a non-negative integer
+    Column — exact integer ops (shiftright + AND), whole-stage codegen."""
+    n = n.cast("bigint")
+    return F.concat(*[
+        F.unhex(F.lpad(F.hex(F.shiftright(n, 8 * i).bitwiseAND(F.lit(255))), 2, "0"))
+        for i in range(width)
+    ])
+
+
+def _stored_block_col(body_bin):
+    """One final STORED (uncompressed) DEFLATE block around ``body_bin``
+    (RFC 1951 §3.2.4: BFINAL=1/BTYPE=00 byte, LEN, ~LEN little-endian,
+    raw bytes) — the trick that makes compressed-payload test fixtures
+    constructible in pure codegen: a stored block is a valid DEFLATE
+    stream with NO compressor needed, and its size is exactly
+    ``len+5``, so oracles can recompute framed byte counts. Payloads
+    over the 65535-byte single-block bound fail loudly."""
+    nb = F.octet_length(body_bin)
+    checked = F.when(
+        nb > 65535,
+        F.raise_error("stored-block construction supports <= 65535 bytes"),
+    ).otherwise(F.lit(b"\x01"))
+    return F.concat(checked, _le_bytes_col(nb, 2),
+                    _le_bytes_col(F.lit(65535) - nb, 2), body_bin)
+
+
+def gzip_stored_col(body_bin, include_trailer: bool = True):
+    """CODEGEN gzip member of ``body_bin`` (RFC 1952 header, one stored
+    DEFLATE block, CRC32 + ISIZE trailer via ``F.crc32``) — a REAL
+    decodable gzip stream, size exactly ``len+23``, built without a
+    compressor so in-plan constructions stay whole-stage codegen and
+    their oracles can replay every byte count.
+    ``include_trailer=False`` yields a TRUNCATED stream (ends after the
+    block data): zlib recovers the full payload but never sees the end
+    marker — the deterministic fixture for the flagged
+    ``payload_ok=0`` truncation path."""
+    member = F.concat(
+        F.lit(bytes.fromhex("1f8b08000000000000ff")),  # MTIME=0, OS=255
+        _stored_block_col(body_bin),
+    )
+    if include_trailer:
+        member = F.concat(
+            member,
+            _le_bytes_col(F.crc32(body_bin), 4),
+            _le_bytes_col(F.octet_length(body_bin), 4),
+        )
+    return member
+
+
+def deflate_raw_stored_col(body_bin):
+    """CODEGEN raw-DEFLATE (no zlib wrapper) stored-block stream — the
+    historical ``Content-Encoding: deflate`` server ambiguity's OTHER
+    form, exercising the decoder's wrapper-sniff fallback. Size
+    exactly ``len+5``."""
+    return _stored_block_col(body_bin)
+
+
+def chunked_body_col(body_bin, terminated: bool = True):
+    """CODEGEN ``Transfer-Encoding: chunked`` framing of ``body_bin`` as
+    ONE chunk + the terminal 0-chunk: hex size line, CRLF, data, CRLF,
+    ``0`` CRLF CRLF. Framed size is ``len + len(hex(len)) + 9`` —
+    oracle-computable. ``terminated=False`` drops the terminal chunk
+    (framed size ``len + len(hex(len)) + 4``): the deterministic
+    truncation fixture — the decoder recovers the data but flags
+    ``payload_ok=0``."""
+    framed = F.concat(
+        F.encode(F.hex(F.octet_length(body_bin)), "UTF-8"),
+        F.lit(b"\r\n"),
+        body_bin,
+        F.lit(b"\r\n"),
+    )
+    if terminated:
+        framed = F.concat(framed, F.lit(b"0\r\n\r\n"))
+    return framed
+
+
+def warc_response_rec_col(uri, ctype, body_bin, extra_headers=None,
+                          include_content_length: bool = True):
     """Whole-stage-codegen WARC response-record serializer: COLUMN-level
     ISO-28500 framing (version line, WARC headers, HTTP/1.1 response
     head, exactly Content-Length payload bytes, record separator) for
     queries that construct shards in-plan (warc_roundtrip,
     web_ingest_pipeline). ``ctype`` may be a literal or a per-row
     Column; both Content-Length fields are BYTE counts of the binary
-    payload. Returns a BINARY column."""
+    payload. ``extra_headers`` (str or Column) is raw additional header
+    text — full ``Name: value\\r\\n`` lines, e.g.
+    ``"Transfer-Encoding: chunked\\r\\n"`` — inserted after
+    Content-Type; ``include_content_length=False`` omits the HTTP
+    Content-Length header (RFC 9112: a chunked response carries none;
+    the WARC Content-Length still frames the block). Returns a BINARY
+    column."""
     if isinstance(ctype, str):
         ctype = F.lit(ctype)
+    if isinstance(extra_headers, str):
+        extra_headers = F.lit(extra_headers)
     nb = F.octet_length(body_bin)
-    http_head = F.concat(
+    parts = [
         F.lit("HTTP/1.1 200 OK\r\nContent-Type: "),
         ctype,
-        F.lit("\r\nContent-Length: "),
-        nb.cast("string"),
-        F.lit("\r\n\r\n"),
-    )
+        F.lit("\r\n"),
+    ]
+    if extra_headers is not None:
+        parts.append(extra_headers)
+    if include_content_length:
+        parts += [F.lit("Content-Length: "), nb.cast("string"), F.lit("\r\n")]
+    parts.append(F.lit("\r\n"))
+    http_head = F.concat(*parts)
     block_len = F.octet_length(http_head) + nb
     head = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"),

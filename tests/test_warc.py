@@ -72,8 +72,8 @@ def test_iter_warc_records_framing():
     # blocks are exactly Content-Length bytes
     for _, h, block in recs:
         assert len(block) == int(h["content-length"])
-    status, ctype, body = parse_http_response(recs[3][2])
-    assert (status, ctype) == (200, "text/html; charset=utf-8")
+    status, ctype, body, payload_ok = parse_http_response(recs[3][2])
+    assert (status, ctype, payload_ok) == (200, "text/html; charset=utf-8", 1)
     assert body == BODY_B  # byte-exact multibyte payload recovery
 
 
@@ -237,3 +237,125 @@ def test_responses_as_text_charset_aware(spark, tmp_path):
             responses_as_text(read_warc(spark, str(d)), charset_aware=False).collect()}
     assert "�" in fast["http://corpus.local/latin"]["raw_html"]
     assert fast["http://corpus.local/latin"]["decode_ok"] is None
+
+
+def test_decode_payload_unit():
+    """The HTTP payload layer (the decode_ok discipline one level down):
+    chunked framing, gzip/deflate (both wrapper forms), layered
+    transfer+content codings, and every damage class FLAGGED
+    (payload_ok=0) with best-effort bytes — never silent, never fatal."""
+    import zlib
+
+    from etl_adsbx_spark.sources.warc import dechunk, decode_payload
+
+    body = "héllo payload — ﬁn".encode()
+
+    # chunked: multi-chunk, extensions ignored, trailers dropped
+    framed = (b"5;ext=1\r\n" + body[:5] + b"\r\n"
+              + format(len(body) - 5, "x").encode() + b"\r\n" + body[5:]
+              + b"\r\n0\r\nX-Trailer: v\r\n\r\n")
+    assert dechunk(framed) == (body, 1)
+    # truncated: missing terminal chunk → data recovered, FLAGGED
+    assert dechunk(b"5\r\nabcde\r\n") == (b"abcde", 0)
+    # truncated mid-chunk-data
+    assert dechunk(b"a\r\nabc") == (b"abc", 0)
+    # corrupt size line
+    assert dechunk(b"zz\r\nabc\r\n0\r\n\r\n") == (b"", 0)
+
+    # gzip (real compressor output decodes, not just stored blocks)
+    assert decode_payload(gzip.compress(body), None, "gzip") == (body, 1)
+    assert decode_payload(gzip.compress(body), None, "x-gzip") == (body, 1)
+    # deflate: zlib-wrapped AND raw (the historical server ambiguity)
+    assert decode_payload(zlib.compress(body), None, "deflate") == (body, 1)
+    co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    raw = co.compress(body) + co.flush()
+    assert decode_payload(raw, None, "deflate") == (body, 1)
+    # layered: chunked transfer of a gzip entity
+    gz = gzip.compress(body)
+    framed = format(len(gz), "x").encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    assert decode_payload(framed, "chunked", "gzip") == (body, 1)
+    # truncated gzip: full plaintext recovered but no end marker → FLAG
+    out, ok = decode_payload(gzip.compress(body)[:-8], None, "gzip")
+    assert (out, ok) == (body, 0)
+    # corrupt gzip: raw bytes back, FLAGGED
+    out, ok = decode_payload(b"\x1f\x8b" + b"junkjunk", None, "gzip")
+    assert ok == 0
+    # unsupported codings: raw bytes, FLAGGED
+    assert decode_payload(body, None, "br") == (body, 0)
+    assert decode_payload(body, "gzip, chunked", None) == (body, 0)
+    # identity / absent: untouched
+    assert decode_payload(body, None, None) == (body, 1)
+    assert decode_payload(body, "identity", "identity") == (body, 1)
+
+
+def test_parse_http_response_payload_layers():
+    """parse_http_response undoes Transfer-Encoding: chunked and
+    Content-Encoding: gzip/deflate before the charset decoder sees the
+    bytes; damage flags payload_ok=0."""
+    from etl_adsbx_spark.sources.warc import parse_http_response
+
+    body = "compressed ¡page!".encode()
+    gz = gzip.compress(body)
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+             b"Content-Encoding: gzip\r\nContent-Length: "
+             + str(len(gz)).encode() + b"\r\n\r\n" + gz)
+    assert parse_http_response(block) == (
+        200, "text/plain; charset=utf-8", body, 1)
+
+    framed = format(len(gz), "x").encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+             b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
+             + framed)
+    assert parse_http_response(block) == (200, "text/plain", body, 1)
+
+    # truncated chunked stream: flagged, best-effort bytes
+    block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+             b"Transfer-Encoding: chunked\r\n\r\n5\r\nabcde\r\n")
+    assert parse_http_response(block) == (200, "text/plain", b"abcde", 0)
+
+
+def test_codegen_compressed_constructions(spark):
+    """The in-plan construction helpers emit REAL decodable streams:
+    gzip_stored_col/deflate_raw_stored_col/chunked_body_col bytes decode
+    through stdlib zlib / the dechunk kernel to the original payload,
+    and their sizes match the documented len+23 / len+5 / len+hex+9
+    formulas the oracles rely on."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.sources.warc import (
+        chunked_body_col,
+        dechunk,
+        deflate_raw_stored_col,
+        gzip_stored_col,
+    )
+
+    df = spark.createDataFrame(
+        [("héllo — ﬁn",), ("x",), ("",)], "t string"
+    ).select(
+        F.encode("t", "UTF-8").alias("b"),
+        gzip_stored_col(F.encode("t", "UTF-8")).alias("gz"),
+        gzip_stored_col(F.encode("t", "UTF-8"), include_trailer=False).alias("gz_t"),
+        deflate_raw_stored_col(F.encode("t", "UTF-8")).alias("df"),
+        chunked_body_col(F.encode("t", "UTF-8")).alias("ch"),
+        chunked_body_col(F.encode("t", "UTF-8"), terminated=False).alias("ch_t"),
+    )
+    for r in df.collect():
+        body = bytes(r["b"])
+        gz, df_raw, ch = bytes(r["gz"]), bytes(r["df"]), bytes(r["ch"])
+        assert len(gz) == len(body) + 23
+        assert len(df_raw) == len(body) + 5
+        assert len(ch) == len(body) + len(format(len(body), "X")) + 9
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        assert d.decompress(gz) + d.flush() == body and d.eof
+        d = zlib.decompressobj(-zlib.MAX_WBITS)
+        assert d.decompress(df_raw) + d.flush() == body and d.eof
+        assert dechunk(ch) == (body, 1)
+        # the truncation variants recover the payload but flag it
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        assert d.decompress(bytes(r["gz_t"])) + d.flush() == body
+        assert not d.eof
+        # empty payload: its lone "0-size" chunk IS a terminal chunk, so
+        # the truncated variant degenerates to a valid empty stream
+        assert dechunk(bytes(r["ch_t"])) == (body, 0 if body else 1)
