@@ -228,14 +228,29 @@ def _html_escape_col(c: Column) -> Column:
     )
 
 
+#: frontier politeness constants shared by crawl_frontier and
+#: web_ingest_pipeline (and replayed verbatim by their oracles): a wave
+#: is WAVE_SECONDS long, a host's robots Crawl-delay D grants
+#: max(1, WAVE_SECONDS div D) fetches per wave, and hosts with no
+#: delay (no robots file, or no Crawl-delay line in the matched group)
+#: get DEFAULT_RATE.
+FRONTIER_WAVE_SECONDS = 30
+FRONTIER_DEFAULT_RATE = 4
+
+
 def _robots_regime_dim(d: DataFrame) -> DataFrame:
-    """The 3-regime per-host robots.txt dim shared by robots_gate and
-    web_ingest_pipeline (hosts keyed on ``source``, regime on
-    length(source) % 3): disallow-all / no file (protocol default:
-    allow) / a two-group file with a decoy ``badbot`` group ABOVE the
-    ``*`` group whose rules are Allow-before-Disallow (the order where
-    Python's first-match and RFC 9309's longest-match agree). Both
-    graded oracles rebuild verdicts from THIS construction — one
+    """The 3-regime per-host robots.txt dim shared by robots_gate,
+    web_ingest_pipeline and crawl_frontier (hosts keyed on ``source``,
+    regime on length(source) % 3): disallow-all / no file (protocol
+    default: allow) / a two-group file with a decoy ``badbot`` group
+    ABOVE the ``*`` group whose rules are Allow-before-Disallow (the
+    order where Python's first-match and RFC 9309's longest-match
+    agree). The regime-2 ``*`` group carries a per-host
+    ``Crawl-delay: 1 + length(host) % 7`` line (the frontier's rate
+    source) and the decoy group a ``Crawl-delay: 99`` that agent
+    selection must SKIP — a kernel that read the wrong group's delay
+    would mis-rate every regime-2 host and fail the frontier oracles.
+    All graded oracles rebuild verdicts from THIS construction — one
     definition so they cannot drift."""
     host = F.concat(F.col("source"), F.lit(".example.com"))
     regime = F.length("source") % 3
@@ -247,12 +262,35 @@ def _robots_regime_dim(d: DataFrame) -> DataFrame:
             F.when(F.col("_regime") == 0, F.lit("User-agent: *\nDisallow: /\n"))
             .when(F.col("_regime") == 1, F.lit(None).cast("string"))
             .otherwise(
-                F.lit(
-                    "User-agent: badbot\nDisallow: /\n\n"
-                    "User-agent: *\nAllow: /private/pub/\nDisallow: /private/\n"
+                F.concat(
+                    F.lit(
+                        "User-agent: badbot\nDisallow: /\nCrawl-delay: 99\n\n"
+                        "User-agent: *\nAllow: /private/pub/\n"
+                        "Disallow: /private/\nCrawl-delay: "
+                    ),
+                    (F.lit(1) + F.length("host") % 7).cast("string"),
+                    F.lit("\n"),
                 )
             )
             .alias("robots_txt"),
+        )
+    )
+
+
+def _frontier_rate_col(delay: Column) -> Column:
+    """Crawl-delay → per-wave budget: NULL delay → DEFAULT_RATE, else
+    max(1, WAVE_SECONDS div delay) — floor division via correctly-
+    rounded double divide + truncating cast, exact at these magnitudes
+    (both operands ≤ 2 digits; DuckDB's integer ``//`` replays it
+    identically). ONE definition shared by crawl_frontier and
+    web_ingest_pipeline; their oracles replay it as the same CASE."""
+    return F.when(
+        delay.isNull(), F.lit(FRONTIER_DEFAULT_RATE).cast("bigint")
+    ).otherwise(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            (F.lit(FRONTIER_WAVE_SECONDS).cast("bigint") / delay.cast("bigint"))
+            .cast("bigint"),
         )
     )
 
@@ -7885,22 +7923,46 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS sha
         FROM pages
       ) GROUP BY sha
+    ),
+    sched AS (
+      -- the frontier leg: delay/rate from the robots construction
+      -- (regime-2 Crawl-delay = 1 + length(host) % 7; no file -> 4),
+      -- schedule = the politeness window over the GATED url set
+      SELECT doc_id,
+             CAST((rn - 1) // rate AS BIGINT) AS wave,
+             CAST((rn - 1) % rate AS BIGINT) AS slot
+      FROM (
+        SELECT doc_id,
+               CAST(CASE WHEN regime = 1 THEN 4
+                    ELSE greatest(1, 30 // (1 + length(host) % 7))
+                    END AS BIGINT) AS rate,
+               row_number() OVER (
+                 PARTITION BY host
+                 ORDER BY md5('https://' || host || path),
+                          'https://' || host || path) AS rn
+        FROM gated
+      )
     )
     SELECT p.doc_id, p.host,
            'https://' || p.host || p.path AS url,
            p.charset, CAST(1 AS INT) AS decode_ok,
            md5(p.text) AS text_md5,
-           CAST(length(p.text) AS BIGINT) AS n_chars_out
-    FROM pages p JOIN keep k ON p.doc_id = k.doc_id
+           CAST(length(p.text) AS BIGINT) AS n_chars_out,
+           s.wave, s.slot
+    FROM pages p
+    JOIN keep k ON p.doc_id = k.doc_id
+    JOIN sched s ON p.doc_id = s.doc_id
     """,
 )
 def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Web-ingest CAPSTONE — stages −1…1 of the web-corpus recipe
     as ONE registered plan (the curation_pipeline precedent applied to
     ingest): WARC framing → parse_record_bytes → charset-aware
-    responses_as_text → robots_allowed_for_hosts gate → fused
-    extract_and_normalize → exact-dedup admission. Each stage is also
-    graded alone (warc_roundtrip, robots_gate, html_extract,
+    responses_as_text → robots_allowed_for_hosts gate →
+    robots-derived frontier schedule (crawl-delay → rate →
+    frontier_schedule's (wave, slot)) → fused extract_and_normalize →
+    exact-dedup admission. Each stage is also graded alone
+    (warc_roundtrip, robots_gate, crawl_frontier, html_extract,
     text_normalize, exact dedup rows); this row grades that their COLUMN
     CONTRACTS compose — the reference itself is one straight-line
     pipeline (task.ts:115-258), so the engine's web equivalent is graded
@@ -7928,18 +7990,25 @@ def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       inline-b contract; № → 'No', º → 'o', ² → '2' folds).
 
     The ORACLE never frames, parses, decodes, evaluates robots, or
-    normalizes: it rebuilds the gate verdict as a CASE, the expected
+    normalizes: it rebuilds the gate verdict as a CASE, the delay/rate
+    as the construction arithmetic, the schedule as the same window +
+    integer div/mod over the gated set, the expected
     extracted-normalized text as string concat, and the dedup winners as
-    a sha256 GROUP BY — agreement machine-checks all five stage
+    a sha256 GROUP BY — agreement machine-checks all six stage
     contracts and their composition.
 
-    100-TB shape: serialize/parse/decode/gate/extract are ALL map-only
-    (scan-parallel, zero shuffles — the robots dim ships inside the gate
-    kernel as a broadcast variable); the only shuffle in the whole plan
-    is exact dedup's hash-agg on the 64-char sha, the minimum any
-    admission pass needs."""
+    100-TB shape: serialize/parse/decode/gate/delay/extract are ALL
+    map-only (scan-parallel — the robots dim ships inside the gate and
+    delay kernels as broadcast variables); the plan's only shuffles are
+    the frontier's host-hash window (the one key that can enforce the
+    politeness invariant) and exact dedup's hash-agg on the 64-char
+    sha, the minimum any scheduled admission pass needs."""
     from .functions.normalize import extract_and_normalize
-    from .functions.url import robots_allowed_for_hosts
+    from .functions.url import (
+        frontier_schedule,
+        robots_allowed_for_hosts,
+        robots_crawl_delay_for_hosts,
+    )
     from .operators.dedup import exact_dedup
     from .sources.warc import (
         parse_record_bytes,
@@ -7997,9 +8066,21 @@ def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages.withColumn(
         "host", F.regexp_extract("url", r"^https://([^/]+)", 1)
     )
-    gate = robots_allowed_for_hosts(_robots_regime_dim(d), "etl-adsbx-bot")
+    dim = _robots_regime_dim(d)
+    gate = robots_allowed_for_hosts(dim, "etl-adsbx-bot")
+    delay = robots_crawl_delay_for_hosts(dim, "etl-adsbx-bot")
     allowed = pages.where(gate(F.col("host"), F.col("url")))
-    extracted = extract_and_normalize(allowed, html_col="raw_html", out_col="text")
+    # the frontier leg (stage between gate and fetch): robots-derived
+    # per-wave rate + the politeness window — the plan's ONE extra
+    # shuffle (host-hash, the only key that can enforce the invariant);
+    # in a real crawl the schedule precedes the fetch, so the window
+    # carries no body — here the constructed page rides along, priced
+    # in BASELINE.md
+    rated = allowed.withColumn(
+        "rate", _frontier_rate_col(delay(F.col("host")))
+    )
+    sched = frontier_schedule(rated, rate_col="rate")
+    extracted = extract_and_normalize(sched, html_col="raw_html", out_col="text")
     admitted = exact_dedup(extracted, "text", "doc_id")
     return admitted.select(
         "doc_id",
@@ -8009,6 +8090,8 @@ def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decode_ok",
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
         F.length("text").cast("bigint").alias("n_chars_out"),
+        "wave",
+        "slot",
     )
 
 
@@ -8100,7 +8183,13 @@ def containment_prefix_pairs_query(spark: SparkSession, sf_dir: str) -> DataFram
                   WHEN doc_id % 3 = 1 THEN '/private/pub/' || doc_id
                   ELSE '/public/' || doc_id END AS path,
              length(source) % 3 AS regime,
-             1 + length(source) % 3 AS rate
+             -- Crawl-delay: regime 2 files carry 1 + length(host) % 7
+             -- in the * group (the badbot decoy's 99 must be skipped);
+             -- regime 1 has no file -> no delay -> default rate 4;
+             -- rate = max(1, 30 // delay)  (WAVE_SECONDS=30)
+             CAST(CASE WHEN length(source) % 3 = 1 THEN 4
+                  ELSE greatest(1, 30 // (1 + (length(source) + 12) % 7))
+                  END AS BIGINT) AS rate
       FROM documents
     ),
     gated AS (
@@ -8119,18 +8208,18 @@ def containment_prefix_pairs_query(spark: SparkSession, sf_dir: str) -> DataFram
       FROM gated
     ),
     final AS (
-      SELECT doc_id, host, url,
+      SELECT doc_id, host, url, rate,
              CAST(rn // rate AS BIGINT) AS wave,
              CAST(rn % rate AS BIGINT) AS slot
       FROM sched
     )
-    SELECT 'url' AS leg, doc_id, host, url, wave, slot,
+    SELECT 'url' AS leg, doc_id, host, url, rate, wave, slot,
            CAST(NULL AS BIGINT) AS n_urls, CAST(NULL AS BIGINT) AS n_hosts
     FROM final
     UNION ALL
     SELECT 'wave_stats', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-           CAST(NULL AS VARCHAR), wave, CAST(NULL AS BIGINT),
-           COUNT(*), COUNT(DISTINCT host)
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), wave,
+           CAST(NULL AS BIGINT), COUNT(*), COUNT(DISTINCT host)
     FROM final GROUP BY wave
     """,
 )
@@ -8138,25 +8227,37 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Crawl-frontier politeness scheduler (functions.url.
     frontier_schedule) — the stage between the robots gate and the
     fetcher pool: every allowed URL gets a ``(wave, slot)`` such that a
-    host fetches at most ``rate`` URLs per wave (its crawl-delay as a
-    per-wave budget). The corpus has no frontier, so it is CONSTRUCTED
-    in-query on the robots_gate scaffolding (shared
+    host fetches at most ``rate`` URLs per wave. The rate is DERIVED
+    FROM robots.txt (the r10 verdict gap: it was a synthetic column):
+    ``robots_crawl_delay_for_hosts`` reads each host's ``Crawl-delay``
+    through the SAME stdlib evaluator group selection as the gate (the
+    badbot decoy group's delay must be skipped), and
+    ``_frontier_rate_col`` maps delay → per-wave budget
+    (max(1, WAVE_SECONDS div delay); hosts with no file or no delay
+    line get DEFAULT_RATE). The corpus has no frontier, so it is
+    CONSTRUCTED in-query on the robots_gate scaffolding (shared
     ``_robots_regime_dim``): per-source hosts, 3-branch paths, the
-    stdlib-evaluated robots gate, and per-host rates 1 + len(source)%3.
+    stdlib-evaluated robots gate, per-host delays 1 + len(host)%7.
     Ordering within a host is ``md5(url)`` — content-derived, so the
     schedule is deterministic under retry and partitioning with no RNG.
     Two graded legs (the geo_radius_join convention): the full per-URL
-    schedule and per-wave totals (n_urls, n_hosts). The ORACLE replays
-    the gate as the regime CASE and the schedule as the same window +
-    exact integer div/mod.
+    schedule (now carrying the derived ``rate``) and per-wave totals
+    (n_urls, n_hosts). The ORACLE never parses robots syntax: it
+    replays the gate as the regime CASE, the delay as the construction
+    arithmetic, the rate as the same greatest/div CASE, and the
+    schedule as the same window + exact integer div/mod.
 
     100-TB shape: ONE window over host-keyed partitioning — the natural
     frontier shuffle (the host is the politeness unit, so host-hash is
-    the only key that can enforce the invariant); the gate is the
-    broadcast-variable kernel (zero joins) and the wave numbering IS the
-    fetch schedule — downstream fetchers consume waves in order with no
-    re-sort."""
-    from .functions.url import frontier_schedule, robots_allowed_for_hosts
+    the only key that can enforce the invariant); the gate AND the
+    delay lookup are broadcast-variable kernels (zero joins) and the
+    wave numbering IS the fetch schedule — downstream fetchers consume
+    waves in order with no re-sort."""
+    from .functions.url import (
+        frontier_schedule,
+        robots_allowed_for_hosts,
+        robots_crawl_delay_for_hosts,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     sid = F.col("doc_id").cast("string")
@@ -8171,16 +8272,21 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         host.alias("host"),
         F.concat(F.lit("https://"), host, path).alias("url"),
-        (F.lit(1) + F.length("source") % 3).alias("rate"),
     )
-    gate = robots_allowed_for_hosts(_robots_regime_dim(d), "etl-adsbx-bot")
+    dim = _robots_regime_dim(d)
+    gate = robots_allowed_for_hosts(dim, "etl-adsbx-bot")
+    delay = robots_crawl_delay_for_hosts(dim, "etl-adsbx-bot")
     allowed = urls.where(gate(F.col("host"), F.col("url")))
-    sched = frontier_schedule(allowed, rate_col="rate")
+    rated = allowed.withColumn(
+        "rate", _frontier_rate_col(delay(F.col("host")))
+    )
+    sched = frontier_schedule(rated, rate_col="rate")
     url_leg = sched.select(
         F.lit("url").alias("leg"),
         "doc_id",
         "host",
         "url",
+        "rate",
         "wave",
         "slot",
         F.lit(None).cast("bigint").alias("n_urls"),
@@ -8194,6 +8300,7 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("doc_id"),
         F.lit(None).cast("string").alias("host"),
         F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("bigint").alias("rate"),
         "wave",
         F.lit(None).cast("bigint").alias("slot"),
         "n_urls",
