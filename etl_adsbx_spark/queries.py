@@ -94,77 +94,78 @@ def register(name: str, oracle: str | None = None):
 #: (tests/test_queries_oracle.py runs all of them each pytest run).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # === ROUND-10 WINDOW === 3 new + 3 changed-this-round + the 19 keys
-    # whose last driver row is r7 (the oldest evidence in the registry,
-    # flagged by the r9 verdict) + the 25 OLDEST r8-graded keys by
-    # registration order. The 24 youngest r8-graded keys (tfidf_top_terms,
-    # decontaminate,
-    # pack_sequences, ann_topk, multimodal_meta, time_windows,
-    # session_windows, cot_pipeline, cot_pipeline_nofilter,
-    # embedding_neardup, semantic_dedup, lang_id_model, html_extract,
-    # text_normalize, split_leakage_audit, corr_matrix, url_canonicalize,
-    # cluster_split_assign, domain_hits, graph_triangles, ewma_smooth,
-    # mmr_rerank, anomaly_events) overflow to the r11 window; the 50
-    # r9-graded keys wait behind them.
-    # --- new in r10 (web-ingest capstone: WARC→decode→robots→extract→
-    # dedup as ONE graded plan; asymmetric-prefix containment join;
-    # crawl-frontier politeness scheduler) ---
-    "web_ingest_pipeline",
-    "containment_prefix_pairs",
-    "crawl_frontier",
-    # --- changed in r10, regraded: warc_roundtrip gained the 5-case
-    # charset/decode construction; quality_logreg's driver-side weight
-    # rounding now mirrors DuckDB round(DOUBLE,8) exactly; robots_gate
-    # moved the hosts dim from a broadcast join into the kernel ---
+    # === ROUND-11 WINDOW === 4 changed-this-round + ALL 23 keys whose
+    # last driver row is r8 (the oldest evidence in the registry — the
+    # r10 verdict's rotation item; its "24 youngest" note was a
+    # miscount, the r8-stale set is 23) + the 23 OLDEST r9-graded keys
+    # by registration order. Arithmetic: 4 + 23 + 23 = 50 = the driver
+    # grading window. The 24 youngest r9-graded keys
+    # (q7_volume_shipping, q8_market_share, q9_product_profit,
+    # q11_important_parts, q12_late_priority, q15_top_supplier,
+    # q16_supplier_part_count, q19_disjunctive_revenue,
+    # q20_excess_shippers, q21_blocking_supplier, substring_dedup,
+    # window_analytics, resample_timeseries, interval_overlap,
+    # fuzzy_name_pairs, bm25_topk, url_domain_stats, mad_outlier_gate,
+    # sessionization_report, funnel_steps, retention_cohorts,
+    # scd2_history, readability_scores, jaccard_prefix_pairs) wait for
+    # the r12 window; the 50 r10-graded keys queue behind them.
+    # --- changed in r11, regraded: warc_roundtrip grew the payload-
+    # decode fan-out (chunked/gzip/deflate + truncation flags);
+    # robots_gate's shared dim construction gained Crawl-delay lines;
+    # crawl_frontier now derives rates from robots Crawl-delay;
+    # web_ingest_pipeline composes the frontier schedule ---
     "warc_roundtrip",
-    "quality_logreg",
     "robots_gate",
-    # --- last driver-graded r7 (two rounds stale) ---
-    "quantile_filter",
-    "chunk_documents_cdc",
-    "scd2_point_in_time",
-    "event_paths_topk",
-    "dsir_weights",
-    "domain_pagerank",
-    "column_profile",
-    "mixture_weights",
-    "kmeans_clusters",
-    "bigram_lm_score",
-    "corpus_diff_content",
-    "pq_ann_topk",
-    "curation_pipeline",
-    "geo_radius_join",
-    "hybrid_rrf_topk",
-    "set_ops_all",
-    "cluster_keep_best",
-    "line_dedup_global",
-    "tfidf_cosine_pairs",
-    # --- last driver-graded r8, oldest 25 by registration order ---
-    "q5_regional_revenue",
-    "distinct_agg",
-    "rollup_agg",
-    "filter_predicates",
-    "case_value_mapping",
-    "string_funcs",
-    "datetime_funcs",
-    "json_extract",
-    "haversine_geo",
-    "dim_enrich_join",
-    "semi_anti_join",
-    "asof_join_events",
-    "range_join_events",
-    "first_last_events",
-    "window_running",
-    "topk_per_group",
-    "set_ops",
-    "exact_dedup_docs",
-    "minhash_pairs",
-    "incremental_minhash_admit",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "ngram_jaccard_pairs",
-    "simhash_docs",
-    "text_stats",
+    "crawl_frontier",
+    "web_ingest_pipeline",
+    # --- last driver-graded r8 (two rounds stale), all 23 ---
+    "tfidf_top_terms",
+    "decontaminate",
+    "pack_sequences",
+    "ann_topk",
+    "multimodal_meta",
+    "time_windows",
+    "session_windows",
+    "cot_pipeline",
+    "cot_pipeline_nofilter",
+    "embedding_neardup",
+    "semantic_dedup",
+    "lang_id_model",
+    "html_extract",
+    "text_normalize",
+    "split_leakage_audit",
+    "corr_matrix",
+    "url_canonicalize",
+    "cluster_split_assign",
+    "domain_hits",
+    "graph_triangles",
+    "ewma_smooth",
+    "mmr_rerank",
+    "anomaly_events",
+    # --- last driver-graded r9, oldest 23 by registration order ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "sample_select_ops",
+    "unigram_lm_score",
+    "boilerplate_strip",
+    "cube_grouping_sets",
+    "pivot_unpivot",
+    "map_funcs",
+    "collect_agg",
+    "media_kernels",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "stats_agg",
+    "percentile_histogram",
+    "salted_skew",
+    "window_rank_frames",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
 ]
 
 
