@@ -118,3 +118,22 @@ def test_phash_invariant_across_reencode(spark):
     diff = bin(sigs[1] ^ sigs[3]).count("1")
     assert same <= 6, f"re-encode drifted {same} bits"
     assert diff > 12, f"different image too close: {diff} bits"
+
+
+def test_stdlib_png_decoder_byte_parity_with_pillow():
+    """png_decode_rgb (the r11 stdlib PNG decoder) must be byte-identical
+    to Pillow's convert('RGB').tobytes() for every supported color type,
+    including Pillow-ENCODED streams (real-world filter choices, not the
+    test encoder's)."""
+    from etl_adsbx_spark.operators.multimodal import png_decode_rgb
+
+    arr = _rgb(37, 23)
+    for mode in ("RGB", "RGBA", "L", "LA", "P"):
+        img = Image.fromarray(arr, "RGB").convert(mode)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        payload = buf.getvalue()
+        w, h, got = png_decode_rgb(payload)
+        want = Image.open(io.BytesIO(payload)).convert("RGB").tobytes()
+        assert (w, h) == img.size and got == want, mode
+        assert stdlib_decode(payload, "image/png") == want
