@@ -160,6 +160,48 @@ FORCE_COL = {
 }
 
 
+def calibrate(spark, qs, n_runs: int = 3) -> dict:
+    """Pinned calibration workload (r10 verdict item 3: cross-round
+    anchor comparisons rested on an UNCOMMITTED ad-hoc drift probe).
+    Two code- and data-invariant measurements, recorded with every
+    bench run:
+
+    - ``cpu_sha256_256mb_s``: sha256 over 256 MiB of fixed bytes — pure
+      CPU, no Spark, no I/O; drifts only with the box (clock, steal,
+      contention).
+    - ``tiny_scan_q1_sf0001_s``: the q1 aggregation at sf0.001 (already
+      JIT-warmed by the warm-up pass) — prices the JVM/scan/schedule
+      overhead floor.
+
+    Because neither depends on engine code or benchmark data, the ratio
+    of two rounds' calibration rows IS the box-drift factor; BASELINE.md
+    anchor tables carry a drift-normalized column computed from it."""
+    import hashlib
+
+    block = b"\xa5" * 65536
+    cpu = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(4096):  # 4096 * 64 KiB = 256 MiB
+            h.update(block)
+        h.digest()
+        cpu.append(time.perf_counter() - t0)
+    scan = []
+    cal_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(cal_dir) and "q1_pricing_summary" in qs:
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            qs["q1_pricing_summary"](spark, cal_dir).count()
+            scan.append(time.perf_counter() - t0)
+    return {
+        "cpu_sha256_256mb_s": round(statistics.median(cpu), 3),
+        "tiny_scan_q1_sf0001_s": (
+            round(statistics.median(scan), 3) if scan else None
+        ),
+    }
+
+
 def run_df(df, force_col: str | None = None) -> int:
     # count() forces full execution without driver-side materialization
     # (except pure projections — see FORCE_COL)
@@ -208,6 +250,10 @@ def main() -> None:
                   round(max(samples), 3)]
         return spread[1], spread
 
+    # calibration brackets the timed pass (box state can change DURING a
+    # 90-second run; before/after rows make that visible too)
+    cal_before = calibrate(spark, qs)
+
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in names:
@@ -218,6 +264,9 @@ def main() -> None:
     timings["flagship_pipeline"], spreads["flagship_pipeline"] = timed(
         lambda: flagship(spark, sf_dir)
     )
+
+    cal_after = calibrate(spark, qs)
+    calibration = {"before": cal_before, "after": cal_after}
 
     total = round(sum(timings.values()), 3)
     # load-skew self-identification (round-6 verdict #8: a driver-loaded box
@@ -237,6 +286,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": n_runs,
         "stat": "median",
+        "calibration": calibration,
     }
     # Full per-query table (3-dp medians + [min, median, max] spreads) goes
     # to a repo file; stdout stays inside the driver's capture window.
@@ -264,6 +314,14 @@ def main() -> None:
         "sf": record["sf"],
         "queries_cs": {n: int(round(t * 100)) for n, t in timings.items()},
         "worst_spread_ratio": round(worst[0], 2),
+        # calibration medians in centiseconds, [cpu, scan] × [before,
+        # after] — 4 small ints; never degraded away (they are the
+        # cross-round drift denominators)
+        "cal_cs": [
+            int(round((c.get(k) or 0) * 100))
+            for c in (cal_before, cal_after)
+            for k in ("cpu_sha256_256mb_s", "tiny_scan_q1_sf0001_s")
+        ],
     }
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > stdout_budget:
@@ -296,6 +354,7 @@ def main() -> None:
             "unit": "sec",
             "sf": record["sf"],
             "queries_n": len(timings),
+            "cal_cs": record["cal_cs"],
             "detail": "BENCH_DETAIL.json",
         }
         line = json.dumps(record, separators=(",", ":"))

@@ -127,11 +127,73 @@ SPECIAL = {
 
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+#: the heavy legs spill hard (tfidf at sf10 spills 40+ GB; one r10 run
+#: died on ENOSPC worsened by a STALE blockmgr dir from a killed run —
+#: BASELINE.md r10 notes). Refuse loudly up front instead of dying
+#: mid-probe, and sweep dead runs' leftovers first.
+MIN_FREE_GB = float(os.environ.get("SPARK_GRAFT_PROBE_MIN_FREE_GB", "60"))
+
+
+def _disk_guard(min_free_gb: float = MIN_FREE_GB,
+                stale_after_s: float = 1800.0) -> None:
+    """Pre-flight for the heavy legs: require ``min_free_gb`` free under
+    spark.local.dir or exit with an actionable message, NAMING the
+    blockmgr-*/spark-* leftovers that look stale (untouched >30 min).
+    Deletion is OPT-IN via SPARK_GRAFT_PROBE_SWEEP=1 and still limited
+    to stale-by-mtime dirs: a LIVE run's scratch cannot be identified
+    reliably from outside (shuffle temp files hold no fd between
+    writes — auto-sweeping by /proc inspection killed a concurrent
+    bench run when this guard was first built), so the default only
+    reports."""
+    import shutil
+    import tempfile
+
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS", tempfile.gettempdir())
+    now = time.time()
+    stale = []
+    for d in sorted(os.listdir(local_dir)):
+        if not (d.startswith("blockmgr-") or d.startswith("spark-")):
+            continue
+        p = os.path.join(local_dir, d)
+        try:
+            newest = max(
+                (os.path.getmtime(os.path.join(root, f))
+                 for root, _dirs, fs in os.walk(p) for f in fs),
+                default=os.path.getmtime(p),
+            )
+        except OSError:
+            continue
+        if now - newest > stale_after_s:
+            stale.append(p)
+    if stale and os.environ.get("SPARK_GRAFT_PROBE_SWEEP") == "1":
+        for p in stale:
+            print(f"## sweeping stale spark dir: {p}", file=sys.stderr)
+            shutil.rmtree(p, ignore_errors=True)
+        stale = []
+    free_gb = shutil.disk_usage(local_dir).free / (1 << 30)
+    stale_note = (
+        f"; stale candidates (untouched >{stale_after_s / 60:.0f} min): "
+        + ", ".join(stale) + " — rerun with SPARK_GRAFT_PROBE_SWEEP=1 "
+        "to remove them (ONLY when no other Spark run is alive)"
+        if stale else ""
+    )
+    if free_gb < min_free_gb:
+        sys.exit(
+            f"scale_probe: only {free_gb:.1f} GB free under {local_dir!r} "
+            f"(< {min_free_gb:.0f} GB): the sf10 legs spill 40+ GB and a "
+            "mid-run ENOSPC corrupts the probe — free disk or lower "
+            f"SPARK_GRAFT_PROBE_MIN_FREE_GB if probing small legs only"
+            f"{stale_note}"
+        )
+    print(f"## disk guard ok: {free_gb:.1f} GB free under {local_dir}"
+          f"{stale_note}", file=sys.stderr)
+
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, "testdata_sf1")
     sf01_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    _disk_guard()
     spark = get_spark("etl-adsbx-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
