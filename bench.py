@@ -142,6 +142,9 @@ OPTIONAL = [
     "web_ingest_pipeline",
     "containment_prefix_pairs",
     "crawl_frontier",
+    # r11: CDX capture index on SURT keys (codegen transform + the
+    # revisit lag window on surt-hash)
+    "cdx_surt_index",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on
@@ -169,6 +172,11 @@ def calibrate(spark, qs, n_runs: int = 3) -> dict:
     - ``cpu_sha256_256mb_s``: sha256 over 256 MiB of fixed bytes — pure
       CPU, no Spark, no I/O; drifts only with the box (clock, steal,
       contention).
+    - ``memcpy_gb_s``: single-thread copy bandwidth over a 512 MiB
+      buffer — the r11 finding: shuffle/sort-heavy queries are
+      memory-bandwidth-bound, and a host whose bandwidth degrades
+      inflates THEM ~2× while barely moving scan-shaped queries, so a
+      sha-only calibration under-corrects exactly the expensive legs.
     - ``tiny_scan_q1_sf0001_s``: the q1 aggregation at sf0.001 (already
       JIT-warmed by the warm-up pass) — prices the JVM/scan/schedule
       overhead floor.
@@ -187,6 +195,14 @@ def calibrate(spark, qs, n_runs: int = 3) -> dict:
             h.update(block)
         h.digest()
         cpu.append(time.perf_counter() - t0)
+    buf = bytearray(512 << 20)
+    bw = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        _copy = bytes(buf)
+        bw.append(time.perf_counter() - t0)
+        del _copy
+    del buf
     scan = []
     cal_dir = "/root/testdata/sf0.001"
     if os.path.isdir(cal_dir) and "q1_pricing_summary" in qs:
@@ -196,6 +212,7 @@ def calibrate(spark, qs, n_runs: int = 3) -> dict:
             scan.append(time.perf_counter() - t0)
     return {
         "cpu_sha256_256mb_s": round(statistics.median(cpu), 3),
+        "memcpy_gb_s": round(0.5 / statistics.median(bw), 2),
         "tiny_scan_q1_sf0001_s": (
             round(statistics.median(scan), 3) if scan else None
         ),
@@ -314,13 +331,14 @@ def main() -> None:
         "sf": record["sf"],
         "queries_cs": {n: int(round(t * 100)) for n, t in timings.items()},
         "worst_spread_ratio": round(worst[0], 2),
-        # calibration medians in centiseconds, [cpu, scan] × [before,
-        # after] — 4 small ints; never degraded away (they are the
-        # cross-round drift denominators)
+        # calibration medians ×100, [sha s, memcpy GB/s, scan s] ×
+        # [before, after] — 6 small ints; never degraded away (they are
+        # the cross-round drift denominators)
         "cal_cs": [
             int(round((c.get(k) or 0) * 100))
             for c in (cal_before, cal_after)
-            for k in ("cpu_sha256_256mb_s", "tiny_scan_q1_sf0001_s")
+            for k in ("cpu_sha256_256mb_s", "memcpy_gb_s",
+                      "tiny_scan_q1_sf0001_s")
         ],
     }
     line = json.dumps(record, separators=(",", ":"))

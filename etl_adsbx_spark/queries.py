@@ -94,13 +94,13 @@ def register(name: str, oracle: str | None = None):
 #: (tests/test_queries_oracle.py runs all of them each pytest run).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # === ROUND-11 WINDOW === 4 changed-this-round + ALL 23 keys whose
-    # last driver row is r8 (the oldest evidence in the registry — the
-    # r10 verdict's rotation item; its "24 youngest" note was a
-    # miscount, the r8-stale set is 23) + the 23 OLDEST r9-graded keys
-    # by registration order. Arithmetic: 4 + 23 + 23 = 50 = the driver
-    # grading window. The 24 youngest r9-graded keys
-    # (q7_volume_shipping, q8_market_share, q9_product_profit,
+    # === ROUND-11 WINDOW === 1 new + 4 changed-this-round + ALL 23
+    # keys whose last driver row is r8 (the oldest evidence in the
+    # registry — the r10 verdict's rotation item; its "24 youngest"
+    # note was a miscount, the r8-stale set is 23) + the 22 OLDEST
+    # r9-graded keys by registration order. Arithmetic: 1 + 4 + 23 +
+    # 22 = 50 = the driver grading window. The 25 youngest r9-graded
+    # keys (q6_forecast_revenue, q7_volume_shipping, q8_market_share, q9_product_profit,
     # q11_important_parts, q12_late_priority, q15_top_supplier,
     # q16_supplier_part_count, q19_disjunctive_revenue,
     # q20_excess_shippers, q21_blocking_supplier, substring_dedup,
@@ -114,6 +114,9 @@ _DRIVER_PRIORITY: list[str] = [
     # robots_gate's shared dim construction gained Crawl-delay lines;
     # crawl_frontier now derives rates from robots Crawl-delay;
     # web_ingest_pipeline composes the frontier schedule ---
+    # --- new in r11 (CDX capture index on SURT keys with revisit
+    # semantics — the web-archive index shape) ---
+    "cdx_surt_index",
     "warc_roundtrip",
     "robots_gate",
     "crawl_frontier",
@@ -165,7 +168,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q22_dormant_customers",
     "q2_min_cost_supplier",
     "q4_order_priority",
-    "q6_forecast_revenue",
 ]
 
 
@@ -8308,3 +8310,125 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hosts",
     )
     return url_leg.unionByName(stats_leg)
+
+
+@register(
+    "cdx_surt_index",
+    oracle="""
+    WITH caps AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'www.' || source || '.Example.COM'
+                  ELSE source || '.example.com' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ':8443'
+                  WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+             '/docs/' || doc_id ||
+             CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1&utm_source=x'
+                  ELSE '' END AS url,
+             -- the expected SURT, replayed from the construction: www
+             -- and case fold away, :443 (https default) drops, :8443
+             -- survives, tracking param out + remaining params sorted
+             'com,example,' || lower(source) ||
+             CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END ||
+             ')/docs/' || doc_id ||
+             CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS surt,
+             ts, digest
+      FROM (
+        SELECT doc_id, source, '20260101000000' AS ts,
+               sha256(COALESCE(text, '')) AS digest
+        FROM documents
+        UNION ALL
+        SELECT doc_id, source, '20260102000000',
+               sha256(COALESCE(text, '') ||
+                      CASE WHEN doc_id % 2 = 0 THEN '' ELSE ' v2' END)
+        FROM documents
+      )
+    )
+    SELECT surt, ts, url, digest,
+           CAST(COALESCE(
+             lag(digest) OVER (PARTITION BY surt ORDER BY ts) = digest,
+             FALSE) AS INT) AS is_revisit
+    FROM caps
+    """,
+)
+def cdx_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CDX-style capture index on SURT keys (functions.url.
+    surt_key) — the web-archive index shape (IIPC convention: pywb /
+    OpenWayback / the Common Crawl index): every capture keyed by the
+    Sort-friendly URI Reordering Transform of its URL plus a 14-digit
+    timestamp and a content digest, with CDX ``revisit`` semantics
+    (a capture whose digest equals the previous capture of the same
+    SURT is a revisit — archives store it as a pointer, not a copy).
+    SURT is what makes the index USEFUL at archive scale: all captures
+    of one host share a key prefix and a domain's whole subtree is one
+    contiguous key range (``,`` < ``)`` < ``/``), so host/domain
+    lookups over 100 TB are range scans.
+
+    The corpus has no captures, so they are CONSTRUCTED in-query: two
+    timestamped captures per document (the second changes content for
+    odd doc_ids only → exactly the even ones are revisits), URLs that
+    exercise every SURT fold — ``www.`` + mixed-case hosts
+    (doc_id % 2), the https default port ``:443`` (dropped) vs ``:8443``
+    (kept) (doc_id % 5 / % 7), shuffled query params with a tracking
+    param (doc_id % 3; canonicalization sorts and strips them). The
+    ORACLE never transforms a URL: it emits the expected SURT directly
+    from the construction arithmetic and replays the revisit lag
+    window.
+
+    100-TB shape: surt_key is pure codegen (parse_url + split/reverse/
+    array_join) — a per-row projection, no UDF; the only shuffle is the
+    revisit window on surt-hash, which is exactly the partitioning a
+    CDX writer needs anyway (the index is stored surt-sorted), so the
+    sort feeds the sink for free."""
+    from .functions.url import surt_key
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("www."), F.col("source"), F.lit(".Example.COM")),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    port = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8443"))
+        .when(F.col("doc_id") % 5 == 0, F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
+    qs = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("?b=2&a=1&utm_source=x")
+    ).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), host, port, F.lit("/docs/"), sid, qs)
+    c1 = F.coalesce(F.col("text"), F.lit(""))
+    c2 = F.when(F.col("doc_id") % 2 == 0, c1).otherwise(
+        F.concat(c1, F.lit(" v2"))
+    )
+    caps = d.select(
+        url.alias("url"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("20260101000000").alias("ts"),
+                    F.sha2(c1, 256).alias("digest"),
+                ),
+                F.struct(
+                    F.lit("20260102000000").alias("ts"),
+                    F.sha2(c2, 256).alias("digest"),
+                ),
+            )
+        ).alias("cap"),
+    ).select(
+        surt_key(F.col("url")).alias("surt"),
+        F.col("cap.ts").alias("ts"),
+        "url",
+        F.col("cap.digest").alias("digest"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt").orderBy("ts")
+    return caps.withColumn(
+        "is_revisit",
+        F.coalesce(
+            (F.lag("digest").over(w) == F.col("digest")).cast("int"),
+            F.lit(0),
+        ),
+    )

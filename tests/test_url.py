@@ -279,3 +279,47 @@ def test_robots_crawl_delay_for_hosts(spark):
         bad(F.col("host")).alias("d")
     ).first()["d"]
     assert got99 == 99
+
+
+def test_surt_key(spark):
+    """SURT contract: scheme dropped, host reversed comma-joined with a
+    leading www label removed, default ports dropped / explicit ports
+    kept, ')' authority separator, canonicalize_url's path/query
+    normalization; NULL-safe. Plus the property SURT exists for: one
+    domain's subtree is a CONTIGUOUS key range under plain string sort."""
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.functions.url import surt_key
+
+    rows = [
+        (0, "https://www.Example.COM/a", "com,example)/a"),
+        (1, "http://example.com:80/a/", "com,example)/a"),
+        (2, "https://sub.example.com:8443/x?b=2&a=1&utm_source=t",
+         "com,example,sub:8443)/x?a=1&b=2"),
+        (3, "https://www.com/x", "com,www)/x"),  # 2-label host keeps www
+        (4, "http://a.b.example.org/p#frag", "org,example,b,a)/p"),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in rows], "i int, url string"
+    )
+    got = {r["i"]: r["s"] for r in
+           df.select("i", surt_key("url").alias("s")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+    # contiguity: every key of example.com's subtree sorts INSIDE the
+    # [prefix, prefix+high) range; other .com hosts sort outside it
+    urls = [
+        "https://example.com/z", "https://www.example.com/a",
+        "https://sub.example.com/m", "https://deep.sub.example.com/q",
+        "https://examplez.com/x", "https://exampla.com/x",
+        "https://example.org/x",
+    ]
+    udf_in = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = [r["s"] for r in udf_in.select(surt_key("url").alias("s")).collect()]
+    inside = sorted(k for k in keys if k.startswith("com,example)")
+                    or k.startswith("com,example,"))
+    all_sorted = sorted(keys)
+    lo = all_sorted.index(inside[0])
+    assert all_sorted[lo : lo + len(inside)] == inside  # one contiguous run
