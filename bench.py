@@ -143,8 +143,10 @@ OPTIONAL = [
     "containment_prefix_pairs",
     "crawl_frontier",
     # r11: CDX capture index on SURT keys (codegen transform + the
-    # revisit lag window on surt-hash)
+    # revisit lag window on surt-hash) + sitemap-driven recrawl (xpath
+    # discovery joined to the capture index by SURT)
     "cdx_surt_index",
+    "sitemap_recrawl",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

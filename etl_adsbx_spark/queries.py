@@ -94,13 +94,13 @@ def register(name: str, oracle: str | None = None):
 #: (tests/test_queries_oracle.py runs all of them each pytest run).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # === ROUND-11 WINDOW === 1 new + 4 changed-this-round + ALL 23
+    # === ROUND-11 WINDOW === 2 new + 4 changed-this-round + ALL 23
     # keys whose last driver row is r8 (the oldest evidence in the
     # registry — the r10 verdict's rotation item; its "24 youngest"
-    # note was a miscount, the r8-stale set is 23) + the 22 OLDEST
-    # r9-graded keys by registration order. Arithmetic: 1 + 4 + 23 +
-    # 22 = 50 = the driver grading window. The 25 youngest r9-graded
-    # keys (q6_forecast_revenue, q7_volume_shipping, q8_market_share, q9_product_profit,
+    # note was a miscount, the r8-stale set is 23) + the 21 OLDEST
+    # r9-graded keys by registration order. Arithmetic: 2 + 4 + 23 +
+    # 21 = 50 = the driver grading window. The 26 youngest r9-graded
+    # keys (q4_order_priority, q6_forecast_revenue, q7_volume_shipping, q8_market_share, q9_product_profit,
     # q11_important_parts, q12_late_priority, q15_top_supplier,
     # q16_supplier_part_count, q19_disjunctive_revenue,
     # q20_excess_shippers, q21_blocking_supplier, substring_dedup,
@@ -115,8 +115,10 @@ _DRIVER_PRIORITY: list[str] = [
     # crawl_frontier now derives rates from robots Crawl-delay;
     # web_ingest_pipeline composes the frontier schedule ---
     # --- new in r11 (CDX capture index on SURT keys with revisit
-    # semantics — the web-archive index shape) ---
+    # semantics — the web-archive index shape; sitemap-driven recrawl
+    # planning — xpath discovery joined to the capture index by SURT) ---
     "cdx_surt_index",
+    "sitemap_recrawl",
     "warc_roundtrip",
     "robots_gate",
     "crawl_frontier",
@@ -167,7 +169,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q14_promo_share",
     "q22_dormant_customers",
     "q2_min_cost_supplier",
-    "q4_order_priority",
 ]
 
 
@@ -8431,4 +8432,134 @@ def cdx_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lag("digest").over(w) == F.col("digest")).cast("int"),
             F.lit(0),
         ),
+    )
+
+
+@register(
+    "sitemap_recrawl",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'https://www.' || source || '.Example.COM/docs/' || doc_id
+             ELSE 'https://' || source || '.example.com/docs/' || doc_id
+        END AS loc,
+        '2026-01-0' || (1 + doc_id % 3) AS lastmod,
+        CASE doc_id % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                        WHEN 2 THEN 'monthly' ELSE 'yearly' END AS changefreq,
+        CAST('0.' || (doc_id % 10) AS DOUBLE) AS priority,
+        'com,example,' || lower(source) || ')/docs/' || doc_id AS surt
+      FROM documents
+    ),
+    caps AS (
+      SELECT 'com,example,' || lower(source) || ')/docs/' || doc_id AS surt,
+             '20260102000000' AS last_ts
+      FROM documents WHERE doc_id % 11 != 0
+    )
+    SELECT u.surt, u.loc, u.lastmod, u.changefreq, u.priority, c.last_ts,
+           CAST(c.last_ts IS NULL
+                OR CAST(u.lastmod AS DATE) > DATE '2026-01-02'
+                AS INT) AS needs_fetch
+    FROM urls u LEFT JOIN caps c ON u.surt = c.surt
+    """,
+)
+def sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Sitemap-driven recrawl planning — the DISCOVERY side of the
+    politeness stack (robots.txt points at sitemaps; sitemaps enumerate
+    fetchable URLs with freshness hints, sitemaps.org protocol), joined
+    against the CDX capture index to decide what actually needs
+    fetching: a URL needs a fetch when it was never captured, or its
+    declared ``<lastmod>`` postdates the archive's latest capture of
+    the same SURT. The join is BY SURT, which is the point — the
+    sitemap lists ``www.``/mixed-case textual variants while the
+    archive keyed plain-host captures, and the canonical key unifies
+    them where raw-URL equality would re-fetch everything.
+
+    The corpus has no sitemaps, so per-HOST ``<urlset>`` XML documents
+    are CONSTRUCTED in-query (entries sorted by doc_id inside an
+    array_sort'd collect_list) and parsed BACK through the real
+    codegen xpath parser (``functions.url.parse_sitemap``) — loc,
+    lastmod, changefreq and priority in the graded output all came
+    through XML, so the oracle (which replays the construction
+    arithmetic and the join in SQL, no XML anywhere) machine-checks
+    the parser, the SURT transform on both sides, and the recrawl
+    predicate. Every 11th document is withheld from the capture side
+    (never crawled → discovery rows); lastmod spans three days around
+    the capture date (doc_id % 3; only day-3 entries are stale).
+
+    100-TB shape: sitemap assembly is one per-host agg (hosts ≪ URLs);
+    parse + SURT are codegen projections; the recrawl decision is ONE
+    surt-hash equi-join — and since a real CDX index is STORED
+    surt-sorted, that join sort-merges against the index's native
+    order with no extra exchange on the archive side."""
+    from .functions.url import parse_sitemap, surt_key
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    loc = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit(".Example.COM/docs/"), sid),
+    ).otherwise(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/docs/"), sid)
+    )
+    lastmod = F.concat(F.lit("2026-01-0"), (F.lit(1) + F.col("doc_id") % 3))
+    freq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly"),
+                F.lit("yearly")),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    prio = F.concat(F.lit("0."), (F.col("doc_id") % 10))
+    entry = F.concat(
+        F.lit("<url><loc>"), loc,
+        F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod><changefreq>"), freq,
+        F.lit("</changefreq><priority>"), prio,
+        F.lit("</priority></url>"),
+    )
+    smaps = d.groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), entry.alias("e")))
+                    ),
+                    lambda s: s["e"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    discovered = smaps.select(
+        F.explode(parse_sitemap(F.col("xml"))).alias("u")
+    ).select(
+        surt_key(F.col("u.loc")).alias("surt"),
+        F.col("u.loc").alias("loc"),
+        F.col("u.lastmod").alias("lastmod"),
+        F.col("u.changefreq").alias("changefreq"),
+        F.col("u.priority").alias("priority"),
+    )
+    plain_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"), sid
+    )
+    caps = d.where(F.col("doc_id") % 11 != 0).select(
+        surt_key(plain_url).alias("surt"),
+        F.lit("20260102000000").alias("last_ts"),
+    )
+    joined = discovered.join(caps, "surt", "left")
+    return joined.select(
+        "surt",
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
+        "last_ts",
+        (
+            F.col("last_ts").isNull()
+            | (F.to_date("lastmod")
+               > F.to_date(F.substring("last_ts", 1, 8), "yyyyMMdd"))
+        ).cast("int").alias("needs_fetch"),
     )

@@ -323,3 +323,36 @@ def test_surt_key(spark):
     all_sorted = sorted(keys)
     lo = all_sorted.index(inside[0])
     assert all_sorted[lo : lo + len(inside)] == inside  # one contiguous run
+
+
+def test_parse_sitemap(spark):
+    """Codegen xpath sitemap parse: clean multi-entry docs parse into
+    ordered structs, an empty urlset yields an empty array, and a
+    RAGGED feed (optional elements on some entries only) RAISES instead
+    of silently misaligning the parallel xpath arrays."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark.functions.url import parse_sitemap
+
+    good = (
+        '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+        "<url><loc>https://a.example.com/1</loc><lastmod>2026-01-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://a.example.com/2</loc><lastmod>2026-01-02</lastmod>"
+        "<changefreq>weekly</changefreq><priority>0.3</priority></url>"
+        "</urlset>"
+    )
+    empty = '<?xml version="1.0"?><urlset></urlset>'
+    df = spark.createDataFrame([(0, good), (1, empty)], "i int, xml string")
+    got = {r["i"]: r["u"] for r in
+           df.select("i", parse_sitemap("xml").alias("u")).collect()}
+    assert [tuple(e) for e in got[0]] == [
+        ("https://a.example.com/1", "2026-01-01", "daily", 0.8),
+        ("https://a.example.com/2", "2026-01-02", "weekly", 0.3),
+    ]
+    assert got[1] == []
+    ragged = good.replace("<lastmod>2026-01-02</lastmod>", "")
+    bad = spark.createDataFrame([(ragged,)], "xml string")
+    with pytest.raises(Exception, match="ragged"):
+        bad.select(parse_sitemap("xml").alias("u")).collect()
