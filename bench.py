@@ -147,6 +147,7 @@ OPTIONAL = [
     # discovery joined to the capture index by SURT)
     "cdx_surt_index",
     "sitemap_recrawl",
+    "crawl_budget_allocate",
 ]
 # dedup_clusters_star and incremental_minhash_admit are deliberately NOT
 # benchmarked: star is the adversarial-graph fallback (measured slower on

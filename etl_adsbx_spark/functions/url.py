@@ -368,6 +368,47 @@ def robots_crawl_delay_for_hosts(robots, agent: str = "*",
     return _delay
 
 
+def allocate_budget(hosts, budget: int,
+                    weight_col: str = "weight",
+                    host_col: str = "host"):
+    """Weighted fair division of an integer ``budget`` across hosts by
+    the LARGEST-REMAINDER method (Hamilton apportionment):
+    ``base_quota = floor(B·w/W)``, then the ``B − Σfloor`` leftover
+    slots go to the largest remainders (host-name tie-break). Exact
+    BIGINT arithmetic — no float ever decides a slot — so Σquota = B
+    EXACTLY and the result is deterministic under retry, the two
+    properties proportional float-rounding cannot give. Each quota is
+    floor or floor+1 of the exact proportional share (quota monotone in
+    remainder, pinned in tests/test_frontier.py).
+
+    Adds ``base_quota``, ``extra``, ``quota`` columns. 100-TB shape:
+    ``hosts`` is a HOSTS-sized frame (the caller reduces URLs to it
+    with one hash-agg); the W and leftover scalars attach as broadcast
+    1-row joins and the remainder ranking is one window over the small
+    frame — the hosts ≪ URLs invariant the frontier family already
+    relies on."""
+    from pyspark.sql import Window
+
+    B = F.lit(int(budget)).cast("bigint")
+    w = hosts[weight_col].cast("bigint")
+    tot = hosts.agg(F.sum(w).cast("bigint").alias("_w"))
+    base = (
+        hosts.join(F.broadcast(tot))
+        .withColumn("_bw", B * w)
+        .withColumn("base_quota", F.expr("_bw div _w"))
+        .withColumn("rem", F.pmod(F.col("_bw"), F.col("_w")))
+        .drop("_bw", "_w")
+    )
+    leftover = base.agg((B - F.sum("base_quota")).alias("_r"))
+    win = Window.orderBy(F.col("rem").desc(), F.col(host_col))
+    return (
+        base.join(F.broadcast(leftover))
+        .withColumn("extra", (F.row_number().over(win) <= F.col("_r")).cast("bigint"))
+        .withColumn("quota", F.col("base_quota") + F.col("extra"))
+        .drop("rem", "_r")
+    )
+
+
 def frontier_schedule(
     urls,
     rate_col: str = "rate",

@@ -94,13 +94,14 @@ def register(name: str, oracle: str | None = None):
 #: (tests/test_queries_oracle.py runs all of them each pytest run).
 #: Pure reordering — no query body changes.
 _DRIVER_PRIORITY: list[str] = [
-    # === ROUND-11 WINDOW === 2 new + 4 changed-this-round + ALL 23
+    # === ROUND-11 WINDOW === 3 new + 4 changed-this-round + ALL 23
     # keys whose last driver row is r8 (the oldest evidence in the
     # registry — the r10 verdict's rotation item; its "24 youngest"
-    # note was a miscount, the r8-stale set is 23) + the 21 OLDEST
-    # r9-graded keys by registration order. Arithmetic: 2 + 4 + 23 +
-    # 21 = 50 = the driver grading window. The 26 youngest r9-graded
-    # keys (q4_order_priority, q6_forecast_revenue, q7_volume_shipping, q8_market_share, q9_product_profit,
+    # note was a miscount, the r8-stale set is 23) + the 20 OLDEST
+    # r9-graded keys by registration order. Arithmetic: 3 + 4 + 23 +
+    # 20 = 50 = the driver grading window. The 27 youngest r9-graded
+    # keys (q2_min_cost_supplier, q4_order_priority,
+    # q6_forecast_revenue, q7_volume_shipping, q8_market_share, q9_product_profit,
     # q11_important_parts, q12_late_priority, q15_top_supplier,
     # q16_supplier_part_count, q19_disjunctive_revenue,
     # q20_excess_shippers, q21_blocking_supplier, substring_dedup,
@@ -116,9 +117,12 @@ _DRIVER_PRIORITY: list[str] = [
     # web_ingest_pipeline composes the frontier schedule ---
     # --- new in r11 (CDX capture index on SURT keys with revisit
     # semantics — the web-archive index shape; sitemap-driven recrawl
-    # planning — xpath discovery joined to the capture index by SURT) ---
+    # planning — xpath discovery joined to the capture index by SURT;
+    # weighted fair crawl-budget allocation — largest-remainder
+    # apportionment in exact BIGINT) ---
     "cdx_surt_index",
     "sitemap_recrawl",
+    "crawl_budget_allocate",
     "warc_roundtrip",
     "robots_gate",
     "crawl_frontier",
@@ -168,7 +172,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q10_returned_revenue",
     "q14_promo_share",
     "q22_dormant_customers",
-    "q2_min_cost_supplier",
 ]
 
 
@@ -8562,4 +8565,62 @@ def sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.to_date("lastmod")
                > F.to_date(F.substring("last_ts", 1, 8), "yyyyMMdd"))
         ).cast("int").alias("needs_fetch"),
+    )
+
+
+@register(
+    "crawl_budget_allocate",
+    oracle="""
+    WITH hosts AS (
+      SELECT source || '.example.com' AS host,
+             CAST(SUM(1 + doc_id % 5) AS BIGINT) AS weight
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w FROM hosts),
+    base AS (
+      SELECT host, weight,
+             CAST((97 * weight) // w AS BIGINT) AS base_quota,
+             CAST((97 * weight) % w AS BIGINT) AS rem
+      FROM hosts CROSS JOIN tot
+    ),
+    leftover AS (SELECT 97 - SUM(base_quota) AS r FROM base)
+    SELECT host, weight, base_quota,
+           CAST(CASE WHEN row_number() OVER (ORDER BY rem DESC, host) <= r
+                THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           base_quota + CAST(CASE
+             WHEN row_number() OVER (ORDER BY rem DESC, host) <= r
+             THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM base CROSS JOIN leftover
+    """,
+)
+def crawl_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Weighted fair crawl-budget allocation — the stage ABOVE the
+    per-host frontier: a fetcher pool has a GLOBAL per-wave budget B
+    (connection slots, bandwidth), and hosts receive integer shares
+    proportional to weight using the LARGEST-REMAINDER method (Hamilton
+    apportionment): quota_i = floor(B·w_i / W), then the R = B − Σfloor
+    leftover slots go to the R largest remainders (host-name
+    tie-break). Exact BIGINT arithmetic end to end — no float ever
+    decides a slot, so the allocation is deterministic under retry and
+    Σquota = B exactly (the property proportional-rounding floats
+    cannot guarantee). Weights are CONSTRUCTED per host as the summed
+    per-URL value 1 + doc_id % 5 (a stand-in for pagerank mass ×
+    demand); B = 97, prime, so remainders actually decide slots at
+    every grading SF. The ORACLE replays the same arithmetic and
+    window in SQL.
+
+    100-TB shape: one corpus-wide hash-agg (map-side partials) reduces
+    URLS to a HOSTS-sized frame; the total-weight and leftover scalars
+    attach as broadcast 1-row joins (the documented scalar-attach
+    BNLJ); the remainder ranking is a single window over the
+    hosts-sized frame — hosts ≪ URLs is the invariant that makes a
+    global window safe here, same as the CDX/frontier family."""
+    from .functions.url import allocate_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    hosts = d.groupBy(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).agg(F.sum(F.lit(1) + F.col("doc_id") % 5).cast("bigint").alias("weight"))
+    return allocate_budget(hosts, budget=97).select(
+        "host", "weight", "base_quota", "extra", "quota"
     )
