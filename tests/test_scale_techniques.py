@@ -399,6 +399,7 @@ BNLJ_ALLOWED = {
     "hybrid_rrf_topk": "vector leg = cosine_topk's broadcast 1-query set joined on != (the ann_topk exact-leg pattern); lexical leg = bm25's 1-row (n_docs, avgdl) stats crossJoin",
     "tfidf_cosine_pairs": "1-row corpus-count frame folded into the df-cap filter as broadcast crossJoin (inequality filter keeps it a BNLJ — the q11/q20 shape)",
     "lang_id_model": "model-sized crossJoins only: 5-lang × top-1024-gram grid completion, the 1-row n_docs prior scalar, and the 5-row lang_stats frame broadcast against per-doc rows — the model is KBs by construction, never the corpus",
+    "crawl_budget_allocate": "allocate_budget's 1-row total-weight and 1-row leftover scalars folded in as broadcast crossJoins against the HOSTS-sized frame (tfidf's n_docs shape; hosts ≪ URLs by the one corpus hash-agg above)",
 }
 
 #: Queries allowed an Exchange SinglePartition: every one is a deliberate
@@ -428,6 +429,8 @@ SINGLEPART_ALLOWED = {
     "tfidf_cosine_pairs": "the 1-row corpus-count scalar for the df-cap threshold (tfidf's n_docs shape)",
     "lang_id_model": "the top-V vocab ordered limit over the GRAM-COUNT table (vocab-sized, ≤ distinct bigrams, never the corpus body) + the 1-row n_docs scalar",
     "corr_matrix": "1-row sufficient-statistics scalar aggregate (n + 14 decimal sums; map-side partials reduce to one 15-number row — O(1) shuffle bytes)",
+    "crawl_budget_allocate": "allocate_budget's 1-row total-weight/leftover scalar aggs + the largest-remainder rank window over the HOSTS-sized frame (hosts ≪ URLs: the corpus body passes only the partial side of the hosts hash-agg)",
+    "pq_ann_topk": "the 1-row codebook-frame fold: collect_list over the n_sub·k-row codebook (model-sized by construction, never the corpus). Surfaced by the r11 codebook localCheckpoint pin — the RDD scan's unknown partitioning needs an explicit exchange where the old TakeOrderedAndProject child was already single-partition",
 }
 
 
