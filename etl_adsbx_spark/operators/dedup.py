@@ -603,7 +603,12 @@ def minhash_lsh_pairs(
     the band equi-join on a short hash key; at scale each band bucket is
     small, and AQE splits skewed buckets. Returns (a_id, b_id).
     """
+    # Pinned (lazy localCheckpoint): both sides of the band equi-join
+    # reference the signature frame — unpinned, the CPU-heavy
+    # shingle→minhash→band pipeline ran twice per query (2 scans in the
+    # r11 before plans of every minhash consumer).
     banded = band_signatures(df, id_col, text_col, shingle_n, num_hashes, bands)
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -642,7 +647,7 @@ def ngram_jaccard_pairs(
     sh = spread_for_cpu(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
-    )
+    ).localCheckpoint(eager=False)  # sizes + both self-join sides: 4 explode replays otherwise
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
     inter = (
         sh.alias("a")
@@ -1438,12 +1443,19 @@ def fuzzy_pairs(
     never materialized.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
-    # distinct-string dictionary: one representative id per string
+    # distinct-string dictionary: one representative id per string.
+    # Pinned (lazy localCheckpoint): groups feeds uniq/av/bv/diag — the
+    # r11 before plan re-expanded the scan+agg subtree 7× (14 scans,
+    # plans/r11/fuzzy_name_pairs_before.txt); one pin materializes the
+    # dictionary once. Values untouched.
     groups = base.groupBy("_s").agg(
         F.min("_id").alias("_rep"), F.count("*").alias("_mult")
-    )
+    ).localCheckpoint(eager=False)
     uniq = groups.select(F.col("_rep").alias("_id"), "_s")
     if max_dist == 1:
+        # pinned: feeds both sides of the position-keyed sub join AND the
+        # deletion-variant dictionary — 3 replays of the posexplode
+        # otherwise
         posvar = uniq.select(
             "_id",
             F.posexplode(
@@ -1455,7 +1467,7 @@ def fuzzy_pairs(
                     ),
                 )
             ).alias("_pos", "_v"),
-        )
+        ).localCheckpoint(eager=False)
         sub = (
             posvar.alias("a")
             .join(
@@ -1483,7 +1495,7 @@ def fuzzy_pairs(
     else:
         var = uniq.select(
             "_id", F.explode(deletion_variants(F.col("_s"), max_dist)).alias("_v")
-        )
+        ).localCheckpoint(eager=False)  # both sides of the variant self-join
         cand = (
             var.alias("a")
             .join(
@@ -1584,13 +1596,15 @@ def cluster_keep_best(
     (cluster count ≤ doc count; AQE broadcasts small cluster tables).
     Output: ``clusters`` columns + ``kept_doc_id`` + ``is_kept``.
     """
+    # pinned: scored feeds the argmax agg AND the join back — one lazy
+    # pin replaces a second score-attach join + scores scan
     scored = clusters.join(
         scores.select(
             F.col(id_col), F.col(score_col).alias("_score")
         ),
         id_col,
         "left",
-    )
+    ).localCheckpoint(eager=False)
     best = scored.groupBy(cluster_col).agg(
         F.max(
             F.struct(
@@ -1868,9 +1882,16 @@ def tfidf_simhash_rep_pairs(
     rows (a_id, b_id, cosine, n_members) — a_id == b_id marks an
     intra-group row.
     """
+    # Pin the weight rows: they feed FIVE consumers (fingerprint agg,
+    # rep semi-join, both verify posting sides, norms) and each one
+    # re-expanded the toks-explode→tf-agg→df-cap subtree — the r11
+    # before plan of the graded query shows 90 parquet scans / 361
+    # exchanges (plans/r11/tfidf_cosine_pairs_before.txt). One lazy
+    # localCheckpoint materializes the capped vector space once
+    # (guide §2.4/§5); values untouched.
     w = _tfidf_weight_rows(
         spread_for_explode(df, DOC_SHINGLE_FANOUT), max_df_frac, id_col, text_col
-    )
+    ).localCheckpoint(eager=False)
     wi = (F.col("_w") * 1_000_000).cast("long")
     fp = w.groupBy("_id").agg(
         F.md5(
@@ -1885,7 +1906,9 @@ def tfidf_simhash_rep_pairs(
     groups = fp.groupBy("_fp").agg(
         F.min("_id").alias("_rep"), F.count("*").alias("_m")
     )
-    reps = groups.select("_rep", "_m")
+    # reps feeds the rep semi-join, both member-multiplicity joins and
+    # the intra leg — pin it so the fingerprint double-agg runs once.
+    reps = groups.select("_rep", "_m").localCheckpoint(eager=False)
     repw = w.join(
         reps.select(F.col("_rep").alias("_id")), "_id", "left_semi"
     )
@@ -2024,6 +2047,16 @@ def jaccard_prefix_pairs(
     posting list by rows, but the removed half is the FREQUENT half —
     candidate pairs drop superlinearly (measured vs the naive join,
     BASELINE.md). Returns (a_id, b_id, jaccard).
+
+    The exploded posting frame ``sh`` is lazily ``localCheckpoint``-ed:
+    it feeds SIX consumers (dfreq, ranked, sizes, prefix×2 via the self
+    join, both verify posting sides), and without the pin each consumer
+    re-expands the whole scan→spread→explode subtree — the r11 before
+    plan shows 10 parquet scans + 10 Generates of the same documents
+    table (plans/r11/jaccard_prefix_pairs_before.txt). One lazy pin
+    materializes the postings exactly once and every consumer reads
+    blocks (guide §2.4/§5: share one computation; lineage truncation).
+    Values are untouched — the pin is pure materialization.
     """
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1]")
@@ -2032,7 +2065,7 @@ def jaccard_prefix_pairs(
         F.explode(
             F.array_distinct(word_shingles(text_col, shingle_n))
         ).alias("shingle"),
-    )
+    ).localCheckpoint(eager=False)
     # dfreq / sizes are CORPUS-DERIVED (shingle-count / doc-count rows):
     # their post-agg size estimates run far below the true in-memory
     # hashed-relation size, so an estimate-driven broadcast OOMs the
@@ -2144,6 +2177,10 @@ def containment_prefix_pairs(
     (one df agg, one per-doc rarity window, prefix×postings equi-join,
     candidate-driven verify) with the same merge pins on the
     explode-derived frames; directed output, self-pairs excluded.
+    ``sh`` is lazily ``localCheckpoint``-ed for the same reason as in
+    ``jaccard_prefix_pairs`` — SEVEN consumers (dfreq, ranked, sizes,
+    prefix, full, both verify posting sides) each re-expanded the
+    scan→explode subtree (14 scans in the r11 before plan).
     Returns (a_id, b_id, containment) — a is the contained side.
     """
     if not (0 < threshold_num <= threshold_den):
@@ -2153,7 +2190,7 @@ def containment_prefix_pairs(
         F.explode(
             F.array_distinct(word_shingles(text_col, shingle_n))
         ).alias("shingle"),
-    )
+    ).localCheckpoint(eager=False)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df")).hint("merge")
     ranked = sh.join(dfreq, "shingle").withColumn(
         "_pos",

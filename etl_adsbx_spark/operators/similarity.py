@@ -389,7 +389,9 @@ def embedding_neardup_pairs(
                     ]
                 )
             ).alias("ts"),
-        ).select("_id", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+        ).select(
+            "_id", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+        ).localCheckpoint(eager=False)  # both sides of the (t, sig) join
         cand = (
             sigs.alias("a")
             .join(
@@ -420,11 +422,13 @@ def embedding_neardup_pairs(
             .filter(F.col("cosine_sim") >= threshold)
             .select("a_id", "b_id", "cosine_sim")
         )
+    # pinned: both sides of the bucket self-join reference sig — unpinned,
+    # the nbits×dim hyperplane fold ran twice over the corpus
     sig = embeddings.select(
         F.col(id_col).alias("_id"),
         as_double(vec_col).alias("_v"),
         hyperplane_signature(F.col(vec_col), nbits, dim).alias("_sig"),
-    ).withColumn("_n", norm(F.col("_v")))
+    ).withColumn("_n", norm(F.col("_v"))).localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -653,6 +657,10 @@ def semantic_dedup(
     # cent_sim via one broadcast re-join on the winning centroid id —
     # ivf_assign (shared with the green ann_topk path) returns only the
     # argmax id, and a k-row join is cheaper than changing its contract
+    # Pinned (lazy localCheckpoint): audited feeds both sides of the
+    # intra-cluster pair join AND the final keep join — unpinned, each
+    # reference re-ran the centroid fit + corpus assignment (18 scans in
+    # plans/r11/semantic_dedup_before.txt).
     audited = assigned.join(F.broadcast(cents), F.col("_cid") == F.col("_cent_id")).select(
         "_id",
         "_v",
@@ -661,7 +669,7 @@ def semantic_dedup(
         F.round(
             dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6
         ).alias("cent_sim"),
-    )
+    ).localCheckpoint(eager=False)
     a = audited.select(
         F.col("_id").alias("a_id"),
         F.col("_cid").alias("_acid"),
@@ -934,6 +942,10 @@ def pq_codebook(
     portable contract), re-keyed to dense 0..k-1 by seed order."""
     d_sub = dim // n_sub
     if method == "lowid":
+        # Pinned (lazy localCheckpoint): the k-row seed frame feeds all
+        # n_sub per-subspace parts below — unpinned, each part re-ran the
+        # corpus orderBy+limit+window (8 of the 18 scans in
+        # plans/r11/pq_ann_topk_before.txt).
         seeds = (
             base.orderBy("_bid")
             .limit(k)
@@ -942,7 +954,7 @@ def pq_codebook(
                 F.row_number().over(Window.orderBy("_bid")).alias("_rk"),
                 F.col("_v"),
             )
-        )
+        ).localCheckpoint(eager=False)
         parts = [
             seeds.select(
                 F.lit(s).alias("sub"),
@@ -1119,7 +1131,10 @@ def pq_ann_topk(
     base = embeddings.select(
         F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
     )
+    # pinned: cb feeds the query-side codebook frame AND pq_encode's own
+    # (n_sub·k rows — the pin is bytes, the double expansion was scans)
     cb = pq_codebook(base, dim=dim, n_sub=n_sub, k=k, method=method)
+    cb = cb.localCheckpoint(eager=False)
     cbf = _codebook_frame(cb, n_sub, k)
     enc = pq_encode(embeddings, cb, dim=dim, n_sub=n_sub, k=k,
                     id_col=id_col, vec_col=vec_col)
@@ -1331,11 +1346,18 @@ def mmr_select_grouped(
             for c, sq in simq.items():
                 if c in chosen:
                     continue
-                div = Decimal(0)
+                # True max over the PRESENT pair sims, 0 only when none
+                # exist — starting the max at Decimal(0) would clamp
+                # negative cosines and diverge from the DataFrame loop's
+                # max-agg + coalesce(_div, 0) semantics (real embedding
+                # cosines go negative; caught vs the oracle at sf0.01).
+                div = None
                 for s in chosen:
                     d = sims.get((c, s))
-                    if d is not None and d > div:
+                    if d is not None and (div is None or d > div):
                         div = d
+                if div is None:
+                    div = Decimal(0)
                 score = (lam_d * sq - oml_d * div).quantize(q7)
                 key = (-score, c)
                 if best is None or key < best[0]:

@@ -3968,14 +3968,21 @@ def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = li.join(fo, li["l_orderkey"] == fo["o_orderkey"]).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    # per_supp and enriched each feed two consumers — unpinned, every
+    # reference re-expanded the lineitem⋈orders subtree (11 lineitem
+    # scans in plans/r11/q21_blocking_supplier_before.txt). Lazy pins of
+    # the two small decorrelation frames; the corpus-sized l1 stays
+    # unpinned (a column-pruned rescan is cheaper than materializing it).
     per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("smax")
-    )
+    ).localCheckpoint(eager=False)
     per_order = per_supp.groupBy(F.col("l_orderkey").alias("_ok")).agg(
         F.max("smax").alias("r1"),
         F.count("*").alias("nsupp"),
     )
-    enriched = per_supp.join(per_order, per_supp["l_orderkey"] == F.col("_ok"))
+    enriched = per_supp.join(
+        per_order, per_supp["l_orderkey"] == F.col("_ok")
+    ).localCheckpoint(eager=False)
     per_order2 = enriched.groupBy(F.col("l_orderkey").alias("_ok2")).agg(
         F.max(F.when(F.col("smax") < F.col("r1"), F.col("smax"))).alias("r2"),
         F.sum(F.when(F.col("smax") == F.col("r1"), 1).otherwise(0)).alias("n1"),
@@ -4253,6 +4260,10 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     islands = e.withColumn("_brk", brk).withColumn("_sid", F.sum("_brk").over(wcum))
+    # Both legs (and the bucket-join internals) reference sessions and
+    # incidents repeatedly — unpinned, the gap-island double window and
+    # the incident scan re-ran per reference (15 scans in
+    # plans/r11/interval_overlap_before.txt). Lazy pins; values untouched.
     sessions = (
         islands.groupBy("user_id", "_sid")
         .agg(
@@ -4261,13 +4272,13 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .drop("_sid")
-    )
+    ).localCheckpoint(eager=False)
     incidents = e.filter(F.col("event_type") == "error").select(
         F.col("user_id").alias("i_user"),
         F.col("event_id").alias("incident_id"),
         (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("i_start"),
         (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("i_end"),
-    )
+    ).localCheckpoint(eager=False)
     pairs = (
         interval_overlap_join(
             sessions,
@@ -4365,9 +4376,12 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import fuzzy_pairs
 
     cust = load_table(spark, sf_dir, "customer")
+    # Pin the rep-level result: the hist and pair legs below would each
+    # re-run the whole blocking→verify pipeline (the r11 before plan
+    # doubled every stage).
     reps = fuzzy_pairs(
         cust, "c_custkey", "c_name", max_dist=1, expand=False
-    ).select(
+    ).localCheckpoint(eager=False).select(
         F.col("a_id").cast("bigint").alias("a_key"),
         F.col("b_id").cast("bigint").alias("b_key"),
         "dist",
@@ -6086,9 +6100,12 @@ def tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import tfidf_simhash_rep_pairs
 
     d = load_table(spark, sf_dir, "documents")
+    # Pin the rep-pair frame: the hist and pair legs below would each
+    # re-run the whole collapse→screen→verify composition (the r11
+    # before plan doubled every stage; 90 scans total).
     pairs = tfidf_simhash_rep_pairs(
         d, threshold=0.5, max_df_frac=0.2, nbits=32, max_hamming=3
-    )
+    ).localCheckpoint(eager=False)
     hist = pairs.groupBy(F.round("cosine", 2).alias("cosine")).agg(
         F.sum("n_members").cast("bigint").alias("n_pairs")
     ).select(
@@ -7130,18 +7147,31 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q×16×15 pair sims) — it scales in the #queries dimension like any
     keyed agg, 8 fixed checkpointed steps, no driver-side row data."""
     e = load_table(spark, sf_dir, "embeddings")
+    # Pin the candidate lists: cd feeds the MMR input AND both sides of
+    # the pair-sim self-join — unpinned, each reference re-runs the
+    # corpus-sized cosine_topk scan+window.
     cd = similarity.cosine_topk(e, e.where(F.col("vec_id") < 4), k=16).select(
         "query_id",
         F.col("neighbor_id").alias("cand_id"),
         F.col("cosine_sim").cast("decimal(8,6)").alias("simq"),
-    )
+    ).localCheckpoint(eager=False)
     ev = e.select(
         "vec_id",
         vec_as_double("embedding").alias("_v"),
     ).withColumn("_n", vec_norm(F.col("_v")))
-    a = cd.select("query_id", F.col("cand_id").alias("a_id"))
-    b = cd.select(F.col("query_id").alias("_bq"), F.col("cand_id").alias("b_id"))
-    pairs = a.join(b, (a["query_id"] == F.col("_bq")) & (a["a_id"] != F.col("b_id")))
+    pairs = (
+        cd.alias("ma")
+        .join(
+            cd.alias("mb"),
+            (F.col("ma.query_id") == F.col("mb.query_id"))
+            & (F.col("ma.cand_id") != F.col("mb.cand_id")),
+        )
+        .select(
+            F.col("ma.query_id").alias("query_id"),
+            F.col("ma.cand_id").alias("a_id"),
+            F.col("mb.cand_id").alias("b_id"),
+        )
+    )
     ea = ev.select(F.col("vec_id").alias("a_id"), F.col("_v").alias("_av"), F.col("_n").alias("_an"))
     eb = ev.select(F.col("vec_id").alias("b_id"), F.col("_v").alias("_bv"), F.col("_n").alias("_bn"))
     ps = (
@@ -7158,7 +7188,12 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim"),
         )
     )
-    out = similarity.mmr_select(cd, ps, k=8, lam="0.7")
+    # Grouped-map twin (parity-pinned bit-identical in tests/test_mmr.py):
+    # ONE query_id-keyed shuffle + a per-group Decimal kernel replaces the
+    # k=8 driver-orchestrated checkpoint jobs of the DataFrame loop — the
+    # loop's per-step job overhead dominated the graded row's 4.0s anchor
+    # median (rank-list-sized frames; see OPTIMIZATION_r11.md).
+    out = similarity.mmr_select_grouped(cd, ps, k=8, lam="0.7")
     return out.select(
         "query_id",
         "rank",

@@ -126,3 +126,41 @@ def test_mmr_grouped_parity_with_loop(spark):
     assert grouped == loop
     # query 3 has one candidate: both paths emit exactly rank 1 for it
     assert (3, 1) in grouped and (3, 2) not in grouped
+
+
+def test_mmr_grouped_parity_negative_pair_sims(spark):
+    """Regression: real embedding cosines go NEGATIVE. The loop's
+    diversity term is max-agg over the present pair sims (coalesce 0 only
+    when none exist), so a picked set whose sims to a candidate are all
+    negative yields a NEGATIVE diversity term (boosting that candidate).
+    The grouped kernel originally started its max at Decimal(0), clamping
+    negatives — caught against the sf0.01 oracle when the graded
+    mmr_rerank row switched to the grouped path."""
+    import itertools
+
+    from etl_adsbx_spark.operators.similarity import mmr_select_grouped
+
+    cands = {1: [10, 11, 12, 13]}
+    simq = {(1, c): Decimal(f"0.{(c * 37) % 90 + 10:02d}") for c in cands[1]}
+    sim = {}
+    for a, b in itertools.permutations(cands[1], 2):
+        key = (min(a, b), max(a, b))
+        # mix of negative and positive pair sims, deterministic
+        mag = Decimal(f"0.{(key[0] * 13 + key[1] * 7) % 100:02d}")
+        sim[(1, a, b)] = -mag if (key[0] + key[1]) % 2 else mag
+    cand_df = _cand(spark, [(q, c, s) for (q, c), s in simq.items()])
+    ps_df = _ps(spark, [(q, a, b, s) for (q, a, b), s in sim.items()])
+    loop = {(r["query_id"], r["rank"]): (r["cand_id"], r["simq"], r["mmr"])
+            for r in mmr_select(cand_df, ps_df, k=4).collect()}
+    grouped = {(r["query_id"], r["rank"]): (r["cand_id"], r["simq"], r["mmr"])
+               for r in mmr_select_grouped(cand_df, ps_df, k=4).collect()}
+    assert grouped == loop
+    # at least one selected rank must carry a NEGATIVE diversity max
+    # (mmr > lam*simq is only possible when the clamped kernel would
+    # have differed), so the case actually exercises the regression
+    lam = Decimal("0.7")
+    assert any(
+        mmr > (lam * sq).quantize(Decimal("0.0000001"))
+        for (_, rank), (_, sq, mmr) in grouped.items()
+        if rank > 1
+    )
