@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..planprobe import probe_step
+from ..planprobe import pin, probe_step
 
 from ..functions.text import tokens as _text_tokens
 
@@ -381,7 +381,7 @@ def incremental_minhash_dedup(
     # the intra-batch pair join below reuse `bsig` (re-signaturing the
     # survivors from raw text would repeat the shingle+minhash pass — the
     # expensive half of the whole operator).
-    bsig = bsig.localCheckpoint(eager=False)
+    bsig = pin("minhash_admit_incremental", "band_signatures", bsig)
     collided = (
         bsig.join(index, ["band", "bucket"], "left_semi").select("_id").distinct()
     )
@@ -608,7 +608,7 @@ def minhash_lsh_pairs(
     # shingle→minhash→band pipeline ran twice per query (2 scans in the
     # r11 before plans of every minhash consumer).
     banded = band_signatures(df, id_col, text_col, shingle_n, num_hashes, bands)
-    banded = banded.localCheckpoint(eager=False)
+    banded = pin("minhash_lsh_pairs", "band_signatures", banded)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -647,7 +647,9 @@ def ngram_jaccard_pairs(
     sh = spread_for_cpu(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
-    ).localCheckpoint(eager=False)  # sizes + both self-join sides: 4 explode replays otherwise
+    )
+    # sizes + both self-join sides: 4 explode replays otherwise
+    sh = pin("ngram_jaccard_pairs", "shingles", sh)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
     inter = (
         sh.alias("a")
@@ -1450,7 +1452,8 @@ def fuzzy_pairs(
     # dictionary once. Values untouched.
     groups = base.groupBy("_s").agg(
         F.min("_id").alias("_rep"), F.count("*").alias("_mult")
-    ).localCheckpoint(eager=False)
+    )
+    groups = pin("fuzzy_pairs", "string_dictionary", groups)
     uniq = groups.select(F.col("_rep").alias("_id"), "_s")
     if max_dist == 1:
         # pinned: feeds both sides of the position-keyed sub join AND the
@@ -1467,7 +1470,8 @@ def fuzzy_pairs(
                     ),
                 )
             ).alias("_pos", "_v"),
-        ).localCheckpoint(eager=False)
+        )
+        posvar = pin("fuzzy_pairs", "position_variants", posvar)
         sub = (
             posvar.alias("a")
             .join(
@@ -1495,7 +1499,9 @@ def fuzzy_pairs(
     else:
         var = uniq.select(
             "_id", F.explode(deletion_variants(F.col("_s"), max_dist)).alias("_v")
-        ).localCheckpoint(eager=False)  # both sides of the variant self-join
+        )
+        # both sides of the variant self-join
+        var = pin("fuzzy_pairs", "deletion_variants", var)
         cand = (
             var.alias("a")
             .join(
@@ -1604,7 +1610,8 @@ def cluster_keep_best(
         ),
         id_col,
         "left",
-    ).localCheckpoint(eager=False)
+    )
+    scored = pin("cluster_keep_best", "scored_members", scored)
     best = scored.groupBy(cluster_col).agg(
         F.max(
             F.struct(
@@ -1891,7 +1898,8 @@ def tfidf_simhash_rep_pairs(
     # (guide §2.4/§5); values untouched.
     w = _tfidf_weight_rows(
         spread_for_explode(df, DOC_SHINGLE_FANOUT), max_df_frac, id_col, text_col
-    ).localCheckpoint(eager=False)
+    )
+    w = pin("tfidf_simhash_rep_pairs", "weight_rows", w)
     wi = (F.col("_w") * 1_000_000).cast("long")
     fp = w.groupBy("_id").agg(
         F.md5(
@@ -1908,7 +1916,8 @@ def tfidf_simhash_rep_pairs(
     )
     # reps feeds the rep semi-join, both member-multiplicity joins and
     # the intra leg — pin it so the fingerprint double-agg runs once.
-    reps = groups.select("_rep", "_m").localCheckpoint(eager=False)
+    reps = pin("tfidf_simhash_rep_pairs", "fingerprint_reps",
+               groups.select("_rep", "_m"))
     repw = w.join(
         reps.select(F.col("_rep").alias("_id")), "_id", "left_semi"
     )
@@ -2065,7 +2074,8 @@ def jaccard_prefix_pairs(
         F.explode(
             F.array_distinct(word_shingles(text_col, shingle_n))
         ).alias("shingle"),
-    ).localCheckpoint(eager=False)
+    )
+    sh = pin("jaccard_prefix_pairs", "postings", sh)
     # dfreq / sizes are CORPUS-DERIVED (shingle-count / doc-count rows):
     # their post-agg size estimates run far below the true in-memory
     # hashed-relation size, so an estimate-driven broadcast OOMs the
@@ -2190,7 +2200,8 @@ def containment_prefix_pairs(
         F.explode(
             F.array_distinct(word_shingles(text_col, shingle_n))
         ).alias("shingle"),
-    ).localCheckpoint(eager=False)
+    )
+    sh = pin("containment_prefix_pairs", "postings", sh)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df")).hint("merge")
     ranked = sh.join(dfreq, "shingle").withColumn(
         "_pos",

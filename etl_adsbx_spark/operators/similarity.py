@@ -14,7 +14,7 @@ from decimal import Decimal
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..planprobe import probe_step
+from ..planprobe import pin, probe_step
 
 from ..functions.vector import as_double, dot, norm
 from ..operators.agg import topk_per_group
@@ -208,9 +208,12 @@ def ivf_index(
     never a corpus re-quantization. Centroids stay frozen between refits
     (standard IVF practice; recall drifts as the distribution moves, the
     refit cadence is an ops decision)."""
-    base = embeddings.select(
+    # Pinned: base feeds the fit (seeds + every Lloyd iteration) AND the
+    # corpus assignment — unpinned, each reference re-scanned the parquet
+    # and re-ran the O(dim) cast+norm fold per row
+    base = pin("ivf_index", "norm_vectors", embeddings.select(
         F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
-    ).withColumn("_n", norm(F.col("_v")))
+    ).withColumn("_n", norm(F.col("_v"))))
     if centroids == "kmeans":
         cents = kmeans_centroids(base, n_centroids, sample_mod=sample_mod)
     elif centroids == "lowid":
@@ -279,9 +282,12 @@ def ivf_ann_topk(
     the quantizer with the query vectors themselves (lowid seeds 0..7 vs
     queries vec_id<10) inflates single-probe recall from ~0.2 to ~0.8 on
     i.i.d. vectors, a pure evaluation artifact."""
-    base = embeddings.select(
+    # Pinned: base feeds the quantizer AND the corpus assignment — each
+    # reference re-scanned the parquet and re-ran the O(dim) cast+norm
+    # fold per row (the kmeans variant re-expands it per Lloyd iteration)
+    base = pin("ivf_ann_topk", "norm_vectors", embeddings.select(
         F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
-    ).withColumn("_n", norm(F.col("_v")))
+    ).withColumn("_n", norm(F.col("_v"))))
     if centroids == "kmeans":
         cents = kmeans_centroids(base, n_centroids)
     elif centroids == "lowid":
@@ -391,7 +397,9 @@ def embedding_neardup_pairs(
             ).alias("ts"),
         ).select(
             "_id", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
-        ).localCheckpoint(eager=False)  # both sides of the (t, sig) join
+        )
+        # both sides of the (t, sig) join
+        sigs = pin("embedding_neardup_pairs", "band_signatures", sigs)
         cand = (
             sigs.alias("a")
             .join(
@@ -428,7 +436,8 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("_id"),
         as_double(vec_col).alias("_v"),
         hyperplane_signature(F.col(vec_col), nbits, dim).alias("_sig"),
-    ).withColumn("_n", norm(F.col("_v"))).localCheckpoint(eager=False)
+    ).withColumn("_n", norm(F.col("_v")))
+    sig = pin("embedding_neardup_pairs", "hyperplane_signatures", sig)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -633,9 +642,13 @@ def semantic_dedup(
 
         n = embeddings.count()
         n_clusters = max(1, math.ceil(n / target_cluster_size))
-    base = embeddings.select(
+    # Pinned: base feeds the k-means fit (seeds + every Lloyd iteration)
+    # AND the corpus assignment — the 18-scan before plan
+    # (plans/r11/semantic_dedup_before.txt) was mostly this frame's
+    # re-expansion inside the fit loop
+    base = pin("semantic_dedup", "norm_vectors", embeddings.select(
         F.col(id_col).alias("_bid"), as_double(vec_col).alias("_v")
-    ).withColumn("_n", norm(F.col("_v")))
+    ).withColumn("_n", norm(F.col("_v"))))
     if centroids == "kmeans":
         cents = kmeans_centroids(base, n_clusters, sample_mod=sample_mod)
     elif centroids == "lowid":
@@ -669,7 +682,8 @@ def semantic_dedup(
         F.round(
             dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6
         ).alias("cent_sim"),
-    ).localCheckpoint(eager=False)
+    )
+    audited = pin("semantic_dedup", "audited_assignment", audited)
     a = audited.select(
         F.col("_id").alias("a_id"),
         F.col("_cid").alias("_acid"),
@@ -954,7 +968,8 @@ def pq_codebook(
                 F.row_number().over(Window.orderBy("_bid")).alias("_rk"),
                 F.col("_v"),
             )
-        ).localCheckpoint(eager=False)
+        )
+        seeds = pin("pq_codebook", "seed_vectors", seeds)
         parts = [
             seeds.select(
                 F.lit(s).alias("sub"),
@@ -1134,7 +1149,7 @@ def pq_ann_topk(
     # pinned: cb feeds the query-side codebook frame AND pq_encode's own
     # (n_sub·k rows — the pin is bytes, the double expansion was scans)
     cb = pq_codebook(base, dim=dim, n_sub=n_sub, k=k, method=method)
-    cb = cb.localCheckpoint(eager=False)
+    cb = pin("pq_ann_topk", "codebook", cb)
     cbf = _codebook_frame(cb, n_sub, k)
     enc = pq_encode(embeddings, cb, dim=dim, n_sub=n_sub, k=k,
                     id_col=id_col, vec_col=vec_col)

@@ -40,6 +40,20 @@ def probe_step(op: str, step: str, df: Any) -> None:
         _hook(op, step, df)
 
 
+def pin(op: str, step: str, df: Any) -> Any:
+    """Announce a shared frame's pre-checkpoint plan to the probe, then
+    pin it with a LAZY ``localCheckpoint`` — the shared-subtree
+    materialization idiom (an expensive frame consumed by N plan
+    references is computed once and every consumer reads blocks instead
+    of re-expanding the subtree). Routing every such pin through here
+    keeps the checkpoint-hidden subtree visible to PLANS.md and the
+    plan lints (round-8 verdict: truncated plans must stay auditable);
+    with no collector installed the probe is a zero-cost no-op and this
+    is exactly ``df.localCheckpoint(eager=False)``."""
+    probe_step(op, step, df)
+    return df.localCheckpoint(eager=False)
+
+
 def physical_plan(df: Any) -> str:
     """The planned physical tree of an un-executed DataFrame (AQE initial
     plan — shape counts are what the lint reads; runtime re-plans only

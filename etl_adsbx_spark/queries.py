@@ -48,6 +48,7 @@ from .functions.vector import dot as vec_dot
 from .functions.vector import norm as vec_norm
 from .operators import graph, sampling, similarity
 from .operators.agg import topk_per_group
+from .planprobe import pin
 from .operators.dedup import (
     MERSENNE61,
     exact_dedup,
@@ -3973,16 +3974,16 @@ def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans in plans/r11/q21_blocking_supplier_before.txt). Lazy pins of
     # the two small decorrelation frames; the corpus-sized l1 stays
     # unpinned (a column-pruned rescan is cheaper than materializing it).
-    per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("smax")
-    ).localCheckpoint(eager=False)
+    per_supp = pin("q21_blocking_supplier", "per_supplier_max", l1.groupBy(
+        "l_orderkey", "l_suppkey"
+    ).agg(F.max("l_shipdate").alias("smax")))
     per_order = per_supp.groupBy(F.col("l_orderkey").alias("_ok")).agg(
         F.max("smax").alias("r1"),
         F.count("*").alias("nsupp"),
     )
-    enriched = per_supp.join(
+    enriched = pin("q21_blocking_supplier", "order_enriched", per_supp.join(
         per_order, per_supp["l_orderkey"] == F.col("_ok")
-    ).localCheckpoint(eager=False)
+    ))
     per_order2 = enriched.groupBy(F.col("l_orderkey").alias("_ok2")).agg(
         F.max(F.when(F.col("smax") < F.col("r1"), F.col("smax"))).alias("r2"),
         F.sum(F.when(F.col("smax") == F.col("r1"), 1).otherwise(0)).alias("n1"),
@@ -4272,13 +4273,15 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .drop("_sid")
-    ).localCheckpoint(eager=False)
+    )
+    sessions = pin("interval_overlap", "gap_island_sessions", sessions)
     incidents = e.filter(F.col("event_type") == "error").select(
         F.col("user_id").alias("i_user"),
         F.col("event_id").alias("incident_id"),
         (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("i_start"),
         (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("i_end"),
-    ).localCheckpoint(eager=False)
+    )
+    incidents = pin("interval_overlap", "incident_windows", incidents)
     pairs = (
         interval_overlap_join(
             sessions,
@@ -4379,9 +4382,9 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the rep-level result: the hist and pair legs below would each
     # re-run the whole blocking→verify pipeline (the r11 before plan
     # doubled every stage).
-    reps = fuzzy_pairs(
+    reps = pin("fuzzy_name_pairs", "rep_pairs", fuzzy_pairs(
         cust, "c_custkey", "c_name", max_dist=1, expand=False
-    ).localCheckpoint(eager=False).select(
+    )).select(
         F.col("a_id").cast("bigint").alias("a_key"),
         F.col("b_id").cast("bigint").alias("b_key"),
         "dist",
@@ -5309,9 +5312,13 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 sample (sample_mod) at real scale and let only the final
     assignment see the full corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
+    # Pinned: base feeds the seed ranking, all 3 Lloyd iterations and the
+    # final assignment — the before plan scanned embeddings 5× and re-ran
+    # the O(dim) cast+norm fold each time (plans/r11/
+    # kmeans_clusters_before.txt); one pin computes it once.
+    base = pin("kmeans_clusters", "norm_vectors", emb.select(
         F.col("vec_id").alias("_bid"), vec_as_double("embedding").alias("_v")
-    ).withColumn("_n", vec_norm(F.col("_v")))
+    ).withColumn("_n", vec_norm(F.col("_v"))))
     cents = similarity.kmeans_centroids(base, n_centroids=8, iters=3, round_dp=6)
     sim = F.round(
         vec_dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6
@@ -6103,9 +6110,9 @@ def tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the rep-pair frame: the hist and pair legs below would each
     # re-run the whole collapse→screen→verify composition (the r11
     # before plan doubled every stage; 90 scans total).
-    pairs = tfidf_simhash_rep_pairs(
+    pairs = pin("tfidf_cosine_pairs", "rep_pairs", tfidf_simhash_rep_pairs(
         d, threshold=0.5, max_df_frac=0.2, nbits=32, max_hamming=3
-    ).localCheckpoint(eager=False)
+    ))
     hist = pairs.groupBy(F.round("cosine", 2).alias("cosine")).agg(
         F.sum("n_members").cast("bigint").alias("n_pairs")
     ).select(
@@ -7154,8 +7161,15 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("neighbor_id").alias("cand_id"),
         F.col("cosine_sim").cast("decimal(8,6)").alias("simq"),
-    ).localCheckpoint(eager=False)
-    ev = e.select(
+    )
+    cd = pin("mmr_rerank", "candidate_lists", cd)
+    # Semi-filter the corpus to the ≤ queries·k candidate ids BEFORE the
+    # O(dim) cast+norm fold (guide §2.3, filter before expensive compute):
+    # unpinned, ea and eb each ran the fold over the WHOLE embeddings
+    # table just to serve the ≤64-id pair-sim joins. The inner joins
+    # below restrict to exactly these ids, so values are unchanged.
+    cand_ids = cd.select(F.col("cand_id").alias("vec_id")).distinct()
+    ev = e.join(F.broadcast(cand_ids), "vec_id", "left_semi").select(
         "vec_id",
         vec_as_double("embedding").alias("_v"),
     ).withColumn("_n", vec_norm(F.col("_v")))
@@ -8322,7 +8336,12 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rated = allowed.withColumn(
         "rate", _frontier_rate_col(delay(F.col("host")))
     )
-    sched = frontier_schedule(rated, rate_col="rate")
+    # Pin the scheduled frame: the url and wave-stats legs below each
+    # re-ran the whole scan→robots-gate UDF→delay UDF→host-window
+    # pipeline (4 ArrowEvalPython stages + 2 host exchanges in
+    # plans/r11/crawl_frontier_before.txt); one pin runs it once.
+    sched = pin("crawl_frontier", "schedule",
+                frontier_schedule(rated, rate_col="rate"))
     url_leg = sched.select(
         F.lit("url").alias("leg"),
         "doc_id",

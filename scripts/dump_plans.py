@@ -36,8 +36,31 @@ HEAVY_FULL_PLAN = ["cot_pipeline", "dedup_clusters", "ann_topk", "pack_sequences
 STEP_PROBED = {
     "domain_pagerank": "pagerank",
     "domain_hits": "hits",
-    "mmr_rerank": "mmr_select",
     "dedup_clusters": "connected_components",
+}
+
+#: r11 shared-subtree pins (planprobe.pin): the pinned frame's build plan
+#: is hidden behind a Scan ExistingRDD in the top-level row, so capture it
+#: via the same probe hook at CONSTRUCTION time. One representative query
+#: per pin op (the same frame builds identically under every caller).
+PIN_PROBED = {
+    "minhash_pairs": {"minhash_lsh_pairs"},
+    "incremental_minhash_admit": {"minhash_admit_incremental"},
+    "ngram_jaccard_pairs": {"ngram_jaccard_pairs"},
+    "fuzzy_name_pairs": {"fuzzy_pairs", "fuzzy_name_pairs"},
+    "cluster_keep_best": {"cluster_keep_best"},
+    "tfidf_cosine_pairs": {"tfidf_simhash_rep_pairs", "tfidf_cosine_pairs"},
+    "jaccard_prefix_pairs": {"jaccard_prefix_pairs"},
+    "containment_prefix_pairs": {"containment_prefix_pairs"},
+    "embedding_neardup": {"embedding_neardup_pairs"},
+    "semantic_dedup": {"semantic_dedup"},
+    "pq_ann_topk": {"pq_codebook", "pq_ann_topk"},
+    "q21_blocking_supplier": {"q21_blocking_supplier"},
+    "interval_overlap": {"interval_overlap"},
+    "mmr_rerank": {"mmr_rerank"},
+    "kmeans_clusters": {"kmeans_clusters"},
+    "ann_topk": {"ivf_ann_topk"},
+    "crawl_frontier": {"crawl_frontier"},
 }
 
 
@@ -73,6 +96,7 @@ def main() -> None:
     rows = []
     fulls = {}
     step_rows: list[tuple[str, dict]] = []
+    pin_rows: list[tuple[str, dict]] = []
     current_query = [None]
 
     def collect_step(op: str, step: str, df) -> None:
@@ -82,6 +106,11 @@ def main() -> None:
         if STEP_PROBED.get(current_query[0]) == op:
             step_rows.append(
                 (f"{current_query[0]} ▸ {op}.{step}",
+                 plan_counts(planprobe.physical_plan(df)))
+            )
+        elif op in PIN_PROBED.get(current_query[0], ()):
+            pin_rows.append(
+                (f"{current_query[0]} ▸ pin {op}.{step}",
                  plan_counts(planprobe.physical_plan(df)))
             )
 
@@ -135,6 +164,24 @@ def main() -> None:
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
     for name, c in step_rows:
+        lines.append(fmt_row(name, c))
+    lines += [
+        "",
+        "## Pinned shared-subtree plans (r11 localCheckpoint pins)",
+        "",
+        "Expensive frames consumed by several plan references are",
+        "materialized ONCE via etl_adsbx_spark.planprobe.pin (lazy",
+        "localCheckpoint) — their build plan reads as Scan ExistingRDD in",
+        "the main table, so each pin's pre-checkpoint plan is captured",
+        "here (one representative query per pin op; the frame builds",
+        "identically under every caller). Same rules as the main table:",
+        "`cart` must stay 0; BNLJ/1part entries are the documented scalar",
+        "folds (tests/test_scale_techniques.py PIN_* allowlists).",
+        "",
+        "| pinned frame | exch | rangeX | 1part | BHJ | SMJ | BNLJ | cart | WSCG | agg | sort | window | pandas | pushed |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for name, c in pin_rows:
         lines.append(fmt_row(name, c))
     lines += [
         "",

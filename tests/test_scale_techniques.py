@@ -434,6 +434,28 @@ SINGLEPART_ALLOWED = {
 }
 
 
+#: Pinned-subtree allowlists for the lint's planprobe leg: the r11 shared-
+#: subtree pins (planprobe.pin = probe_step + lazy localCheckpoint) hide
+#: their build plan behind a Scan ExistingRDD in the TOP-LEVEL plan, so the
+#: lint re-captures each pinned frame's pre-checkpoint plan via the probe
+#: hook and holds it to the same rules. Keys are probe OP names (operator /
+#: query function), not registry keys.
+PIN_BNLJ_ALLOWED = {
+    "tfidf_simhash_rep_pairs": "weight_rows carries the 1-row corpus-count df-cap fold (the q11/q20 inequality-filter shape — tfidf_cosine_pairs' own BNLJ_ALLOWED rationale, now inside the pin)",
+    "mmr_rerank": "candidate_lists = cosine_topk's broadcast ≤4-row query set joined on != (the ann_topk exact-leg pattern)",
+    "semantic_dedup": "audited_assignment embeds the broadcast-argmax centroid attach (8-row centroid table — the kmeans_clusters/ann_topk pattern)",
+}
+PIN_SINGLEPART_ALLOWED = {
+    "tfidf_simhash_rep_pairs": "the 1-row corpus-count scalar agg for the df-cap threshold (tfidf's n_docs shape, now inside the weight_rows pin)",
+}
+
+#: Iterative loop ops probe their per-step plans through the same hook
+#: (several run their fixpoint at query-CONSTRUCTION time, so they fire
+#: during the registry sweep too); they are test_iterative_step_plan_lint's
+#: jurisdiction with its own per-step allowlists — skip them here.
+ITERATIVE_STEP_OPS = {"pagerank", "hits", "connected_components", "mmr_select"}
+
+
 def test_registry_plan_lint(spark):
     """Every registered query's physical plan is lint-clean: no
     CartesianProduct anywhere, and BroadcastNestedLoopJoin / Exchange
@@ -441,14 +463,49 @@ def test_registry_plan_lint(spark):
     broadcast-tiny pattern. This is the blanket guard behind the per-query
     plan tests: a new query (or a regression in an old one) that
     accidentally introduces an all-pairs join or collapses the corpus to
-    one task fails here with the offending plan."""
+    one task fails here with the offending plan.
+
+    Since r11's shared-subtree pins, expensive frames consumed by several
+    plan references are materialized once via planprobe.pin — which hides
+    their build plan from the top-level explain (Scan ExistingRDD). The
+    probe hook below captures every pinned frame's pre-checkpoint plan at
+    construction time and lints it under the same rules (per-op allowlists
+    above), so no subtree escapes the audit by being pinned."""
     import re
 
+    from etl_adsbx_spark import planprobe
     from etl_adsbx_spark.queries import queries
 
     offenders = []
-    for name, fn in sorted(queries().items()):
-        plan = _physical_plan(fn(spark, SF))
+    pinned: list[tuple[str, str, str]] = []
+
+    def hook(op, step, df):
+        if op not in ITERATIVE_STEP_OPS:
+            pinned.append((op, step, planprobe.physical_plan(df)))
+
+    prev_hook = planprobe.set_step_plan_hook(hook)
+    try:
+        built = [(name, fn(spark, SF)) for name, fn in sorted(queries().items())]
+    finally:
+        planprobe.set_step_plan_hook(prev_hook)
+    assert pinned, "no pinned-subtree plans captured — probe hook broken?"
+    for op, step, plan in pinned:
+        where = f"pin {op}/{step}"
+        if "CartesianProduct" in plan:
+            offenders.append((where, "CartesianProduct (never allowed)"))
+        if "BroadcastNestedLoopJoin" in plan and op not in PIN_BNLJ_ALLOWED:
+            offenders.append((where, "BroadcastNestedLoopJoin not allowlisted"))
+        if (re.search(r"Exchange SinglePartition", plan)
+                and op not in PIN_SINGLEPART_ALLOWED):
+            offenders.append((where, "Exchange SinglePartition not allowlisted"))
+        for m in re.finditer(r"DataFilters: \[([^\]]*)", plan):
+            if re.search(r"transform\(|aggregate\(", m.group(1)):
+                offenders.append(
+                    (where, f"HOF loop in scan DataFilters: {m.group(1)[:80]}")
+                )
+                break
+    for name, df in built:
+        plan = _physical_plan(df)
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct (never allowed)"))
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
@@ -562,42 +619,47 @@ def test_triangle_plan_has_no_broadcast_nested_loop(spark):
 
 def test_iterative_step_plan_lint(spark):
     """The registry plan lint above reads POST-CHECKPOINT plans, so the
-    loop bodies of the iterative operators (pagerank, HITS, MMR, the CC
+    loop bodies of the iterative operators (pagerank, HITS, the CC
     fixpoint) are invisible to it — `domain_pagerank` famously showed
     "0 exchanges" (round-8 verdict). This lint captures every
     pre-checkpoint step plan via the planprobe hook and holds the loop
     bodies to the same rules: no CartesianProduct ever; BNLJ only as the
     documented 1-row normalization/teleport scalar folds; and the probe
     must actually FIRE with shuffles visible (a silent hook regression
-    would otherwise reduce this test to vacuous truth)."""
+    would otherwise reduce this test to vacuous truth).
+
+    (mmr_rerank left this list in r11: the graded row now runs the
+    parity-pinned grouped kernel — ONE visible plan the registry lint
+    reads directly; the mmr_select loop twin stays exercised and
+    bit-identical in tests/test_mmr.py. Construction-time pin frames
+    captured by the same hook are the registry lint's job, so only the
+    iterative loop ops are held to the step rules here.)"""
     from etl_adsbx_spark import planprobe
     from etl_adsbx_spark.queries import queries
 
+    iter_ops = {"pagerank", "hits", "connected_components"}
     #: operators whose step plans legitimately contain a BNLJ: the 1-row
     #: L1-norm / teleport-base scalar folded in as broadcast crossJoin
     #: (the BNLJ_ALLOWED shape, per-step instead of per-query)
-    step_bnlj_allowed = {"pagerank", "hits", "mmr_select"}
-    # mmr steps rank with an unpartitioned row_number over the ≤k·queries
-    # candidate frame (rank-list-sized by construction — the
-    # hybrid_rrf_topk allowlist rationale)
-    step_singlepart_allowed = {"mmr_select", "pagerank", "hits"}
+    step_bnlj_allowed = {"pagerank", "hits"}
+    step_singlepart_allowed = {"pagerank", "hits"}
 
     captured: list[tuple[str, str, str]] = []
 
     def hook(op, step, df):
-        captured.append((op, step, planprobe.physical_plan(df)))
+        if op in iter_ops:
+            captured.append((op, step, planprobe.physical_plan(df)))
 
     prev = planprobe.set_step_plan_hook(hook)
     try:
         qs = queries()
-        for name in ("domain_pagerank", "domain_hits", "mmr_rerank",
-                     "dedup_clusters"):
+        for name in ("domain_pagerank", "domain_hits", "dedup_clusters"):
             qs[name](spark, SF).collect()
     finally:
         planprobe.set_step_plan_hook(prev)
 
     seen_ops = {op for op, _, _ in captured}
-    assert {"pagerank", "hits", "mmr_select", "connected_components"} <= seen_ops, (
+    assert iter_ops <= seen_ops, (
         f"step probe did not fire for all iterative operators: {seen_ops}"
     )
     offenders = []
