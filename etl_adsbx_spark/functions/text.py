@@ -186,9 +186,16 @@ def fit_unigram_lm(
     row; feed to ``score_unigram_lm``. A real deployment fits on a
     held-out reference corpus (e.g. a trusted wiki slice) rather than
     the corpus being filtered — same frame either way."""
+    from ..planprobe import pin
+
     toks = F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     counts = corpus.select(toks).groupBy("token").count()
-    top = counts.orderBy(F.col("count").desc(), "token").limit(vocab_size)
+    # Pinned (r11): top feeds the smoothing total AND the fitted-vocab
+    # projection (and tot's own subtree re-expands it again for the OOV
+    # row) — unpinned, the token-scale explode+count+ordered-limit ran
+    # 3×. The pinned frame is vocab-sized (≤ vocab_size rows).
+    top = pin("fit_unigram_lm", "top_vocab",
+              counts.orderBy(F.col("count").desc(), "token").limit(vocab_size))
     # add-one smoothing over the retained vocab; a single total via the
     # 1-row broadcast crossJoin pattern (same shape as the tfidf n_docs)
     tot = top.agg(
@@ -485,12 +492,19 @@ def fit_bigram_kn(corpus: DataFrame, text_col: str = "text"):
     pure counts). Fit is one explode + three hash-aggs, all over the
     model-sized bigram-type table (only the first agg sees token-scale
     data)."""
+    from ..planprobe import pin
+
     b = (
         corpus.select(tokens(F.lower(F.col(text_col))).alias("_t"))
         .select(F.explode(doc_bigrams(F.col("_t"))).alias("_b"))
         .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
     )
-    big = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # Pinned (r11): big feeds ctx, cont, tt AND the caller's score join —
+    # unpinned, each consumer re-ran the token-scale explode + first agg
+    # (the only stage that sees token-scale data; everything after is
+    # model-sized). One pin runs it once.
+    big = pin("fit_bigram_kn", "bigram_counts",
+              b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
     ctx = big.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nf")
     )

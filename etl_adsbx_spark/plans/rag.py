@@ -159,11 +159,18 @@ def bm25_rank(
     tiny broadcasts; per-query top-k is one window over the
     candidate-sized scored frame."""
     from ..functions.text import tokens
+    from ..planprobe import pin
 
-    toks = corpus_text.select(
+    # Pinned (r11): toks feeds the doc-length agg AND the tf leg — each
+    # reference re-scanned the corpus and re-ran the tokenize+explode
+    # (hybrid_rrf_topk's before plan shows 4 documents scans); dl feeds
+    # the (n_docs, avgdl) scalar AND the comp join. Two pins run the
+    # explode once and the length agg once.
+    toks = pin("bm25_rank", "token_postings", corpus_text.select(
         id_col, F.explode(tokens(text_col)).alias("term")
-    )
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    ))
+    dl = pin("bm25_rank", "doc_lengths",
+             toks.groupBy(id_col).agg(F.count("*").alias("_dl")))
     stats = dl.agg(F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl"))
     qterms = queries.select(
         query_id_col, F.explode(tokens(query_text_col)).alias("term")

@@ -1659,7 +1659,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document: explode → tf / df aggs → joined
     score → per-doc top-k. df join is broadcast (vocab ≪ corpus)."""
     d = load_table(spark, sf_dir, "documents")
-    tokc = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    # Pinned (r11): tokc feeds the tf agg AND the df agg — unpinned, two
+    # tokenize+explode replays of the corpus (the bm25_topk shape).
+    tokc = pin("tfidf_top_terms", "token_postings",
+               d.select("doc_id", F.explode(T.tokens("text")).alias("term")))
     tf = tokc.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tokc.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     # Global scalar subquery (n_docs) folded into the plan as a 1-row
@@ -4462,8 +4465,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreak totalizes the top-k order."""
     k1, b = 1.2, 0.75
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Pinned (r11, the bm25_rank shape): toks feeds dl AND the tf leg,
+    # dl feeds the (n_docs, avgdl) scalar AND the comp join — unpinned,
+    # 4 documents scans with 2 tokenize+explode replays.
+    toks = pin("bm25_topk", "token_postings",
+               d.select("doc_id", F.explode(T.tokens("text")).alias("term")))
+    dl = pin("bm25_topk", "doc_lengths",
+             toks.groupBy("doc_id").agg(F.count("*").alias("dl")))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -5847,12 +5855,15 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash value-verifies the multiset counts without row explosion; final
     global top-k over a total order."""
     o = load_table(spark, sf_dir, "orders")
-    big = o.filter(F.col("o_totalprice") > 250000).select(
-        F.col("o_custkey").alias("k")
-    )
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("k")
-    )
+    # Pinned: each input feeds BOTH the intersectAll and exceptAll legs —
+    # unpinned, orders was scanned 4× (once per leg per side); two pins
+    # of the narrow single-column frames scan it twice.
+    big = pin("set_ops_all", "big_orders", o.filter(
+        F.col("o_totalprice") > 250000
+    ).select(F.col("o_custkey").alias("k")))
+    urgent = pin("set_ops_all", "urgent_orders", o.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("k")))
     ia = (
         big.intersectAll(urgent)
         .groupBy("k")

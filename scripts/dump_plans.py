@@ -61,6 +61,12 @@ PIN_PROBED = {
     "kmeans_clusters": {"kmeans_clusters"},
     "ann_topk": {"ivf_ann_topk"},
     "crawl_frontier": {"crawl_frontier"},
+    "set_ops_all": {"set_ops_all"},
+    "bm25_topk": {"bm25_topk"},
+    "hybrid_rrf_topk": {"bm25_rank"},
+    "tfidf_top_terms": {"tfidf_top_terms"},
+    "unigram_lm_score": {"fit_unigram_lm"},
+    "bigram_lm_score": {"fit_bigram_kn"},
 }
 
 

@@ -428,6 +428,7 @@ SINGLEPART_ALLOWED = {
     "hybrid_rrf_topk": "bm25's 1-row (n_docs, avgdl) corpus-stats scalar + the unpartitioned rank windows over the two ≤depth-row (20) rank lists — fusion inputs are rank lists by construction, never corpus-sized",
     "tfidf_cosine_pairs": "the 1-row corpus-count scalar for the df-cap threshold (tfidf's n_docs shape)",
     "lang_id_model": "the top-V vocab ordered limit over the GRAM-COUNT table (vocab-sized, ≤ distinct bigrams, never the corpus body) + the 1-row n_docs scalar",
+    "unigram_lm_score": "fit_unigram_lm's 1-row smoothing-total agg over the ≤ vocab_size-row (50k) top-vocab frame (the dsir fit-frame shape). Surfaced by the r11 top-vocab pin — the RDD scan's unknown partitioning needs an explicit exchange where the old TakeOrderedAndProject child was already single-partition",
     "corr_matrix": "1-row sufficient-statistics scalar aggregate (n + 14 decimal sums; map-side partials reduce to one 15-number row — O(1) shuffle bytes)",
     "crawl_budget_allocate": "allocate_budget's 1-row total-weight/leftover scalar aggs + the largest-remainder rank window over the HOSTS-sized frame (hosts ≪ URLs: the corpus body passes only the partial side of the hosts hash-agg)",
     "pq_ann_topk": "the 1-row codebook-frame fold: collect_list over the n_sub·k-row codebook (model-sized by construction, never the corpus). Surfaced by the r11 codebook localCheckpoint pin — the RDD scan's unknown partitioning needs an explicit exchange where the old TakeOrderedAndProject child was already single-partition",
