@@ -492,19 +492,20 @@ def fit_bigram_kn(corpus: DataFrame, text_col: str = "text"):
     pure counts). Fit is one explode + three hash-aggs, all over the
     model-sized bigram-type table (only the first agg sees token-scale
     data)."""
-    from ..planprobe import pin
-
     b = (
         corpus.select(tokens(F.lower(F.col(text_col))).alias("_t"))
         .select(F.explode(doc_bigrams(F.col("_t"))).alias("_b"))
         .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
     )
-    # Pinned (r11): big feeds ctx, cont, tt AND the caller's score join —
-    # unpinned, each consumer re-ran the token-scale explode + first agg
-    # (the only stage that sees token-scale data; everything after is
-    # model-sized). One pin runs it once.
-    big = pin("fit_bigram_kn", "bigram_counts",
-              b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    # big deliberately NOT pinned (r11, measured): pinning the
+    # bigram-type table made bigram_lm_score 2.02× SLOWER (0.40→0.81 s,
+    # tight spread) — the model-sized c12 frame is still up to V² rows,
+    # and its localCheckpoint write plus the loss of shuffle-stats-driven
+    # AQE broadcasts downstream cost more than the re-run explode+agg
+    # replays it saves (each replay is a pruned scan + map-side partial
+    # agg). The q21 `l1` rule applies one level up: don't materialize a
+    # frame whose recompute is a single pruned pass.
+    big = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = big.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nf")
     )

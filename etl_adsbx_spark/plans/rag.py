@@ -161,25 +161,33 @@ def bm25_rank(
     from ..functions.text import tokens
     from ..planprobe import pin
 
-    # Pinned (r11): toks feeds the doc-length agg AND the tf leg — each
-    # reference re-scanned the corpus and re-ran the tokenize+explode
-    # (hybrid_rrf_topk's before plan shows 4 documents scans); dl feeds
-    # the (n_docs, avgdl) scalar AND the comp join. Two pins run the
-    # explode once and the length agg once.
-    toks = pin("bm25_rank", "token_postings", corpus_text.select(
+    # toks is deliberately NOT pinned (r11, measured): the token-postings
+    # frame is CORPUS-TOKEN-scale, and materializing it (localCheckpoint)
+    # costs a full-width write of every token row — measured 2.06× SLOWER
+    # on hybrid_rrf_topk than letting each consumer re-run the pruned
+    # scan + map-side explode (the q21 `l1` rule: a pruned columnar
+    # rescan of a fact-scale frame beats materializing it). The two
+    # consumers each keep their map-side shape: the tf leg semi-joins
+    # the broadcast query-term set BEFORE any shuffle, the dl agg is
+    # map-side partial. Only the DOC-sized dl result is pinned — it
+    # feeds the (n_docs, avgdl) scalar AND the comp join.
+    toks = corpus_text.select(
         id_col, F.explode(tokens(text_col)).alias("term")
-    ))
+    )
     dl = pin("bm25_rank", "doc_lengths",
              toks.groupBy(id_col).agg(F.count("*").alias("_dl")))
     stats = dl.agg(F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl"))
     qterms = queries.select(
         query_id_col, F.explode(tokens(query_text_col)).alias("term")
     ).distinct()
-    tf = (
+    # tf IS pinned (candidate-sized: only postings matching the
+    # broadcast query-term set survive): it feeds the comp join AND
+    # dfreq — unpinned, dfreq re-ran the corpus scan + explode.
+    tf = pin("bm25_rank", "query_term_tf", (
         toks.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("_tf"))
-    )
+    ))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
     comp = (
         tf.join(F.broadcast(qterms), "term")

@@ -1576,6 +1576,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mix_rates = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5}
     rate = stratum_rate("lang", mix_rates, default=0.25)
+    # spread_for_cpu was TRIED here (r11) and reverted on measurement:
+    # 2.5 s single-task → 3.7 s median spread at bench corpus size
+    # (584 KB input) — the extra exchange plus 32-way task overhead
+    # cost more than the parallelism returned. At shard-scale file
+    # counts the scan is already parallel and the question is moot.
     d = load_table(spark, sf_dir, "documents")
     gram_ns = (2, 3, 4, 5, 6, 7, 8, 9, 10)
     dup_ns = (5, 6, 7, 8, 9, 10)
@@ -1659,12 +1664,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document: explode → tf / df aggs → joined
     score → per-doc top-k. df join is broadcast (vocab ≪ corpus)."""
     d = load_table(spark, sf_dir, "documents")
-    # Pinned (r11): tokc feeds the tf agg AND the df agg — unpinned, two
-    # tokenize+explode replays of the corpus (the bm25_topk shape).
-    tokc = pin("tfidf_top_terms", "token_postings",
-               d.select("doc_id", F.explode(T.tokens("text")).alias("term")))
-    tf = tokc.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tokc.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tokc deliberately NOT pinned (r11, measured 1.31× slower pinned):
+    # corpus-token-scale — materializing the postings costs more than
+    # the two pruned-scan + map-side explode replays it saves (both
+    # consumers aggregate map-side; the q21 `l1` rule).
+    tokc = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    # tf IS pinned (post-agg, one row per DISTINCT (doc, term)): it
+    # feeds the score join AND — since it already holds exactly one row
+    # per (doc, term) — the df agg, which is algebraically
+    # countDistinct(doc_id) per term over tokc. Deriving dfreq from the
+    # pinned tf removes the second corpus scan + explode outright
+    # (values identical by construction; oracle-verified).
+    tf = pin("tfidf_top_terms", "tf_rows",
+             tokc.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # Global scalar subquery (n_docs) folded into the plan as a 1-row
     # broadcast crossJoin — same pattern as q22_dormant_customers. A
     # driver-side d.count() here would be a second full scan of documents.
@@ -4465,21 +4478,28 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreak totalizes the top-k order."""
     k1, b = 1.2, 0.75
     d = load_table(spark, sf_dir, "documents")
-    # Pinned (r11, the bm25_rank shape): toks feeds dl AND the tf leg,
-    # dl feeds the (n_docs, avgdl) scalar AND the comp join — unpinned,
-    # 4 documents scans with 2 tokenize+explode replays.
-    toks = pin("bm25_topk", "token_postings",
-               d.select("doc_id", F.explode(T.tokens("text")).alias("term")))
+    # toks deliberately NOT pinned (r11, measured 1.22× slower pinned):
+    # the token-postings frame is corpus-token-scale, and materializing
+    # it breaks this query's own 100-TB contract ("the corpus-sized
+    # token stream is filtered map-side") — each consumer's pruned
+    # rescan + map-side explode is cheaper than a full-width postings
+    # write (the q21 `l1` rule). Only the DOC-sized dl is pinned: it
+    # feeds the (n_docs, avgdl) scalar AND the comp join.
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     dl = pin("bm25_topk", "doc_lengths",
              toks.groupBy("doc_id").agg(F.count("*").alias("dl")))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
+    # tf IS pinned: it is the candidate-sized decision frame (only
+    # query-term postings survive the map-side filter), and it feeds
+    # the comp join AND dfreq — unpinned, dfreq re-ran the corpus
+    # scan + explode a third time for rows tf already holds.
+    tf = pin("bm25_topk", "query_term_tf", (
         toks.filter(F.col("term").isin("spark", "merge", "filter"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-    )
+    ))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     comp = (
         tf.join(dl, "doc_id")
@@ -7592,6 +7612,7 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressor); parse and decode are Arrow-batched map-only kernels
     (the read_warc shard path is one task per shard — parallelism =
     shard count, payloads never on the driver)."""
+    from .operators.dedup import spread_for_cpu
     from .sources.warc import (
         chunked_body_col,
         decoded_text_col,
@@ -7601,7 +7622,13 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         warc_response_rec_col as rec,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread_for_cpu (r11, guide §2): the 10-case frame→parse→decode
+    # fan-out is pure CPU (codegen concat + two Arrow kernels) over ONE
+    # scan split at bench scale — a single task owned the whole query
+    # (measured 5.0 s isolated on 1 of 32 cores). Round-robin to the
+    # session parallelism ships each text row once; at shard scale the
+    # input already has ≥ cores splits and this is a no-op.
+    d = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     sid = F.col("doc_id").cast("string")
     u = lambda leg: F.concat(F.lit(f"http://corpus.local/{leg}/"), sid)  # noqa: E731
     p_latin = F.concat(F.lit("café idée nº "), sid)
@@ -8083,6 +8110,13 @@ def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         warc_response_rec_col,
     )
 
+    # spread_for_cpu was TRIED here (r11) and reverted on measurement:
+    # 4.7 s single-task → 7.9 s median spread across 32 tasks — this
+    # chain is FIVE Arrow kernels deep, and 32-way spread multiplies
+    # the per-task Python-worker + per-kernel state initialization
+    # (robots evaluator, charset machinery) past the CPU win at bench
+    # corpus size. At shard scale the input arrives pre-split and the
+    # kernels amortize over full batches (the read_warc path).
     d = load_table(spark, sf_dir, "documents")
     sid = F.col("doc_id").cast("string")
     host = F.concat(F.col("source"), F.lit(".example.com"))
