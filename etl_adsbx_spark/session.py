@@ -41,6 +41,40 @@ def default_driver_memory() -> str:
     return f"{min(max(8, int(cpus * 1.5)), max(total_gb // 2, 2))}g"
 
 
+def default_driver_xms() -> str:
+    """Pre-touched heap FLOOR (-Xms): the working set the JVM commits and
+    faults in at STARTUP instead of mid-query. Two measured pathologies on
+    memory-bandwidth-starved hosts (this sandbox zero-fills fresh pages at
+    ~0.1-1 GB/s) motivate it, both r11 findings:
+
+    - lazy heap EXPANSION lands tens of GB of page faults inside whichever
+      queries happen to trigger it — measured 3-10× intermittent stalls on
+      individual bench runs (a 5 s query taking 28-70 s) with GC time and
+      calibration rows healthy;
+    - G1 UNCOMMITS regions after cleanup pauses, so the next heavy query
+      re-pays faults for pages the JVM already owned. Xms is the floor G1
+      never shrinks below, which ends the fault-refault churn.
+
+    16 GB covers the bench working set with margin (the heaviest query
+    family holds ~8 GB committed once pinned blocks are released between
+    runs); ``-Xmx`` stays at :func:`default_driver_memory` so decade
+    probes keep their headroom, paying lazy faults only above the floor.
+    Clamped to the Xmx so small hosts never request Xms > Xmx.
+    ``SPARK_GRAFT_DRIVER_XMS`` overrides (e.g. a probe that wants the
+    whole heap pre-touched, or CI that wants a fast cold start)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_XMS")
+    if env:
+        return env
+    xmx = default_driver_memory()
+    try:
+        xmx_gb = int(xmx.rstrip("gG"))
+    except ValueError:
+        # a non-"<N>g" SPARK_GRAFT_DRIVER_MEM override (e.g. "8192m"):
+        # don't second-guess its unit — mirror it as the floor
+        return xmx
+    return f"{min(16, xmx_gb)}g"
+
+
 def get_spark(app_name: str = "etl_adsbx_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
 
@@ -87,6 +121,14 @@ def get_spark(app_name: str = "etl_adsbx_spark", master: str | None = None) -> S
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", default_driver_memory())
+        # Heap floor + pre-touch: fault the working set in at startup
+        # (outside any measured region) rather than inside queries — see
+        # default_driver_xms for the measured stall pathology. Applied at
+        # JVM launch; a no-op when an existing session is reused.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{default_driver_xms()} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -22,5 +22,9 @@ def spark():
     # count; results are partitioning-invariant by the exactness
     # contracts (and the decade probes/bench exercise the 256 default)
     os.environ.setdefault("SPARK_GRAFT_INIT_PARTS", "32")
+    # the pre-touched heap floor (session.default_driver_xms) sizes for
+    # the sf0.1 bench working set; at sf0.001 the suite never needs it —
+    # keep the test JVM's cold start fast (same rationale as INIT_PARTS)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_XMS", "2g")
     s = get_spark("etl-adsbx-spark-tests")
     yield s

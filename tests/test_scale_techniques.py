@@ -618,6 +618,44 @@ def test_triangle_plan_has_no_broadcast_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_release_pins_frees_blocks_and_recompute_matches(spark):
+    """planprobe.release_pins drops the storage blocks of every pin
+    created since the last release (the bench calls it between timed
+    samples — left to the ContextCleaner, dead checkpoint blocks
+    accumulate for the whole run and the heap growth page-faults fresh
+    OS pages mid-query: the r11 intermittent-stall fix). A released pin
+    must (a) actually disappear from BlockManager storage and (b) leave a
+    FRESH construction of the same frame computing the same result —
+    release frees finished samples, it never poisons the next one."""
+    from pyspark.sql import functions as F
+
+    from etl_adsbx_spark import planprobe
+
+    planprobe.release_pins()  # isolate from pins of earlier tests
+    sc = spark.sparkContext
+
+    def storage_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    base = spark.range(0, 10_000).withColumn(
+        "v", F.pmod(F.col("id") * 37, F.lit(101))
+    )
+    before_ids = storage_ids()
+    pinned = planprobe.pin("test_release", "frame", base)
+    total1 = pinned.agg(F.sum("v")).collect()[0][0]
+    new_ids = storage_ids() - before_ids
+    assert new_ids, "pin did not materialize any storage blocks"
+    freed = planprobe.release_pins()
+    assert freed >= 1, "release_pins freed nothing"
+    assert not (storage_ids() & new_ids), "pinned blocks survived release"
+    # a fresh pin of the same frame recomputes the identical result
+    total2 = planprobe.pin("test_release", "frame", base).agg(
+        F.sum("v")
+    ).collect()[0][0]
+    assert total2 == total1
+    planprobe.release_pins()
+
+
 def test_iterative_step_plan_lint(spark):
     """The registry plan lint above reads POST-CHECKPOINT plans, so the
     loop bodies of the iterative operators (pagerank, HITS, the CC
