@@ -15,16 +15,24 @@ execute anything extra.
 
 from __future__ import annotations
 
+from collections import deque
 from collections.abc import Callable
 from typing import Any
 
 _hook: Callable[[str, str, Any], None] | None = None
 
-#: JVM RDD handles of every checkpoint created by :func:`pin`, kept so a
-#: benchmark/driver loop can free their storage blocks between runs (see
-#: :func:`release_pins`). Entries are py4j proxies to the checkpointed
-#: ``RDD[InternalRow]`` — a few hundred bytes each on the Python side.
-_live_pins: list[Any] = []
+#: RDD **ids** (plain ints) of the checkpoints :func:`pin` has created, so
+#: a benchmark/driver loop can free their storage blocks between runs (see
+#: :func:`release_pins`). Deliberately NOT py4j proxies: a proxy holds a
+#: JVM-side strong reference per entry, which blocks the driver GC (and
+#: therefore the ContextCleaner) from ever unpersisting the checkpointed
+#: RDD in sessions that never call release_pins — correctness runs and
+#: long-lived drivers would leak checkpoint blocks for the process
+#: lifetime (r11 ADVICE, medium). Ids keep every pin fully GC-eligible;
+#: the bounded deque caps the bookkeeping itself (36 pin sites/query —
+#: 1024 covers any release interval the bench uses; an id that falls off
+#: the end is simply left to the ContextCleaner, the pre-r11 behavior).
+_live_pins: deque[int] = deque(maxlen=1024)
 
 
 def set_step_plan_hook(
@@ -57,7 +65,7 @@ def pin(op: str, step: str, df: Any) -> Any:
     with no collector installed the probe is a zero-cost no-op and this
     is exactly ``df.localCheckpoint(eager=False)`` plus bookkeeping.
 
-    The checkpointed RDD's JVM handle is recorded in ``_live_pins`` so
+    The checkpointed RDD's **id** is recorded in ``_live_pins`` so
     :func:`release_pins` can drop its storage blocks explicitly. Without
     that, blocks live until the DRIVER's JVM garbage-collects the RDD
     object and the ContextCleaner notices (its own safety-net GC fires
@@ -67,14 +75,16 @@ def pin(op: str, step: str, df: Any) -> Any:
     memory-bandwidth-starved host the resulting page-fault storms were
     measured stalling individual bench runs 3-10× (OPTIMIZATION_r11.md,
     "the pin-block release"); the blocks themselves are small — the
-    faulting, not the footprint, is the cost."""
+    faulting, not the footprint, is the cost. Only the int id is kept
+    (never the py4j proxy, which would pin the JVM object and defeat the
+    ContextCleaner in sessions that never release — r11 ADVICE)."""
     probe_step(op, step, df)
     ck = df.localCheckpoint(eager=False)
     try:
         node = ck._jdf.queryExecution().analyzed()
         for _ in range(4):  # the checkpoint plan is LogicalRDD, at times
             if node.getClass().getSimpleName() == "LogicalRDD":  # wrapped
-                _live_pins.append(node.rdd())
+                _live_pins.append(node.rdd().id())
                 break
             node = node.children().head()
     except Exception:  # noqa: BLE001 — bookkeeping is best-effort;
@@ -91,15 +101,31 @@ def release_pins() -> int:
     calls this between timed samples (each sample constructs and
     materializes its own fresh pins, so timing methodology is unchanged —
     only the dead blocks of FINISHED samples are dropped); correctness
-    paths never call it."""
+    paths never call it.
+
+    Removal goes through ``SparkContext.unpersistRDD(id)`` — the same
+    call ``RDD.unpersist`` makes, dropping the blocks AND the
+    persistent-RDD registration (blocking, so a caller that immediately
+    re-measures sees them gone). No RDD reference is ever held on the
+    Python side, so pins in sessions that never call this stay eligible
+    for normal ContextCleaner cleanup."""
     n = 0
+    if not _live_pins:
+        return 0
+    try:
+        from pyspark import SparkContext
+
+        jsc = SparkContext._active_spark_context._jsc.sc()
+    except Exception:  # noqa: BLE001 — a dead JVM/SparkContext just
+        _live_pins.clear()  # means there is nothing left to free
+        return 0
     while _live_pins:
-        jrdd = _live_pins.pop()
+        rdd_id = _live_pins.pop()
         try:
-            jrdd.unpersist(False)
+            jsc.unpersistRDD(rdd_id, True)
             n += 1
-        except Exception:  # noqa: BLE001 — a dead JVM/SparkContext just
-            pass  # means there is nothing left to free
+        except Exception:  # noqa: BLE001 — already cleaned / gone
+            pass
     return n
 
 

@@ -15,6 +15,33 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+def _host_memory_gb() -> int:
+    """Usable physical memory in GB: the sysconf total clamped by the
+    cgroup memory limit when one applies (r11 ADVICE, low: a
+    memory-limited container on a large host would otherwise derive — and
+    with AlwaysPreTouch eagerly commit — a heap sized to the HOST's RAM
+    and get OOM-killed at startup). Reads cgroup v2 then v1; a missing or
+    unlimited ("max" / huge sentinel) limit falls through to sysconf."""
+    try:
+        total = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) >> 30
+    except (ValueError, OSError, AttributeError):  # pragma: no cover
+        total = 16
+    for path in ("/sys/fs/cgroup/memory.max",
+                 "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            raw = open(path).read().strip()
+        except OSError:
+            continue
+        if raw.isdigit():
+            limit_gb = int(raw) >> 30
+            # v1 reports an enormous sentinel when unlimited; only a
+            # limit BELOW the physical total is a real container bound
+            if 0 < limit_gb < total:
+                total = limit_gb
+        break
+    return total
+
+
 def default_driver_memory() -> str:
     """Machine-derived single-JVM heap: ~1.5 GB per core, floored at 8 GB
     then capped at half of system RAM (the cap wins on small hosts — a
@@ -30,10 +57,7 @@ def default_driver_memory() -> str:
     if env:
         return env
     cpus = os.cpu_count() or 4
-    try:
-        total_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) >> 30
-    except (ValueError, OSError, AttributeError):  # pragma: no cover
-        total_gb = 16
+    total_gb = _host_memory_gb()
     # The half-of-RAM cap is applied AFTER the 8 GB floor so a small host
     # (<16 GB) never sees a driver heap request above half its RAM — the
     # floor is a sizing preference, the cap is a safety bound (2 GB hard
@@ -125,9 +149,13 @@ def get_spark(app_name: str = "etl_adsbx_spark", master: str | None = None) -> S
         # (outside any measured region) rather than inside queries — see
         # default_driver_xms for the measured stall pathology. Applied at
         # JVM launch; a no-op when an existing session is reused.
+        # User-supplied options (SPARK_GRAFT_DRIVER_JAVA_OPTS — e.g. GC
+        # logging flags) are merged in, not clobbered (r11 ADVICE, low);
+        # the heap floor itself is overridden via SPARK_GRAFT_DRIVER_XMS.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{default_driver_xms()} -XX:+AlwaysPreTouch",
+            (os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "") + " "
+             + f"-Xms{default_driver_xms()} -XX:+AlwaysPreTouch").strip(),
         )
         .config("spark.ui.enabled", "false")
     )
