@@ -140,6 +140,21 @@ def get_spark(app_name: str = "etl_adsbx_spark", master: str | None = None) -> S
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The ContextCleaner only unpersists an RDD once the DRIVER JVM
+        # garbage-collects its handle; its safety-net System.gc() fires
+        # every 30 min by default — far too slow for long sessions that
+        # construct thousands of short-lived checkpoints/persists (the
+        # pytest suite, iterative fits): dead blocks pile up for the
+        # whole run and the heap growth page-faults fresh OS pages
+        # mid-query (the r11 stall pathology; measured r12: late-suite
+        # tests ran up to ~10× their isolated time). 5 min keeps the
+        # backlog bounded at the cost of one cheap driver full-GC per
+        # interval; explicit frees (bench release_pins, operators'
+        # unpersist discipline) remain the first line.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

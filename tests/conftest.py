@@ -28,3 +28,26 @@ def spark():
     os.environ.setdefault("SPARK_GRAFT_DRIVER_XMS", "2g")
     s = get_spark("etl-adsbx-spark-tests")
     yield s
+
+
+@pytest.fixture(autouse=True)
+def _release_pins_between_tests():
+    """Drop each test's dead checkpoint blocks as soon as it finishes.
+
+    Operators pin shared subtrees with lazy ``localCheckpoint`` via
+    ``planprobe.pin``; in the bench those blocks are freed between timed
+    samples, but a pytest session never released them — over ~600 tests
+    the dead blocks pile up in the BlockManager, the driver heap grows
+    past the 2g test floor, and on this memory-bandwidth-starved host
+    the page-fault churn slows LATER tests by up to ~10×
+    (test_cc_incremental_matches_full_recompute: 610 s at suite position
+    ~540 vs 66 s in isolation, measured r12 — the r11 bench-stall
+    pathology inside pytest). Releasing after EACH test is safe: no
+    fixture carries a pinned DataFrame across tests (module-scoped
+    fixtures hold raw createDataFrame frames or already-collected rows),
+    so only dead frames are dropped; the next test constructs and pins
+    its own frames fresh."""
+    yield
+    from etl_adsbx_spark.planprobe import release_pins
+
+    release_pins()
