@@ -155,6 +155,18 @@ def get_spark(app_name: str = "etl_adsbx_spark", master: str | None = None) -> S
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
         )
+        # Spark 4.1's ChecksumCheckpointFileManager leaks its I/O thread
+        # pools PER STREAMING QUERY — measured r12: 128 threads per
+        # stateful query, surviving q.stop() (a zombie or long test
+        # session accumulates 1000+ JVM threads and every later job slows
+        # ~10×). Checkpoint-file checksums protect against object-store
+        # corruption; local-disk checkpoints (tests, single-box runs)
+        # get no benefit, so default OFF here and let a cluster deploy
+        # re-enable via env once the upstream leak is fixed.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("SPARK_GRAFT_CHECKPOINT_CHECKSUM", "false"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -7,6 +7,16 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Must precede the session import: DEFAULT_SHUFFLE_PARTITIONS binds at
+# module import. 8 shuffle partitions for the shared test session — batch
+# results are partitioning-invariant by the registry's exactness contracts
+# (and test_determinism re-checks them at 7 partitions in its own
+# session), while STATEFUL STREAMING tests pay per state partition per
+# micro-batch (state store open/commit + a Python state worker each):
+# measured r12, the stateful-last-position drain drops 11.8 → 7.3 s going
+# 32 → 8. Tests that need a specific count pin their own sessions.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+
 from etl_adsbx_spark.session import get_spark  # noqa: E402
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -46,8 +56,26 @@ def _release_pins_between_tests():
     fixture carries a pinned DataFrame across tests (module-scoped
     fixtures hold raw createDataFrame frames or already-collected rows),
     so only dead frames are dropped; the next test constructs and pins
-    its own frames fresh."""
+    its own frames fresh.
+
+    Also stops any streaming query a test left RUNNING: a stateful query
+    whose timers keep re-arming never drains under availableNow, so an
+    ``awaitTermination(timeout)`` that times out returns with the query
+    still firing micro-batches — measured r12: one such zombie burned a
+    ~2.6 s no-data batch continuously for the rest of the suite and
+    slowed every later test up to ~10× (the 610 s in-suite vs 66 s
+    isolated gap). No test hands a running query to another test, so
+    stopping leftovers at the boundary is safe."""
     yield
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            for q in s.streams.active:
+                q.stop()
+    except Exception:  # noqa: BLE001 — a dead session has nothing to stop
+        pass
     from etl_adsbx_spark.planprobe import release_pins
 
     release_pins()

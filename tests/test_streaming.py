@@ -105,7 +105,23 @@ def test_stateful_last_position(spark):
     q = tracked.writeStream.foreachBatch(batch_fn).outputMode("update").option(
         "checkpointLocation", tempfile.mkdtemp()
     ).trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    # This query never self-terminates: the tracker re-arms a 1 h
+    # processing-time timer, so availableNow keeps issuing no-data
+    # batches to service pending timers. Waiting on awaitTermination's
+    # TIMEOUT (the old form) returned after 180 s with the query STILL
+    # RUNNING — a zombie that kept burning a micro-batch every ~2.6 s for
+    # the rest of the suite (r12 measurement; the suite-rot root cause).
+    # Drain to the expected results instead, then stop explicitly.
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        a, b = results.get("a"), results.get("b")
+        if a is not None and a["n_seen"] == 2 and b is not None:
+            break
+        _time.sleep(0.25)
+    q.stop()
+    q.awaitTermination(60)
     assert results["a"]["lat"] == 3.0        # latest position wins across batches
     assert results["a"]["n_seen"] == 2       # cumulative count
     assert results["b"]["n_seen"] == 1
